@@ -1,0 +1,72 @@
+"""Masked-LM abstraction used by scoring / beam operators.
+
+The engine never talks to a model directly from DataFrame code; all
+inference happens inside Arrow-batched ``mapInPandas`` UDFs that hold a
+per-executor singleton implementing this interface (SURVEY.md §2.1 S8,
+§2.10 P1/P2). Two backends:
+
+- ``StubMLM`` (lm/stub.py): seeded deterministic word-level MLM — the
+  sandbox has no torch/transformers (FIXTURES.md §4).
+- ``HFMaskedLM`` (lm/hf.py): import-gated HuggingFace backend with the
+  semantics of the reference wrapper
+  (reference ``models/language_model_wrapper.py:10-126``).
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from collections.abc import Sequence
+
+import numpy as np
+
+
+class MaskedLM(ABC):
+    """Minimal surface the operators need."""
+
+    mask_token: str
+
+    @property
+    @abstractmethod
+    def vocab_size(self) -> int: ...
+
+    @property
+    @abstractmethod
+    def banned_ids(self) -> np.ndarray:
+        """Special-token ids + ids whose decoded lower/stripped text is a
+        stopword (reference ``models/language_model_wrapper.py:23-27``)."""
+
+    @abstractmethod
+    def decode(self, token_ids: Sequence[int]) -> str: ...
+
+    @abstractmethod
+    def token_text(self, token_id: int) -> str:
+        """Decoded text of a single token (for the F9 char filters)."""
+
+    @abstractmethod
+    def mask_logits(self, input_text: str) -> np.ndarray:
+        """Logits at each mask position: shape ``[n_masks, vocab]``
+        (reference ``models/language_model_wrapper.py:29-35``)."""
+
+    @abstractmethod
+    def pll_mask_logprobs(self, prompt: str, ent_tuple: Sequence[str]) -> list[float]:
+        """Pseudo-log-likelihood mask logprobs for a filled prompt,
+        with the reference's two parity-critical rules
+        (reference ``models/language_model_wrapper.py:37-76,79-117``):
+
+        * only the FIRST word of each entity is masked/scored;
+        * left-to-right re-masking: row ``i`` masks mask-positions
+          ``i..end`` and is labeled with the gold token at position ``i``.
+        """
+
+    # -- derived helpers shared by backends ------------------------------
+
+    def allowed_token_mask(self) -> np.ndarray:
+        """Boolean [vocab] mask for F9: token text has an alpha char and
+        no punctuation (reference ``models/entity_tuple_searcher.py:212-217``).
+        Precomputed once per process and reused by the beam UDF."""
+        from ..functions.textops import token_text_allowed
+
+        mask = np.zeros(self.vocab_size, dtype=bool)
+        for tid in range(self.vocab_size):
+            mask[tid] = token_text_allowed(self.token_text(tid))
+        return mask
