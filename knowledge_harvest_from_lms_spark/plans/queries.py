@@ -1,0 +1,898 @@
+"""Driver-contract query registry: SURVEY.md §2 operators over the
+synthetic tables in /root/testdata (TESTDATA.md), each paired with an
+ANSI-SQL DuckDB oracle (FIXTURES.md §5).
+
+Conventions (the driver compares row-count + schema + order-insensitive
+value hash):
+- every computed column is aliased identically in Spark and SQL;
+- float outputs are ``round(x, 4..6)`` on BOTH sides;
+- aggregates are cast (DuckDB ``sum(int)`` yields HUGEINT, so oracles
+  cast to BIGINT/DOUBLE to match Spark types);
+- LIMIT/top-k queries carry a deterministic total order (score desc,
+  then key) — same discipline the engine uses for reproducible
+  harvests (SURVEY.md §7 "hard parts").
+
+Spark sides are DataFrame-API first so Catalyst sees a declarative
+plan: filters/projections push into the parquet scan, small dims are
+broadcast, and window/top-k shapes compile to WindowExec /
+TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+# Shared inline stoplist (subset of functions/stopwords.py kept literal so
+# the DuckDB oracle can embed the identical list).
+STOP_SUBSET = (
+    "the", "a", "an", "and", "or", "of", "in", "on", "to", "is", "are",
+    "was", "for", "with", "that", "this", "it", "as", "at", "by", "be",
+)
+_STOP_SQL = "(" + ", ".join(f"'{w}'" for w in STOP_SUBSET) + ")"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1/A2/A8) — TPC-H-Q1-style pricing summary
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.round(F.col("l_quantity") * 100).cast("long")) / 100.0, 2).alias("sum_qty"),
+            F.round(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0, 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")) / 10000.0, 2
+            ).alias("sum_disc_price"),
+            F.round(F.sum(F.round(F.col("l_quantity") * 100).cast("long")) / 100.0 / F.count(F.lit(1)), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0, 2) AS sum_qty,
+       ROUND(CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0, 2) AS sum_base_price,
+       ROUND(CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS DOUBLE)/10000.0, 2) AS sum_disc_price,
+       ROUND(CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0/COUNT(*), 4) AS avg_qty,
+       CAST(COUNT(*) AS BIGINT)                       AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multi-join with broadcast dims (J5/S9 pattern)
+# ---------------------------------------------------------------------------
+
+def q02_revenue_by_nation(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+Q02_SQL = """
+SELECT n_name, r_name,
+       ROUND(CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0, 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ranking windows (W1): top-k per group with deterministic tie-break
+# ---------------------------------------------------------------------------
+
+def q03_top_orders_per_priority(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+Q03_SQL = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+              ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+  FROM orders) WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Global deterministic top-k (W5/O4) — TakeOrderedAndProject shape
+# ---------------------------------------------------------------------------
+
+def q04_global_top200(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(200)
+    )
+
+
+Q04_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 200
+"""
+
+
+# ---------------------------------------------------------------------------
+# Softmax + clip + renorm over a partition (A4) — the prompt-weight math
+# ---------------------------------------------------------------------------
+
+def q05_softmax_weights(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    part = W.partitionBy("c_nationkey")
+    raw = F.col("c_acctbal") / F.lit(1000.0)
+    e = F.exp(raw - F.max(raw).over(part))
+    p = e / F.sum(e).over(part)
+    df = cust.withColumn("p", p)
+    clipped = F.when(F.col("p") < 0.05, F.lit(0.0)).otherwise(F.col("p"))
+    df = df.withColumn("pc", clipped)
+    w = F.col("pc") / F.sum("pc").over(part)
+    return df.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(w, 6).alias("weight"),
+    ).filter(F.col("weight") > 0)
+
+
+Q05_SQL = """
+WITH mx AS (
+  SELECT c_custkey, c_nationkey,
+         EXP(c_acctbal/1000.0 - MAX(c_acctbal/1000.0) OVER (PARTITION BY c_nationkey)) AS e
+  FROM customer),
+sm AS (
+  SELECT c_custkey, c_nationkey,
+         e / SUM(e) OVER (PARTITION BY c_nationkey) AS p
+  FROM mx),
+cl AS (
+  SELECT c_custkey, c_nationkey,
+         CASE WHEN p < 0.05 THEN 0.0 ELSE p END AS pc
+  FROM sm)
+SELECT c_custkey, c_nationkey,
+       ROUND(pc / SUM(pc) OVER (PARTITION BY c_nationkey), 6) AS weight
+FROM cl QUALIFY weight > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Theta self-join (J2) — the negative-sample join shape
+# ---------------------------------------------------------------------------
+
+def q06_neg_selfjoin(spark, sf_dir):
+    sup = _t(spark, sf_dir, "supplier")
+    a, b = sup.alias("a"), sup.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+            & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+        )
+        .groupBy(F.col("a.s_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum(F.round(F.abs(F.col("a.s_acctbal") - F.col("b.s_acctbal")) * 100).cast("long"))
+                / 100.0 / F.count(F.lit(1)), 4
+            ).alias("avg_bal_diff"),
+        )
+    )
+
+
+Q06_SQL = """
+SELECT a.s_nationkey AS nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(CAST(ROUND(ABS(a.s_acctbal - b.s_acctbal)*100) AS BIGINT)) AS DOUBLE)/100.0/COUNT(*), 4) AS avg_bal_diff
+FROM supplier a JOIN supplier b
+  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+GROUP BY a.s_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Anti join (F11 resume-skip shape)
+# ---------------------------------------------------------------------------
+
+def q07_anti_join(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers_no_orders"))
+    )
+
+
+Q07_SQL = """
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers_no_orders
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semi join (F8 entity-in-prompt shape)
+# ---------------------------------------------------------------------------
+
+def q08_semi_join(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts_sold"))
+    )
+
+
+Q08_SQL = """
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts_sold
+FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+GROUP BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# Union + distinct (U1/A10)
+# ---------------------------------------------------------------------------
+
+def q09_union_distinct(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        cust.select(F.col("c_nationkey").alias("nationkey"))
+        .union(sup.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+Q09_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+# ---------------------------------------------------------------------------
+# Broadcast cross join (J1 prompt × seed-tuple shape)
+# ---------------------------------------------------------------------------
+
+def q10_cross_join_dims(spark, sf_dir):
+    region = _t(spark, sf_dir, "region")
+    orders = _t(spark, sf_dir, "orders")
+    prios = orders.select("o_orderpriority").distinct()
+    return F.broadcast(region).crossJoin(prios).select(
+        "r_name", "o_orderpriority"
+    )
+
+
+Q10_SQL = """
+SELECT r_name, o_orderpriority
+FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Casing-variant enumeration (U3)
+# ---------------------------------------------------------------------------
+
+def q11_casing_variants(spark, sf_dir):
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
+    lower = part.select(
+        "p_partkey", F.lower("p_name").alias("variant"), F.lit("lower").alias("casing")
+    )
+    upper = part.select(
+        "p_partkey", F.upper("p_name").alias("variant"), F.lit("upper").alias("casing")
+    )
+    return lower.union(upper)
+
+
+Q11_SQL = """
+SELECT p_partkey, LOWER(p_name) AS variant, 'lower' AS casing FROM part WHERE p_partkey < 100
+UNION ALL
+SELECT p_partkey, UPPER(p_name) AS variant, 'upper' AS casing FROM part WHERE p_partkey < 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Tokenize + stopword filter (F4) — explode pushes into codegen
+# ---------------------------------------------------------------------------
+
+def q12_word_stopfilter(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    return (
+        words.filter((F.length("word") >= 3) & (~F.col("word").isin(*STOP_SUBSET)))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 5)
+    )
+
+
+Q12_SQL = f"""
+SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+  SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents)
+WHERE LENGTH(word) >= 3 AND word NOT IN {_STOP_SQL}
+GROUP BY word HAVING COUNT(*) >= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Word-repeat cap (A6): row_number per word, keep first 5 occurrences
+# ---------------------------------------------------------------------------
+
+def q13_word_repeat_cap(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    ).filter(F.length("word") >= 6)
+    w = W.partitionBy("word").orderBy("doc_id", "pos")
+    return (
+        words.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("kept"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+Q13_SQL = """
+WITH words AS (
+  SELECT doc_id,
+         UNNEST(STRING_SPLIT(text, ' ')) AS word,
+         UNNEST(RANGE(0, LEN(STRING_SPLIT(text, ' ')))) AS pos
+  FROM documents),
+ranked AS (
+  SELECT word, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY word ORDER BY doc_id, pos) AS rn
+  FROM words WHERE LENGTH(word) >= 6)
+SELECT word, CAST(COUNT(*) AS BIGINT) AS kept, MIN(doc_id) AS first_doc
+FROM ranked WHERE rn <= 5 GROUP BY word
+"""
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup pairs (J8 / dedup family)
+# ---------------------------------------------------------------------------
+
+def q14_ngram_jaccard_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(F.substring("text", 1, 60)) - 2),
+                lambda i: F.substring("text", 1, 60).substr(i, F.lit(3)),
+            )
+        ).alias("g"),
+    )
+    anchors = grams.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("ia"), F.col("lang").alias("la"), F.col("g").alias("ga")
+    )
+    pairs = F.broadcast(anchors).join(
+        grams.select(
+            F.col("doc_id").alias("ib"), F.col("lang").alias("lb"), F.col("g").alias("gb")
+        ),
+        (F.col("la") == F.col("lb")) & (F.col("ia") < F.col("ib")),
+    )
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size(F.array_union("ga", "gb"))
+    return (
+        pairs.withColumn("jac", F.round(inter / union, 4))
+        .filter(F.col("jac") >= 0.3)
+        .select("ia", "ib", "jac")
+    )
+
+
+Q14_SQL = """
+WITH grams AS (
+  SELECT doc_id, lang,
+         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LENGTH(SUBSTR(text,1,60))-1),
+                                      i -> SUBSTR(SUBSTR(text,1,60), i, 3))) AS g
+  FROM documents)
+SELECT a.doc_id AS ia, b.doc_id AS ib,
+       ROUND(CAST(LEN(LIST_INTERSECT(a.g, b.g)) AS DOUBLE)
+             / LEN(LIST_DISTINCT(LIST_CONCAT(a.g, b.g))), 4) AS jac
+FROM grams a JOIN grams b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE a.doc_id % 50 = 0
+  AND ROUND(CAST(LEN(LIST_INTERSECT(a.g, b.g)) AS DOUBLE)
+            / LEN(LIST_DISTINCT(LIST_CONCAT(a.g, b.g))), 4) >= 0.3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k (similarity search baseline)
+# ---------------------------------------------------------------------------
+
+def _cos_expr():
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: (x * y).cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform("ea", lambda x: (x * x).cast("double")),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform("eb", lambda x: (x * x).cast("double")),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dot / (na * nb)
+
+
+def q15_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("ia"), F.col("embedding").alias("ea")
+    )
+    others = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    pairs = F.broadcast(anchors).join(others, F.col("ia") != F.col("ib"))
+    scored = pairs.withColumn("cos", F.round(_cos_expr(), 4)).select("ia", "ib", "cos")
+    w = W.partitionBy("ia").orderBy(F.desc("cos"), F.asc("ib"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("ia", "ib", "cos", "rnk")
+    )
+
+
+Q15_SQL = """
+WITH scored AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         ROUND(CAST(LIST_COSINE_SIMILARITY(a.embedding, b.embedding) AS DOUBLE), 4) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND a.vec_id != b.vec_id)
+SELECT ia, ib, cos, CAST(rnk AS INT) AS rnk FROM (
+  SELECT ia, ib, cos,
+         ROW_NUMBER() OVER (PARTITION BY ia ORDER BY cos DESC, ib ASC) AS rnk
+  FROM scored) WHERE rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprint: portable polynomial rolling hash (text analysis)
+# ---------------------------------------------------------------------------
+
+def q16_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.expr(
+        "aggregate(transform(split(substr(text, 1, 64), ''), c -> CAST(ascii(c) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 1000000007)"
+    )
+    return docs.select("doc_id", fp.alias("fp"))
+
+
+Q16_SQL = """
+SELECT doc_id,
+       LIST_REDUCE(
+         LIST_PREPEND(CAST(0 AS BIGINT),
+           LIST_TRANSFORM(STRING_SPLIT(SUBSTR(text, 1, 64), ''),
+                          c -> CAST(ASCII(c) AS BIGINT))),
+         (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Heuristic language ID (text analysis)
+# ---------------------------------------------------------------------------
+
+def q17_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    markers = F.size(
+        F.filter(words, lambda w: w.isin("the", "a", "of", "and", "is"))
+    )
+    ratio = F.round(markers / F.size(words), 4)
+    return docs.select(
+        "doc_id",
+        "lang",
+        ratio.alias("en_ratio"),
+        F.when(ratio > 0.02, F.lit("en")).otherwise(F.lit("other")).alias("lang_pred"),
+    )
+
+
+Q17_SQL = """
+SELECT doc_id, lang,
+       ROUND(CAST(LEN(LIST_FILTER(STRING_SPLIT(text,' '),
+                  w -> w IN ('the','a','of','and','is'))) AS DOUBLE)
+             / LEN(STRING_SPLIT(text,' ')), 4) AS en_ratio,
+       CASE WHEN ROUND(CAST(LEN(LIST_FILTER(STRING_SPLIT(text,' '),
+                  w -> w IN ('the','a','of','and','is'))) AS DOUBLE)
+             / LEN(STRING_SPLIT(text,' ')), 4) > 0.02
+            THEN 'en' ELSE 'other' END AS lang_pred
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality score: type-token ratio + mean word length (text analysis)
+# ---------------------------------------------------------------------------
+
+def q18_quality_score(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    ttr = F.round(F.size(F.array_distinct(words)) / n_words, 4)
+    awl = F.round(
+        (F.length("text") - n_words + 1) / n_words, 4
+    )  # chars excluding separators / words
+    return docs.select(
+        "doc_id", n_words.alias("n_words"), ttr.alias("ttr"), awl.alias("avg_word_len")
+    )
+
+
+Q18_SQL = """
+SELECT doc_id,
+       CAST(LEN(STRING_SPLIT(text,' ')) AS INT) AS n_words,
+       ROUND(CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text,' '))) AS DOUBLE)
+             / LEN(STRING_SPLIT(text,' ')), 4) AS ttr,
+       ROUND(CAST(LENGTH(text) - LEN(STRING_SPLIT(text,' ')) + 1 AS DOUBLE)
+             / LEN(STRING_SPLIT(text,' ')), 4) AS avg_word_len
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token counting per language (text analysis)
+# ---------------------------------------------------------------------------
+
+def q19_token_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+Q19_SQL = """
+SELECT lang,
+       CAST(SUM(LEN(STRING_SPLIT(text,' '))) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup stats (dedup family; hash-groupBy shape)
+# ---------------------------------------------------------------------------
+
+def q20_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_uniq_texts"),
+    )
+
+
+Q20_SQL = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT text) AS BIGINT) AS n_uniq_texts
+FROM documents GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rollup metrics (reporting layer, SURVEY.md §2.4 note)
+# ---------------------------------------------------------------------------
+
+def q21_rollup_metrics(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("sum_total"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "cnt",
+            "sum_total",
+        )
+    )
+
+
+Q21_SQL = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       ROUND(CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0, 2) AS sum_total
+FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Graph edge materialization (north_rule "graph materialize" analog)
+# ---------------------------------------------------------------------------
+
+def q22_graph_edges(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long"))
+                / 10000.0, 2
+            ).alias("weight"),
+        )
+    )
+
+
+Q22_SQL = """
+SELECT c_nationkey AS src, s_nationkey AS dst,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       ROUND(CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS DOUBLE)/10000.0, 2) AS weight
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY c_nationkey, s_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Flagship: windowed co-occurrence triple extraction from documents
+# (KG-construction shape: tokenize → window co-occur → weight → rank)
+# ---------------------------------------------------------------------------
+
+def q23_cooccur_triples(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    ).filter((F.length("word") >= 4) & (~F.col("word").isin(*STOP_SUBSET)))
+    a = words.select(
+        F.col("doc_id").alias("d"), F.col("pos").alias("pa"), F.col("word").alias("subj")
+    )
+    b = words.select(
+        F.col("doc_id").alias("d2"), F.col("pos").alias("pb"), F.col("word").alias("obj")
+    )
+    pairs = a.join(
+        b,
+        (F.col("d") == F.col("d2"))
+        & (F.col("pb") > F.col("pa"))
+        & (F.col("pb") <= F.col("pa") + 3)
+        & (F.col("subj") != F.col("obj")),
+    )
+    counted = pairs.groupBy("subj", "obj").agg(F.count(F.lit(1)).alias("weight"))
+    w = W.partitionBy("subj").orderBy(F.desc("weight"), F.asc("obj"))
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") <= 5) & (F.col("weight") >= 2))
+        .select("subj", "obj", "weight", "rnk")
+    )
+
+
+Q23_SQL = f"""
+WITH words AS (
+  SELECT doc_id,
+         UNNEST(STRING_SPLIT(text, ' ')) AS word,
+         UNNEST(RANGE(0, LEN(STRING_SPLIT(text, ' ')))) AS pos
+  FROM documents),
+fw AS (
+  SELECT * FROM words WHERE LENGTH(word) >= 4 AND word NOT IN {_STOP_SQL}),
+pairs AS (
+  SELECT a.word AS subj, b.word AS obj
+  FROM fw a JOIN fw b
+    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 3
+   AND a.word != b.word),
+counted AS (
+  SELECT subj, obj, CAST(COUNT(*) AS BIGINT) AS weight
+  FROM pairs GROUP BY subj, obj)
+SELECT subj, obj, weight, CAST(rnk AS INT) AS rnk FROM (
+  SELECT subj, obj, weight,
+         ROW_NUMBER() OVER (PARTITION BY subj ORDER BY weight DESC, obj ASC) AS rnk
+  FROM counted) WHERE rnk <= 5 AND weight >= 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Time-bucketed aggregation over events
+# ---------------------------------------------------------------------------
+
+def q24_events_hourly(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    hour = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+    return events.groupBy(hour.alias("hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0, 4).alias("sum_value"),
+    )
+
+
+Q24_SQL = """
+SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       ROUND(CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100.0, 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy matching via edit distance (C8)
+# ---------------------------------------------------------------------------
+
+def q25_levenshtein_pairs(spark, sf_dir):
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    a = part.select(
+        F.col("p_partkey").alias("ka"), F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("na"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("kb"), F.col("p_brand").alias("brand_b"),
+        F.col("p_name").alias("nb"),
+    )
+    pairs = a.join(
+        b, (F.col("brand") == F.col("brand_b")) & (F.col("ka") < F.col("kb"))
+    ).withColumn("lev", F.levenshtein("na", "nb"))
+    return (
+        pairs.filter(F.col("lev") <= 15)
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("n_close_pairs"), F.min("lev").alias("min_lev"))
+    )
+
+
+Q25_SQL = """
+SELECT a.p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n_close_pairs,
+       CAST(MIN(LEVENSHTEIN(a.p_name, b.p_name)) AS INT) AS min_lev
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE a.p_partkey < 300 AND b.p_partkey < 300
+  AND LEVENSHTEIN(a.p_name, b.p_name) <= 15
+GROUP BY a.p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# Regexp predicate filter (F1 shape)
+# ---------------------------------------------------------------------------
+
+def q26_regexp_filter(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("text").rlike("window [a-z]+ (join|scan)"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_matching"))
+    )
+
+
+Q26_SQL = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_matching
+FROM documents WHERE REGEXP_MATCHES(text, 'window [a-z]+ (join|scan)')
+GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Prompt-style normalization projection (F2)
+# ---------------------------------------------------------------------------
+
+def q27_prompt_style(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    head = F.trim(F.substring("text", 1, 30))
+    fixed = F.concat(
+        F.upper(F.substring(head, 1, 1)), F.substring(head, 2, 29), F.lit(" .")
+    )
+    return docs.select("doc_id", fixed.alias("fixed"))
+
+
+Q27_SQL = """
+SELECT doc_id,
+       UPPER(SUBSTR(TRIM(SUBSTR(text,1,30)), 1, 1))
+       || SUBSTR(TRIM(SUBSTR(text,1,30)), 2, 29) || ' .' AS fixed
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_revenue_by_nation": q02_revenue_by_nation,
+    "q03_top_orders_per_priority": q03_top_orders_per_priority,
+    "q04_global_top200": q04_global_top200,
+    "q05_softmax_weights": q05_softmax_weights,
+    "q06_neg_selfjoin": q06_neg_selfjoin,
+    "q07_anti_join": q07_anti_join,
+    "q08_semi_join": q08_semi_join,
+    "q09_union_distinct": q09_union_distinct,
+    "q10_cross_join_dims": q10_cross_join_dims,
+    "q11_casing_variants": q11_casing_variants,
+    "q12_word_stopfilter": q12_word_stopfilter,
+    "q13_word_repeat_cap": q13_word_repeat_cap,
+    "q14_ngram_jaccard_pairs": q14_ngram_jaccard_pairs,
+    "q15_cosine_topk": q15_cosine_topk,
+    "q16_fingerprint": q16_fingerprint,
+    "q17_lang_id": q17_lang_id,
+    "q18_quality_score": q18_quality_score,
+    "q19_token_count": q19_token_count,
+    "q20_dedup_exact": q20_dedup_exact,
+    "q21_rollup_metrics": q21_rollup_metrics,
+    "q22_graph_edges": q22_graph_edges,
+    "q23_cooccur_triples": q23_cooccur_triples,
+    "q24_events_hourly": q24_events_hourly,
+    "q25_levenshtein_pairs": q25_levenshtein_pairs,
+    "q26_regexp_filter": q26_regexp_filter,
+    "q27_prompt_style": q27_prompt_style,
+}
+
+ORACLES = {
+    "q01_pricing_summary": Q01_SQL,
+    "q02_revenue_by_nation": Q02_SQL,
+    "q03_top_orders_per_priority": Q03_SQL,
+    "q04_global_top200": Q04_SQL,
+    "q05_softmax_weights": Q05_SQL,
+    "q06_neg_selfjoin": Q06_SQL,
+    "q07_anti_join": Q07_SQL,
+    "q08_semi_join": Q08_SQL,
+    "q09_union_distinct": Q09_SQL,
+    "q10_cross_join_dims": Q10_SQL,
+    "q11_casing_variants": Q11_SQL,
+    "q12_word_stopfilter": Q12_SQL,
+    "q13_word_repeat_cap": Q13_SQL,
+    "q14_ngram_jaccard_pairs": Q14_SQL,
+    "q15_cosine_topk": Q15_SQL,
+    "q16_fingerprint": Q16_SQL,
+    "q17_lang_id": Q17_SQL,
+    "q18_quality_score": Q18_SQL,
+    "q19_token_count": Q19_SQL,
+    "q20_dedup_exact": Q20_SQL,
+    "q21_rollup_metrics": Q21_SQL,
+    "q22_graph_edges": Q22_SQL,
+    "q23_cooccur_triples": Q23_SQL,
+    "q24_events_hourly": Q24_SQL,
+    "q25_levenshtein_pairs": Q25_SQL,
+    "q26_regexp_filter": Q26_SQL,
+    "q27_prompt_style": Q27_SQL,
+}
