@@ -1,0 +1,29 @@
+"""Harvest configuration.
+
+Field names/defaults mirror the reference CLI (reference ``main.py:8-15``)
+plus the Spark-side knobs the reference doesn't need (beam width,
+partition counts). ``token_beam_width`` bounds per-node expansion — the
+reference instead explores sorted logits until a heap threshold
+(``models/entity_tuple_searcher.py:200-209``); widen-then-rerank
+recovers the same top-k (SURVEY.md §7 hard parts).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class HarvestConfig:
+    max_n_ent_tuples: int = 1000      # main.py:10
+    max_n_prompts: int = 20           # main.py:11
+    prompt_temp: float = 2.0          # main.py:12
+    max_word_repeat: int = 5          # main.py:13
+    max_ent_subwords: int = 2         # main.py:14
+    use_init_prompts: bool = False    # main.py:15
+    weight_clip: float = 0.05         # knowledge_harvester.py:77
+    weight_floor: float = 1e-4        # knowledge_harvester.py:82-83
+    token_beam_width: int = 48        # spark relaxation of heap-threshold pruning
+    seed: int = 42
+    lm: str = "stub"                  # "stub" | HF model name on real clusters
+    shuffle_partitions: int = 32

@@ -58,6 +58,18 @@ class MaskedLM(ABC):
           ``i..end`` and is labeled with the gold token at position ``i``.
         """
 
+    @abstractmethod
+    def partial_slot_text(self, token_ids: Sequence[int], n_remaining: int) -> str:
+        """Text for a slot that is partially decoded: chosen tokens
+        (lowercased) followed by ``n_remaining`` mask tokens — the
+        beam-expansion prompt shape (reference
+        ``models/entity_tuple_searcher.py:176-181``)."""
+
+    @abstractmethod
+    def masked_run(self, n: int) -> str:
+        """A run of ``n`` mask tokens as slot text (word-level backends
+        need separators; subword backends concatenate)."""
+
     # -- derived helpers shared by backends ------------------------------
 
     def allowed_token_mask(self) -> np.ndarray:

@@ -68,6 +68,13 @@ class HFMaskedLM(MaskedLM):  # pragma: no cover - needs torch
     def token_text(self, token_id: int) -> str:
         return self._tok.decode(int(token_id))
 
+    def partial_slot_text(self, token_ids, n_remaining: int) -> str:
+        # reference models/entity_tuple_searcher.py:176-181
+        return self._tok.decode(list(token_ids)).lower() + self._tok.mask_token * n_remaining
+
+    def masked_run(self, n: int) -> str:
+        return self._tok.mask_token * n
+
     def mask_logits(self, input_text: str) -> np.ndarray:
         with torch.no_grad():
             inputs = self._tok(input_text, return_tensors="pt").to(self._device)

@@ -57,6 +57,15 @@ def _words(text: str) -> list[str]:
     return text.split()
 
 
+_PUNCT_STRIP = ",.;:!?\"'()"
+
+
+def _norm_word(w: str) -> str:
+    """Canonical word form for vocab lookup: strip adjacent punctuation
+    (prompts attach commas/periods to slot words), lowercase."""
+    return w.strip(_PUNCT_STRIP).lower()
+
+
 class StubMLM(MaskedLM):
     def __init__(self, relations: list[dict], seed: int = 42,
                  alpha: float = 8.0, eps: float = 0.05):
@@ -78,7 +87,7 @@ class StubMLM(MaskedLM):
                     if get_n_ents(p) != len(ents):
                         continue
                     sent = get_sent(p, ents).lower()
-                    ws = _words(sent)
+                    ws = [w for w in map(_norm_word, _words(sent)) if w]
                     sentences.append(ws)
                     vocab_words.update(ws)
 
@@ -115,13 +124,20 @@ class StubMLM(MaskedLM):
         return self._banned
 
     def encode_word(self, w: str) -> int:
-        return self._stoi.get(w.lower(), self._stoi[UNK])
+        return self._stoi.get(_norm_word(w), self._stoi[UNK])
 
     def decode(self, token_ids: Sequence[int]) -> str:
         return " ".join(self._itos[int(t)] for t in token_ids)
 
     def token_text(self, token_id: int) -> str:
         return self._itos[int(token_id)]
+
+    def partial_slot_text(self, token_ids: Sequence[int], n_remaining: int) -> str:
+        parts = [self._itos[int(t)].lower() for t in token_ids] + [MASK] * n_remaining
+        return " ".join(parts)
+
+    def masked_run(self, n: int) -> str:
+        return " ".join([MASK] * n)
 
     # ------------------------------------------------------------------
     def _context_logits(self, visible_word_ids: list[int], ctx_key: str) -> np.ndarray:
@@ -135,11 +151,12 @@ class StubMLM(MaskedLM):
         return self._alpha * aff + self._eps * rng.standard_normal(V)
 
     def mask_logits(self, input_text: str) -> np.ndarray:
-        """[n_masks, V] — one row per mask token in the text."""
+        """[n_masks, V] — one row per mask word in the text (a mask may
+        carry adjacent punctuation, e.g. '<mask>,')."""
         ws = _words(input_text)
-        mask_pos = [i for i, w in enumerate(ws) if w == MASK]
-        visible = [self.encode_word(w) for i, w in enumerate(ws) if w != MASK
-                   and w.lower() in self._stoi]
+        mask_pos = [i for i, w in enumerate(ws) if MASK in w]
+        visible = [self._stoi[_norm_word(w)] for i, w in enumerate(ws)
+                   if MASK not in w and _norm_word(w) in self._stoi]
         out = np.empty((len(mask_pos), self.vocab_size))
         for r, p in enumerate(mask_pos):
             out[r] = self._context_logits(visible, f"{input_text.lower()}|{p}")
@@ -174,8 +191,8 @@ class StubMLM(MaskedLM):
             for p in mask_positions[i:]:
                 masked[p] = MASK
             text = " ".join(masked)
-            visible = [self.encode_word(w) for w in masked
-                       if w != MASK and w in self._stoi]
+            visible = [self._stoi[_norm_word(w)] for w in masked
+                       if MASK not in w and _norm_word(w) in self._stoi]
             logits = self._context_logits(visible, f"{text}|{pos}")
             lse = logits - (np.max(logits) + np.log(np.exp(logits - np.max(logits)).sum()))
             logprobs.append(float(lse[self.encode_word(ws[pos])]))

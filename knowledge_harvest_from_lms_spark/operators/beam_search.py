@@ -1,0 +1,308 @@
+"""Entity-tuple beam search as iterative DataFrame joins — the
+centerpiece operator (north_star: "candidate entity-pair beam search
+re-expressed as iterative DataFrame joins with broadcast of the
+prompt/paraphrase table").
+
+Re-expresses the reference's recursive DFS
+(reference ``models/entity_tuple_searcher.py:13-228``) as a bounded
+driver loop over a *frontier* DataFrame:
+
+  frontier row = (rel, t, n_masks, ent_idx, ents, ent_logprobs,
+                  token_ids, token_logprobs)
+
+Each iteration appends ONE token to every live row via an
+Arrow-batched ``mapInPandas`` expansion (P2: weighted-average mask
+logits over the broadcast prompt ensemble → ban mask → log-softmax →
+top-B tokens, reference ``entity_tuple_searcher.py:169-228``), then
+prunes JVM-side with window ranks:
+
+  * completed entities: decode + filters F4–F8, dedup per parent,
+    W3 cap (n for the first entity, max_word_repeat deeper —
+    ``entity_tuple_searcher.py:79-87``);
+  * in-progress token paths: top ``token_beam_width`` per parent node.
+
+The loop runs ≤ Σ n_masks ≤ n_ents·max_ent_subwords iterations
+(≤6 with reference defaults) — the reference's recursion depth bound
+(SURVEY.md §3.1). The reference's sequential heap-threshold pruning
+(``entity_tuple_searcher.py:200-209``) is replaced by deterministic
+per-level top-B + final exact re-ranking (SURVEY.md §7): safe because
+a tuple's score is the *min* of its entity logprobs, monotone
+non-increasing as the tuple extends.
+
+Scale notes: the frontier is repartitioned by (rel, t) hash each
+iteration and localCheckpoint()ed to cut lineage; prompts/relation
+metadata ride inside the UDF closure (broadcast, tiny); all heavy
+pruning is WindowExec over the shuffle keys, no driver collect of
+candidate rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+from pyspark.sql import types as T
+
+from ..config import HarvestConfig
+from ..functions.textops import get_n_masks
+from .scoring_udf import SEP
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("rel", T.StringType(), False),
+        T.StructField("t", T.IntegerType(), False),
+        T.StructField("n_masks", T.ArrayType(T.IntegerType()), False),
+        T.StructField("ent_idx", T.IntegerType(), False),
+        T.StructField("ents", T.ArrayType(T.StringType()), False),
+        T.StructField("ent_logprobs", T.ArrayType(T.DoubleType()), False),
+        T.StructField("token_ids", T.ArrayType(T.IntegerType()), False),
+        T.StructField("token_logprobs", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+
+def build_rel_info(prompt_weights: DataFrame, relations: DataFrame) -> dict:
+    """Driver-side collect of the tiny prompt ensemble: {rel:
+    {"prompts": [(prompt, weight)...], "n_ents": int}} — broadcast to
+    executors inside the expansion-UDF closure (J3)."""
+    arity = {r["rel"]: r["n_ents"] for r in relations.select("rel", "n_ents").collect()}
+    info: dict = {}
+    for row in prompt_weights.orderBy("rel", F.desc("weight"), "prompt").collect():
+        info.setdefault(row["rel"], {"prompts": [], "n_ents": arity[row["rel"]]})
+        info[row["rel"]]["prompts"].append((row["prompt"], float(row["weight"])))
+    return info
+
+
+def init_frontier(spark: SparkSession, rel_info: dict, cfg: HarvestConfig) -> DataFrame:
+    """One row per (rel, subword-config t) — reference
+    ``entity_tuple_searcher.py:19-23``."""
+    rows = []
+    for rel, meta in sorted(rel_info.items()):
+        n_ents = meta["n_ents"]
+        for t in range(cfg.max_ent_subwords**n_ents):
+            n_masks = get_n_masks(t=t, n_ents=n_ents, max_ent_subwords=cfg.max_ent_subwords)
+            rows.append((rel, t, n_masks, 0, [], [], [], []))
+    return spark.createDataFrame(rows, FRONTIER_SCHEMA)
+
+
+def make_expand_fn(lm_name: str, seed: int, rel_info: dict, width: int):
+    def fn(batches):
+        import numpy as np
+
+        from ..functions.textops import (
+            entity_conflicts_with_tuple,
+            entity_in_any_prompt,
+            entity_passes_filters,
+            get_mask_place,
+        )
+        from ..lm import resolve_lm
+
+        lm = resolve_lm(lm_name, seed)
+        allowed = lm.allowed_token_mask()
+        allowed[lm.banned_ids] = False  # F9 ∧ ¬F10 precomputed once
+        neg_inf = -float("inf")
+
+        for pdf in batches:
+            out = {c: [] for c in pdf.columns}
+
+            def emit(rel, t, n_masks, ent_idx, ents, elps, tids, tlps):
+                out["rel"].append(rel)
+                out["t"].append(t)
+                out["n_masks"].append(n_masks)
+                out["ent_idx"].append(ent_idx)
+                out["ents"].append(ents)
+                out["ent_logprobs"].append(elps)
+                out["token_ids"].append(tids)
+                out["token_logprobs"].append(tlps)
+
+            for row in pdf.itertuples(index=False):
+                meta = rel_info[row.rel]
+                n_masks = list(row.n_masks)
+                ent_idx = int(row.ent_idx)
+                ents = list(row.ents)
+                k = n_masks[ent_idx]
+                tids = list(row.token_ids)
+                tlps = list(row.token_logprobs)
+
+                # level prompts: slots < ent_idx filled (J3,
+                # entity_tuple_searcher.py:103-106)
+                level_prompts = []
+                for p, w in meta["prompts"]:
+                    for j, e in enumerate(ents):
+                        p = p.replace(f"<ENT{j}>", e)
+                    level_prompts.append((p, w))
+
+                slot_text = lm.partial_slot_text(tids, k - len(tids))
+                total = None
+                wsum = 0.0
+                for lp, w in level_prompts:
+                    filled = lp.replace(f"<ENT{ent_idx}>", slot_text)
+                    for j in range(len(n_masks)):
+                        if j != ent_idx:
+                            filled = filled.replace(
+                                f"<ENT{j}>", lm.masked_run(n_masks[j])
+                            )
+                    mask_idx = get_mask_place(ent_idx, n_masks, lp)
+                    logits = lm.mask_logits(filled)[mask_idx]
+                    total = logits * w if total is None else total + logits * w
+                    wsum += w
+                total = total / wsum
+                total[~allowed] = neg_inf
+                # log-softmax (ban BEFORE normalize, lm_wrapper order)
+                m = total.max()
+                logprobs = total - (m + np.log(np.exp(total - m).sum()))
+
+                # top-B allowed tokens, deterministic tiebreak by id
+                cand_ids = np.nonzero(allowed)[0]
+                cand_lps = logprobs[cand_ids]
+                order = np.lexsort((cand_ids, -cand_lps))[:width]
+                for idx in order:
+                    tid = int(cand_ids[idx])
+                    lpv = float(cand_lps[idx])
+                    ntids = tids + [tid]
+                    ntlps = tlps + [lpv]
+                    if len(ntids) < k:
+                        emit(row.rel, row.t, n_masks, ent_idx, ents,
+                             list(row.ent_logprobs), ntids, ntlps)
+                        continue
+                    # entity completed → decode + F4-F8
+                    pred = lm.decode(ntids).strip().lower()
+                    if not entity_passes_filters(pred):
+                        continue
+                    if entity_conflicts_with_tuple(pred, ents):
+                        continue
+                    if entity_in_any_prompt(pred, [p for p, _ in level_prompts]):
+                        continue
+                    emit(row.rel, row.t, n_masks, ent_idx + 1, ents + [pred],
+                         list(row.ent_logprobs) + [min(ntlps)], [], [])
+            import pandas as pd
+
+            yield pd.DataFrame(out, columns=list(pdf.columns))
+
+    return fn
+
+
+def _prune_completed(df: DataFrame, cfg: HarvestConfig) -> DataFrame:
+    """Dedup same entity per parent (keep best logprob), then W3 cap:
+    top-n for the first entity, top-max_word_repeat deeper."""
+    parent = F.concat_ws(
+        SEP,
+        F.col("rel"),
+        F.col("t").cast("string"),
+        F.concat_ws(SEP, F.slice("ents", 1, F.size("ents") - 1)),
+    )
+    pred = F.element_at("ents", -1)
+    lp = F.element_at("ent_logprobs", -1)
+    df = df.withColumn("_parent", parent).withColumn("_pred", pred).withColumn("_lp", lp)
+    dd = W.partitionBy("_parent", "_pred").orderBy(F.desc("_lp"))
+    df = df.withColumn("_dd", F.row_number().over(dd)).filter(F.col("_dd") == 1)
+    cap = F.when(F.col("ent_idx") == 1, F.lit(cfg.max_n_ent_tuples)).otherwise(
+        F.lit(cfg.max_word_repeat)
+    )
+    w3 = W.partitionBy("_parent").orderBy(F.desc("_lp"), F.asc("_pred"))
+    df = df.withColumn("_rn", F.row_number().over(w3)).filter(F.col("_rn") <= cap)
+    return df.drop("_parent", "_pred", "_lp", "_dd", "_rn")
+
+
+def _prune_inprogress(df: DataFrame, cfg: HarvestConfig) -> DataFrame:
+    parent = F.concat_ws(
+        SEP, F.col("rel"), F.col("t").cast("string"),
+        F.col("ent_idx").cast("string"), F.concat_ws(SEP, "ents"),
+    )
+    score = F.array_min("token_logprobs")
+    path = F.concat_ws(",", F.transform("token_ids", lambda x: x.cast("string")))
+    w = W.partitionBy(parent).orderBy(F.desc(score), F.asc(path))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cfg.token_beam_width)
+        .drop("_rn")
+    )
+
+
+def search_ent_tuples(
+    spark: SparkSession,
+    prompt_weights: DataFrame,
+    relations: DataFrame,
+    cfg: HarvestConfig,
+) -> DataFrame:
+    """→ candidate tuples (rel, ents, min_logprob), before the
+    word-repeat cap / top-n (finalize_candidates)."""
+    rel_info = build_rel_info(prompt_weights, relations)
+    if not rel_info:
+        return spark.createDataFrame([], "rel string, ents array<string>, min_logprob double")
+    expand = make_expand_fn(cfg.lm, cfg.seed, rel_info, cfg.token_beam_width)
+
+    frontier = init_frontier(spark, rel_info, cfg)
+    done: list[DataFrame] = []
+    max_iters = max(
+        sum(get_n_masks(t, m["n_ents"], cfg.max_ent_subwords))
+        for m in rel_info.values()
+        for t in range(cfg.max_ent_subwords ** m["n_ents"])
+    )
+
+    for _ in range(max_iters):
+        if not frontier.take(1):
+            break
+        children = frontier.repartition(cfg.shuffle_partitions, "rel", "t", "ents").mapInPandas(
+            expand, schema=FRONTIER_SCHEMA
+        )
+        completed = _prune_completed(
+            children.filter(F.size("token_ids") == 0), cfg
+        )
+        inprog = _prune_inprogress(children.filter(F.size("token_ids") > 0), cfg)
+
+        n_ents_col = F.size("n_masks")
+        finished = completed.filter(F.col("ent_idx") == n_ents_col)
+        live = completed.filter(F.col("ent_idx") < n_ents_col)
+        done.append(
+            finished.select(
+                "rel", "ents", F.array_min("ent_logprobs").alias("min_logprob")
+            ).localCheckpoint(eager=True)
+        )
+        frontier = live.unionByName(inprog).localCheckpoint(eager=True)
+
+    out = done[0]
+    for d in done[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def finalize_candidates(candidates: DataFrame, cfg: HarvestConfig) -> DataFrame:
+    """O1 dedup + A6 word-repeat cap + W2 top-n per relation.
+
+    The reference applies the cap greedily in heap-discovery order
+    (``entity_tuple_searcher.py:57-71``); the engine's deterministic
+    relaxation ranks tuples per relation by (min_logprob desc, ents)
+    and keeps a tuple iff every one of its word occurrences is within
+    the first ``max_word_repeat`` for that word (SURVEY.md §2.4 A6).
+    """
+    ek = F.concat_ws(SEP, "ents")
+    cand = (
+        candidates.withColumn("_ek", ek)
+        .groupBy("rel", "_ek")
+        .agg(F.first("ents").alias("ents"), F.max("min_logprob").alias("min_logprob"))
+    )
+    wt = W.partitionBy("rel").orderBy(F.desc("min_logprob"), F.asc("_ek"))
+    cand = cand.withColumn("tuple_rank", F.row_number().over(wt))
+
+    words = cand.select(
+        "rel", "_ek", "tuple_rank",
+        F.posexplode(F.flatten(F.transform("ents", lambda e: F.split(e, " ")))).alias(
+            "wpos", "word"
+        ),
+    )
+    ww = W.partitionBy("rel", "word").orderBy(F.asc("tuple_rank"), F.asc("wpos"))
+    occ = words.withColumn("word_occ", F.row_number().over(ww))
+    bad = (
+        occ.groupBy("rel", "_ek")
+        .agg(F.max("word_occ").alias("max_occ"))
+        .filter(F.col("max_occ") > cfg.max_word_repeat)
+        .select("rel", "_ek")
+    )
+    kept = cand.join(bad, ["rel", "_ek"], "left_anti")
+    w2 = W.partitionBy("rel").orderBy(F.asc("tuple_rank"))
+    return (
+        kept.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= cfg.max_n_ent_tuples)
+        .select("rel", "ents", "min_logprob")
+    )

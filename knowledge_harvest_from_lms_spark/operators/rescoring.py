@@ -1,0 +1,96 @@
+"""Tuple re-scoring + ranking (reference ``knowledge_harvester.py:86-117``).
+
+U3  casing variants (2^n per tuple, binary-code order)
+J4  tuple × prompt ensemble (broadcast prompt table)
+P1  PLL scoring of every (variant, prompt) pair in one mapInPandas
+A8  ensemble score = Σ weight·score per variant
+    argmax variant per tuple (first-best tie-break = variant_id asc,
+    matching the reference's strict ``>`` comparison)
+W5  rank per relation (score desc, deterministic tie-break)
+A5  softmax over tuple scores per relation → weight
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..config import HarvestConfig
+from .scoring_udf import SEP
+
+
+def make_variant_score_fn(lm_name: str, seed: int):
+    def fn(batches):
+        import pandas as pd
+
+        from ..functions.scoring import combine_mask_logprobs
+        from ..functions.textops import casing_variants
+        from ..lm import resolve_lm
+
+        lm = resolve_lm(lm_name, seed)
+        for pdf in batches:
+            out = {
+                "rel": [], "ek": [], "variant_id": [], "ents_var": [],
+                "prompt": [], "weight": [], "score": [],
+            }
+            for row in pdf.itertuples(index=False):
+                ents = list(row.ents)
+                for vid, var in enumerate(casing_variants(ents)):
+                    lps = lm.pll_mask_logprobs(row.prompt, var)
+                    out["rel"].append(row.rel)
+                    out["ek"].append(row.ek)
+                    out["variant_id"].append(vid)
+                    out["ents_var"].append(var)
+                    out["prompt"].append(row.prompt)
+                    out["weight"].append(row.weight)
+                    out["score"].append(
+                        combine_mask_logprobs(lps, n_ents=len(var))
+                    )
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+VARIANT_SCHEMA = (
+    "rel string, ek string, variant_id int, ents_var array<string>, "
+    "prompt string, weight double, score double"
+)
+
+
+def rescore_and_rank(
+    candidates: DataFrame, prompt_weights: DataFrame, cfg: HarvestConfig
+) -> DataFrame:
+    """→ ranked triples (rel, ents, score, weight, rank)."""
+    pairs = (
+        candidates.withColumn("ek", F.concat_ws(SEP, "ents"))
+        .select("rel", "ek", "ents")
+        .join(F.broadcast(prompt_weights), "rel")
+    )
+    scored = pairs.repartition(cfg.shuffle_partitions, "rel", "ek").mapInPandas(
+        make_variant_score_fn(cfg.lm, cfg.seed), schema=VARIANT_SCHEMA
+    )
+
+    ens = scored.groupBy("rel", "ek", "variant_id").agg(
+        F.first("ents_var").alias("ents_var"),
+        F.sum(F.col("weight") * F.col("score")).alias("ens_score"),
+    )
+    best = W.partitionBy("rel", "ek").orderBy(
+        F.desc("ens_score"), F.asc("variant_id")
+    )
+    top = ens.withColumn("_rn", F.row_number().over(best)).filter(F.col("_rn") == 1)
+
+    rankw = W.partitionBy("rel").orderBy(F.desc("ens_score"), F.asc("ek"))
+    part = W.partitionBy("rel")
+    e = F.exp(F.col("ens_score") - F.max("ens_score").over(part))
+    return (
+        top.withColumn("rank", F.row_number().over(rankw))
+        .withColumn("weight", e / F.sum(e).over(part))
+        .select(
+            "rel",
+            F.col("ents_var").alias("ents"),
+            F.col("ens_score").alias("score"),
+            "weight",
+            "rank",
+        )
+    )

@@ -1,0 +1,73 @@
+"""P1 — pseudo-log-likelihood scoring as an Arrow-batched mapInPandas
+UDF (SURVEY.md §2.10).
+
+Packages the reference's per-(prompt, tuple) scoring
+(reference ``models/knowledge_harvester.py:119-134`` +
+``models/language_model_wrapper.py:37-117``) behind a per-executor LM
+singleton. The UDF is the ONLY Python crossing in the scoring path;
+everything around it (joins that build pairs, the means/softmax after)
+stays JVM-side.
+
+Dedup-before-expensive-UDF is a standing pattern (SURVEY.md §4): use
+``score_distinct_pairs`` to score each distinct (rel, prompt, ents)
+once, then join scores back to the (possibly duplicated) pair table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SEP = "\x1f"
+
+
+def ents_key_col(col="ents"):
+    return F.concat_ws(SEP, col)
+
+
+def make_pll_score_fn(lm_name: str, seed: int):
+    """Returns an iterator-of-pandas fn adding a ``score`` column to
+    batches with columns (prompt, ents, ...)."""
+
+    def fn(batches):
+        from ..functions.scoring import combine_mask_logprobs
+        from ..lm import resolve_lm
+
+        lm = resolve_lm(lm_name, seed)
+        for pdf in batches:
+            scores = []
+            for prompt, ents in zip(pdf["prompt"], pdf["ents"]):
+                ents = list(ents)
+                lps = lm.pll_mask_logprobs(prompt, ents)
+                scores.append(combine_mask_logprobs(lps, n_ents=len(ents)))
+            pdf = pdf.assign(score=scores)
+            yield pdf
+
+    return fn
+
+
+def score_pairs(pairs: DataFrame, lm_name: str = "stub", seed: int = 42) -> DataFrame:
+    """Adds ``score double`` to a DataFrame with (prompt, ents) cols."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(pairs.schema.fields) + [T.StructField("score", T.DoubleType())]
+    )
+    return pairs.mapInPandas(make_pll_score_fn(lm_name, seed), schema=out_schema)
+
+
+def score_distinct_pairs(
+    pairs: DataFrame, lm_name: str = "stub", seed: int = 42
+) -> DataFrame:
+    """Scores each distinct (rel, prompt, ents) once and joins the
+    score back — duplicate pairs keep their multiplicity for the
+    downstream means (reference averages include duplicates,
+    ``models/knowledge_harvester.py:45-67``)."""
+    keyed = pairs.withColumn("_ek", ents_key_col())
+    distinct = keyed.select("rel", "prompt", "_ek", "ents").dropDuplicates(
+        ["rel", "prompt", "_ek"]
+    )
+    scored = score_pairs(distinct, lm_name, seed).select(
+        "rel", "prompt", "_ek", "score"
+    )
+    return keyed.join(scored, ["rel", "prompt", "_ek"]).drop("_ek")

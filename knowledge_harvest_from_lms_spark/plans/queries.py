@@ -834,6 +834,47 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# BertNet harvest pipeline entries — genuinely non-SQL-expressible
+# (iterative beam search + MLM scoring); driver applies rows-only checks.
+# ---------------------------------------------------------------------------
+
+def q90_bertnet_prompt_weights(spark, sf_dir):
+    """Prompt-compatibility weighting over the fixture relations with
+    the deterministic stub MLM (J1/J2/P1/A1-A4/W1)."""
+    from ..config import HarvestConfig
+    from ..operators.prompt_weights import compute_prompt_weights
+    from ..sources.relations import fixture_relations
+
+    cfg = HarvestConfig(shuffle_partitions=16)
+    rels = fixture_relations(spark).filter(F.col("rel") == "AtLocation")
+    return compute_prompt_weights(rels, cfg).select(
+        "rel", "prompt", F.round("weight", 6).alias("weight")
+    )
+
+
+def q91_bertnet_triples(spark, sf_dir):
+    """End-to-end harvest (beam search as iterative DataFrame joins +
+    ensemble re-scoring) on one fixture relation, stub MLM."""
+    from ..config import HarvestConfig
+    from ..plans.harvest import harvest
+    from ..sources.relations import fixture_relations
+
+    cfg = HarvestConfig(
+        max_n_ent_tuples=10, token_beam_width=6, max_ent_subwords=1,
+        shuffle_partitions=16,
+    )
+    rels = fixture_relations(spark).filter(F.col("rel") == "AtLocation")
+    out = harvest(spark, rels, cfg)
+    return out["triples"].select(
+        "rel",
+        F.concat_ws(" ", "ents").alias("ents"),
+        F.round("score", 6).alias("score"),
+        F.round("weight", 6).alias("weight"),
+        "rank",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -865,6 +906,8 @@ QUERIES = {
     "q25_levenshtein_pairs": q25_levenshtein_pairs,
     "q26_regexp_filter": q26_regexp_filter,
     "q27_prompt_style": q27_prompt_style,
+    "q90_bertnet_prompt_weights": q90_bertnet_prompt_weights,
+    "q91_bertnet_triples": q91_bertnet_triples,
 }
 
 ORACLES = {
