@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract, TESTDATA.md).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] plus a fixed-size
+BertNet harvest (stub MLM), and prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>,
+   "harvest_triples_per_sec": <float>, "cpus": N}
+
+Use bench_scaling.py for the N-vs-4N-parallelism scaling evidence
+(BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q12_word_stopfilter",
+    "q14_ngram_jaccard_pairs",
+    "q15_cosine_topk",
+    "q22_graph_edges",
+    "q23_cooccur_triples",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+
+    from knowledge_harvest_from_lms_spark.config import HarvestConfig
+    from knowledge_harvest_from_lms_spark.plans.harvest import harvest
+    from knowledge_harvest_from_lms_spark.plans.queries import QUERIES
+    from knowledge_harvest_from_lms_spark.session import get_session
+    from knowledge_harvest_from_lms_spark.sources.relations import fixture_relations
+
+    spark = get_session(cpus=cpus, shuffle_partitions=cpus, app_name="kg-spark-bench")
+
+    # warm the JVM/Arrow paths once so per-query numbers measure the
+    # queries, not session spin-up
+    QUERIES["q01_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    # fixed-size harvest benchmark (independent of sf): 2 binary
+    # relations, 2-subword beam. One small warm-up harvest first so the
+    # timed number reflects steady state (python worker pool + codegen
+    # warm), not one-time JVM spin-up.
+    cfg = HarvestConfig(
+        max_n_ent_tuples=50, token_beam_width=12, max_ent_subwords=2,
+        shuffle_partitions=cpus,
+    )
+    rels = fixture_relations(spark).filter("rel in ('AtLocation','CapableOf')")
+    warm_cfg = HarvestConfig(
+        max_n_ent_tuples=5, token_beam_width=4, max_ent_subwords=1,
+        shuffle_partitions=cpus,
+    )
+    harvest(spark, rels.limit(1), warm_cfg)["triples"].count()
+    t0 = time.time()
+    n_triples = harvest(spark, rels, cfg)["triples"].count()
+    harvest_sec = time.time() - t0
+    timings["harvest_pipeline"] = round(harvest_sec, 3)
+
+    out = {
+        "metric": "headline query suite + stub-LM harvest, local mode",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "harvest_triples": int(n_triples),
+        "harvest_triples_per_sec": round(n_triples / harvest_sec, 3),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

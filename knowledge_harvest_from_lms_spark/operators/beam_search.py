@@ -241,10 +241,15 @@ def search_ent_tuples(
     )
 
     for _ in range(max_iters):
-        if not frontier.take(1):
-            break
-        children = frontier.repartition(cfg.shuffle_partitions, "rel", "t", "ents").mapInPandas(
-            expand, schema=FRONTIER_SCHEMA
+        # One expansion materialization per iteration: the LM-heavy
+        # mapInPandas output is checkpointed once; the window prunes
+        # and the finished/live split all read from that checkpoint.
+        # cols-only repartition → AQE coalesces the tiny shuffles that a
+        # fixed numPartitions would pin at shuffle_partitions tasks
+        children = (
+            frontier.repartition("rel", "t", "ents")
+            .mapInPandas(expand, schema=FRONTIER_SCHEMA)
+            .localCheckpoint(eager=True)
         )
         completed = _prune_completed(
             children.filter(F.size("token_ids") == 0), cfg
@@ -257,8 +262,10 @@ def search_ent_tuples(
         done.append(
             finished.select(
                 "rel", "ents", F.array_min("ent_logprobs").alias("min_logprob")
-            ).localCheckpoint(eager=True)
+            )
         )
+        # frontier checkpoint runs the prunes once; finished chunks stay
+        # lazy over the children checkpoint (re-pruned once at the end)
         frontier = live.unionByName(inprog).localCheckpoint(eager=True)
 
     out = done[0]

@@ -1,0 +1,199 @@
+"""Deduplication family for large-scale training-data pipelines:
+exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup
+(driver brief: first-class components alongside SURVEY.md §2).
+
+All hashing is JVM-side (xxhash64 / sha2) except SimHash's bit
+accumulation, which is a vectorized numpy mapInPandas (64 bit-buckets
+don't express well in SQL). Pair generation is always blocked (LSH
+bands / simhash chunks / plane buckets) — never an unblocked O(n²)
+cross join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .graph import char_shingles, lsh_candidate_pairs, minhash_signature  # reuse
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the min-id row per identical text; dedup key is sha2 of the
+    text so the shuffle carries 64 hex chars, not document bodies."""
+    key = F.sha2(F.col(text_col), 256).alias("_k")
+    keep = df.select(key, F.col(id_col)).groupBy("_k").agg(
+        F.min(id_col).alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup over documents
+# ---------------------------------------------------------------------------
+
+def minhash_near_dup_pairs(
+    docs: DataFrame, text_col: str, id_col: str, sim_threshold: float = 0.8,
+    prefix_chars: int = 512,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) candidate near-duplicates via the same
+    banding machinery as entity canonicalization (operators/graph.py)."""
+    ents = docs.select(
+        F.col(id_col).cast("string").alias("_docid"),
+        F.substring(F.col(text_col), 1, prefix_chars).alias("ent"),
+    )
+    # reuse LSH over text prefixes; map back to ids afterwards
+    sig = ents.withColumn("grams", char_shingles(F.col("ent")))
+    pairs = lsh_candidate_pairs(
+        sig.select("ent"), sim_threshold=sim_threshold
+    )
+    ids = sig.select("_docid", "ent").dropDuplicates(["ent"])
+    return (
+        pairs.join(ids.select(F.col("ent").alias("ent_a"), F.col("_docid").alias("id_a")), "ent_a")
+        .join(ids.select(F.col("ent").alias("ent_b"), F.col("_docid").alias("id_b")), "ent_b")
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            "jaccard",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit) + banded hamming pairs
+# ---------------------------------------------------------------------------
+
+SIMHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("simhash", T.LongType()),
+    ]
+)
+
+
+def simhash_signatures(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash over word unigrams (vectorized numpy)."""
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_ids, out_h = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                words = list(dict.fromkeys((text or "").split()))
+                if not words:
+                    out_ids.append(int(did)); out_h.append(0); continue
+                hs = np.array(
+                    [int.from_bytes(
+                        __import__("hashlib").blake2b(w.encode(), digest_size=8).digest(), "big")
+                     for w in words],
+                    dtype=np.uint64,
+                )
+                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+                v = np.where(bits.sum(axis=0) * 2 >= len(words), 1, 0).astype(np.uint64)
+                h = np.bitwise_or.reduce(v << np.arange(64, dtype=np.uint64))
+                out_ids.append(int(did))
+                out_h.append(int(h) - (1 << 64) if h >= (1 << 63) else int(h))
+            yield pd.DataFrame({"doc_id": out_ids, "simhash": out_h})
+
+    return docs.select(id_col, text_col).mapInPandas(fn, schema=SIMHASH_SCHEMA)
+
+
+def simhash_near_dup_pairs(
+    signatures: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Banded exact-match blocking: split 64 bits into (max_hamming+1)
+    chunks — a pair within the distance bound must agree on >=1 chunk
+    (pigeonhole), so blocking is recall-lossless. True distance
+    verified with bit_count (JVM)."""
+    n_chunks = min(max_hamming + 1, 16)
+    base, extra = divmod(64, n_chunks)
+    chunks, off = [], 0
+    for b in range(n_chunks):
+        width = base + (1 if b < extra else 0)
+        mask = (1 << width) - 1
+        chunks.append(
+            F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(F.lit(mask)).alias(f"c{b}")
+        )
+        off += width
+    sig = signatures.select("doc_id", "simhash", *chunks)
+    pairs = None
+    for b in range(n_chunks):
+        a = sig.select(
+            F.col(f"c{b}").alias("blk"), F.col("doc_id").alias("id_a"),
+            F.col("simhash").alias("ha"),
+        )
+        bb = sig.select(
+            F.col(f"c{b}").alias("blk"), F.col("doc_id").alias("id_b"),
+            F.col("simhash").alias("hb"),
+        )
+        p = a.join(bb, "blk").filter(F.col("id_a") < F.col("id_b")).drop("blk")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return pairs.withColumn("hamming", ham).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup via random-hyperplane LSH buckets
+# ---------------------------------------------------------------------------
+
+def plane_signature(emb_col, planes: np.ndarray):
+    """bucket id = sign bits of dot products with fixed seeded planes,
+    computed with JVM array exprs (no Python)."""
+    bits = []
+    for p in planes:
+        dot = F.aggregate(
+            F.zip_with(
+                emb_col,
+                F.array(*[F.lit(float(x)) for x in p]),
+                lambda a, b: (a * b).cast("double"),
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))
+    out = F.lit(0)
+    for i, b in enumerate(bits):
+        out = out + b * F.lit(1 << i)
+    return out
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding",
+    dim: int = 64, n_planes: int = 12, min_cos: float = 0.95, seed: int = 42,
+) -> DataFrame:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    planes = rng.standard_normal((n_planes, dim))
+    sig = emb.withColumn("bucket", plane_signature(F.col(emb_col), planes))
+    a = sig.select(
+        "bucket", F.col(id_col).alias("id_a"), F.col(emb_col).alias("ea")
+    )
+    b = sig.select(
+        "bucket", F.col(id_col).alias("id_b"), F.col(emb_col).alias("eb")
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: (x * y).cast("double")),
+        F.lit(0.0).cast("double"), lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: (x * x).cast("double")),
+            F.lit(0.0).cast("double"), lambda acc, x: acc + x,
+        )
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", dot / (norm("ea") * norm("eb")))
+        .filter(F.col("cos") >= min_cos)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )

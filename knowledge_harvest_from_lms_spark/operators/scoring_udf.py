@@ -36,7 +36,7 @@ def make_pll_score_fn(lm_name: str, seed: int):
         lm = resolve_lm(lm_name, seed)
         for pdf in batches:
             scores = []
-            for prompt, ents in zip(pdf["prompt"], pdf["ents"]):
+            for prompt, ents in zip(pdf["prompt"].tolist(), pdf["ents"].tolist()):
                 ents = list(ents)
                 lps = lm.pll_mask_logprobs(prompt, ents)
                 scores.append(combine_mask_logprobs(lps, n_ents=len(ents)))
@@ -64,8 +64,12 @@ def score_distinct_pairs(
     downstream means (reference averages include duplicates,
     ``models/knowledge_harvester.py:45-67``)."""
     keyed = pairs.withColumn("_ek", ents_key_col())
-    distinct = keyed.select("rel", "prompt", "_ek", "ents").dropDuplicates(
-        ["rel", "prompt", "_ek"]
+    # cols-only repartition: AQE coalesces when tiny, spreads the
+    # expensive LM scoring across executors when large
+    distinct = (
+        keyed.select("rel", "prompt", "_ek", "ents")
+        .dropDuplicates(["rel", "prompt", "_ek"])
+        .repartition("rel", "prompt", "_ek")
     )
     scored = score_pairs(distinct, lm_name, seed).select(
         "rel", "prompt", "_ek", "score"

@@ -834,6 +834,28 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Salted two-phase aggregation (J7 skew pattern) — must equal the plain
+# group-by, which IS the oracle: proves salting preserves semantics.
+# ---------------------------------------------------------------------------
+
+def q28_salted_word_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word")).filter(
+        F.length("word") >= 4
+    )
+    salted = words.withColumn("salt", F.pmod(F.spark_partition_id(), F.lit(16)))
+    partial = salted.groupBy("word", "salt").agg(F.count(F.lit(1)).alias("c"))
+    return partial.groupBy("word").agg(F.sum("c").alias("cnt"))
+
+
+Q28_SQL = """
+SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+  SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents)
+WHERE LENGTH(word) >= 4 GROUP BY word
+"""
+
+
+# ---------------------------------------------------------------------------
 # BertNet harvest pipeline entries — genuinely non-SQL-expressible
 # (iterative beam search + MLM scoring); driver applies rows-only checks.
 # ---------------------------------------------------------------------------
@@ -849,6 +871,87 @@ def q90_bertnet_prompt_weights(spark, sf_dir):
     rels = fixture_relations(spark).filter(F.col("rel") == "AtLocation")
     return compute_prompt_weights(rels, cfg).select(
         "rel", "prompt", F.round("weight", 6).alias("weight")
+    )
+
+
+def q92_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs over documents (blake2b word hashes —
+    not oracle-expressible; rows-only check)."""
+    from ..operators.dedup import simhash_near_dup_pairs, simhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = simhash_signatures(docs, "text", "doc_id")
+    return simhash_near_dup_pairs(sig, max_hamming=8)
+
+
+def q93_minhash_dedup_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup candidate pairs over documents (xxhash64
+    signatures; rows-only check)."""
+    from ..operators.dedup import minhash_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(docs, "text", "doc_id", sim_threshold=0.5)
+
+
+def q94_embedding_near_dup(spark, sf_dir):
+    """Hyperplane-bucketed embedding near-dup pairs (rows-only)."""
+    from ..operators.dedup import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, min_cos=0.5)
+
+
+def q95_extract_text_manifest(spark, sf_dir):
+    """Byte-identical HTML→text extraction over a deterministic synth
+    web_pages table; returns urls whose extraction violates the
+    invariant (must be 0 rows) plus the count row."""
+    from ..operators.extract_text import extract_text
+    from ..sources.web_pages import synth_web_pages
+
+    pages = synth_web_pages(spark, 500, seed=42, n_partitions=8)
+    ext = extract_text(pages)
+    return ext.filter(F.col("extracted_text") != F.col("text")).select(
+        "url", "text_sha256"
+    )
+
+
+def q96_ann_lsh_topk(spark, sf_dir):
+    """Approximate nearest neighbors via hyperplane LSH (rows-only;
+    the exact baseline q15 is oracle-checked)."""
+    from ..operators.simsearch import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_topk(emb, queries, k=3)
+
+
+def q97_multimodal_features(spark, sf_dir):
+    """Multimodal binary-column plumbing with the stub decoder
+    (rows-only)."""
+    from ..operators.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, 60)
+    feats = extract_features(media, use_stub=True)
+    return feats.select(
+        "media_id", "modality", F.round(F.element_at("features", 1), 6).alias("f0"),
+        "decoder",
+    )
+
+
+def q98_graph_materialize(spark, sf_dir):
+    """Entity canonicalization (MinHash-LSH + label propagation) +
+    salted edge aggregation over the co-occurrence triples (rows-only)."""
+    from ..operators.graph import materialize_graph
+
+    triples = q23_cooccur_triples(spark, sf_dir).select(
+        F.lit("cooccur").alias("rel"),
+        F.array("subj", "obj").alias("ents"),
+        F.col("weight").cast("double").alias("weight"),
+    )
+    g = materialize_graph(triples, sim_threshold=0.7)
+    return g["edges"].select(
+        "src", "rel", "dst", F.round("weight", 2).alias("weight"), "n_mentions",
+        "src_id", "dst_id",
     )
 
 
@@ -906,8 +1009,16 @@ QUERIES = {
     "q25_levenshtein_pairs": q25_levenshtein_pairs,
     "q26_regexp_filter": q26_regexp_filter,
     "q27_prompt_style": q27_prompt_style,
+    "q28_salted_word_count": q28_salted_word_count,
     "q90_bertnet_prompt_weights": q90_bertnet_prompt_weights,
     "q91_bertnet_triples": q91_bertnet_triples,
+    "q92_simhash_pairs": q92_simhash_pairs,
+    "q93_minhash_dedup_pairs": q93_minhash_dedup_pairs,
+    "q94_embedding_near_dup": q94_embedding_near_dup,
+    "q95_extract_text_manifest": q95_extract_text_manifest,
+    "q96_ann_lsh_topk": q96_ann_lsh_topk,
+    "q97_multimodal_features": q97_multimodal_features,
+    "q98_graph_materialize": q98_graph_materialize,
 }
 
 ORACLES = {
@@ -938,4 +1049,5 @@ ORACLES = {
     "q25_levenshtein_pairs": Q25_SQL,
     "q26_regexp_filter": Q26_SQL,
     "q27_prompt_style": Q27_SQL,
+    "q28_salted_word_count": Q28_SQL,
 }

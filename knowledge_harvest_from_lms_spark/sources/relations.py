@@ -40,7 +40,10 @@ def relations_from_records(spark: SparkSession, records: list[dict]) -> DataFram
         )
         for r in records
     ]
-    return spark.createDataFrame(rows, RELATION_SCHEMA)
+    # tiny dim table (tens-to-hundreds of rows): one partition, always
+    # broadcast downstream — avoids fanning every derived branch into
+    # defaultParallelism near-empty partitions
+    return spark.createDataFrame(rows, RELATION_SCHEMA).coalesce(1)
 
 
 def relations_from_json(spark: SparkSession, path: str) -> DataFrame:
