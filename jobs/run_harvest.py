@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Cluster entry point — the `spark-submit --py-files` deployment shape
+the north rule specifies:
+
+  zip -r kg_spark.zip knowledge_harvest_from_lms_spark
+  spark-submit --py-files kg_spark.zip jobs/run_harvest.py \\
+      --relations relation_info/conceptnet.json \\
+      --web-pages kg.web_pages --warehouse s3://bucket/wh \\
+      --checkpoints s3://bucket/ckpt --lm roberta-large
+
+In the sandbox it runs the same pipeline on local synth data:
+
+  python jobs/run_harvest.py --synth-pages 1000
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--relations", default=None, help="relation_info JSON path")
+    p.add_argument("--web-pages", default=None, help="table/path of web pages")
+    p.add_argument("--synth-pages", type=int, default=0)
+    p.add_argument("--warehouse", default="/tmp/kg_warehouse")
+    p.add_argument("--checkpoints", default="/tmp/kg_checkpoints")
+    p.add_argument("--lm", default="stub")
+    p.add_argument("--max-n-ent-tuples", type=int, default=100)
+    p.add_argument("--beam-width", type=int, default=16)
+    p.add_argument("--max-ent-subwords", type=int, default=2)
+    p.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 16)))
+    args = p.parse_args()
+
+    from knowledge_harvest_from_lms_spark.config import HarvestConfig
+    from knowledge_harvest_from_lms_spark.plans.full_pipeline import run_full_pipeline
+    from knowledge_harvest_from_lms_spark.plans.report import render_summary
+    from knowledge_harvest_from_lms_spark.session import get_session
+    from knowledge_harvest_from_lms_spark.sources.catalog import Catalog
+    from knowledge_harvest_from_lms_spark.sources.relations import (
+        fixture_relations,
+        relations_from_json,
+    )
+    from knowledge_harvest_from_lms_spark.sources.web_pages import synth_web_pages
+
+    spark = get_session(cpus=args.cpus, app_name="kg-harvest")
+    cfg = HarvestConfig(
+        max_n_ent_tuples=args.max_n_ent_tuples,
+        token_beam_width=args.beam_width,
+        max_ent_subwords=args.max_ent_subwords,
+        lm=args.lm,
+        shuffle_partitions=args.cpus,
+    )
+
+    relations = (
+        relations_from_json(spark, args.relations)
+        if args.relations
+        else fixture_relations(spark)
+    )
+    if args.synth_pages:
+        pages = synth_web_pages(spark, args.synth_pages)
+    elif args.web_pages:
+        pages = spark.read.parquet(args.web_pages)
+    else:
+        pages = synth_web_pages(spark, 500)
+
+    out = run_full_pipeline(spark, relations, pages, args.checkpoints, cfg)
+
+    cat = Catalog(spark, args.warehouse)
+    cat.save_triples(out["triples"])
+    cat.save_graph(out["edges"], out["vertices"])
+
+    print(render_summary(out["triples"], top_k=10, sample_k=5))
+    print(
+        f"triples={out['triples'].count()} edges={out['edges'].count()} "
+        f"vertices={out['vertices'].count()} warehouse={args.warehouse}"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -834,6 +834,25 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Length-ordered deterministic sort (O2 prompt-sort-by-length shape)
+# ---------------------------------------------------------------------------
+
+def q29_orderby_length(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.orderBy(F.length("text").asc(), F.col("doc_id").asc())
+        .select("doc_id", F.length("text").alias("text_len"))
+        .limit(100)
+    )
+
+
+Q29_SQL = """
+SELECT doc_id, CAST(LENGTH(text) AS INT) AS text_len FROM documents
+ORDER BY LENGTH(text) ASC, doc_id ASC LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
 # Salted two-phase aggregation (J7 skew pattern) — must equal the plain
 # group-by, which IS the oracle: proves salting preserves semantics.
 # ---------------------------------------------------------------------------
@@ -1010,6 +1029,7 @@ QUERIES = {
     "q26_regexp_filter": q26_regexp_filter,
     "q27_prompt_style": q27_prompt_style,
     "q28_salted_word_count": q28_salted_word_count,
+    "q29_orderby_length": q29_orderby_length,
     "q90_bertnet_prompt_weights": q90_bertnet_prompt_weights,
     "q91_bertnet_triples": q91_bertnet_triples,
     "q92_simhash_pairs": q92_simhash_pairs,
@@ -1050,4 +1070,5 @@ ORACLES = {
     "q26_regexp_filter": Q26_SQL,
     "q27_prompt_style": Q27_SQL,
     "q28_salted_word_count": Q28_SQL,
+    "q29_orderby_length": Q29_SQL,
 }

@@ -1,0 +1,84 @@
+"""Iceberg-or-parquet table IO shim (S3/S4/S7/S9).
+
+Production targets an Iceberg catalog (`spark.sql.catalog.kg = ...`
+with partition transforms like days(warc_ts)); this sandbox has no
+Iceberg jars, so the same API falls back to day/rel-partitioned
+parquet under a warehouse directory, preserving the physical layout
+decisions (SURVEY.md §4 "Physical layout"):
+
+  web_pages  partitioned by days(warc_ts)
+  kg.triples partitioned by rel
+  kg.edges   partitioned by rel
+
+Writes are idempotent overwrites at partition granularity
+(dynamic partition overwrite = the parquet analog of Iceberg's
+overwritePartitions), which is what makes stage re-runs safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, warehouse: str, namespace: str = "kg"):
+        self.spark = spark
+        self.warehouse = warehouse.rstrip("/")
+        self.namespace = namespace
+        self.use_iceberg = iceberg_available(spark)
+
+    def _path(self, table: str) -> str:
+        return f"{self.warehouse}/{self.namespace}/{table}"
+
+    def save(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list[str] | None = None,
+        mode: str = "overwrite",
+    ) -> None:
+        if self.use_iceberg:  # pragma: no cover - no jars in sandbox
+            writer = df.writeTo(f"{self.namespace}.{table}")
+            if mode == "overwrite":
+                writer.createOrReplace()
+            else:
+                writer.append()
+            return
+        # dynamic partition overwrite: only touched partitions rewritten
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self._path(table))
+
+    def load(self, table: str) -> DataFrame:
+        if self.use_iceberg:  # pragma: no cover
+            return self.spark.read.table(f"{self.namespace}.{table}")
+        return self.spark.read.parquet(self._path(table))
+
+    # --- canonical tables -------------------------------------------------
+
+    def save_web_pages(self, pages: DataFrame) -> None:
+        self.save(
+            pages.withColumn("day", F.to_date("warc_ts")),
+            "web_pages",
+            partition_by=["day"],
+        )
+
+    def save_triples(self, triples: DataFrame) -> None:
+        self.save(triples, "triples", partition_by=["rel"])
+
+    def save_graph(self, edges: DataFrame, vertices: DataFrame) -> None:
+        self.save(edges, "edges", partition_by=["rel"])
+        self.save(vertices, "vertices")

@@ -1,0 +1,52 @@
+"""Report rendering (S6 analog) + catalog shim round-trip."""
+
+from pyspark.sql import functions as F
+
+from knowledge_harvest_from_lms_spark.plans.report import (
+    render_summary,
+    summary_frame,
+)
+from knowledge_harvest_from_lms_spark.sources.catalog import Catalog
+
+
+def _triples(spark, n=30):
+    rows = [
+        ("relA", [f"e{i}", f"f{i}"], float(n - i), 1.0 / (i + 1), i + 1)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "rel string, ents array<string>, score double, weight double, rank int"
+    )
+
+
+def test_summary_frame_shapes(spark):
+    t = _triples(spark)
+    sf = summary_frame(t, top_k=5, sample_k=5, seed=42)
+    rows = sf.collect()
+    tops = [r for r in rows if r.kind == "top"]
+    samples = [r for r in rows if r.kind == "sample"]
+    assert len(tops) == 5 and len(samples) == 5
+    assert sorted(r.pos for r in tops) == [1, 2, 3, 4, 5]
+    # seeded sample is deterministic
+    again = {(r.kind, r.pos, tuple(r.ents)) for r in
+             summary_frame(t, top_k=5, sample_k=5, seed=42).collect()}
+    assert again == {(r.kind, r.pos, tuple(r.ents)) for r in rows}
+
+
+def test_render_summary(spark):
+    text = render_summary(_triples(spark), top_k=3, sample_k=2)
+    assert "=== relA ===" in text
+    assert "e0, f0" in text
+
+
+def test_catalog_roundtrip(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path))
+    assert not cat.use_iceberg  # sandbox: parquet fallback
+    t = _triples(spark)
+    cat.save_triples(t)
+    back = cat.load("triples")
+    assert back.count() == 30
+    assert set(back.columns) == set(t.columns)
+    # dynamic partition overwrite: rewriting relA leaves row count stable
+    cat.save_triples(t.filter(F.col("rank") <= 10))
+    assert cat.load("triples").count() == 10
