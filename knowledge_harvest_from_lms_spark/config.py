@@ -24,6 +24,13 @@ class HarvestConfig:
     weight_clip: float = 0.05         # knowledge_harvester.py:77
     weight_floor: float = 1e-4        # knowledge_harvester.py:82-83
     token_beam_width: int = 48        # spark relaxation of heap-threshold pruning
+    # Optional branch-and-bound: prune frontier rows whose running min
+    # logprob falls below (the rel's current k-th best candidate) where
+    # k = prune_slack * max_n_ent_tuples. Safe for the final top-n when
+    # slack > 1 covers word-cap rejections; None disables (exact spec
+    # parity). Mirrors the reference's heap-threshold pruning
+    # (entity_tuple_searcher.py:76-77,98-101) as a driver-held scalar.
+    prune_slack: float | None = None
     seed: int = 42
     lm: str = "stub"                  # "stub" | HF model name on real clusters
     shuffle_partitions: int = 32

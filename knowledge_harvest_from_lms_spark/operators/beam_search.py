@@ -234,6 +234,7 @@ def search_ent_tuples(
 
     frontier = init_frontier(spark, rel_info, cfg)
     done: list[DataFrame] = []
+    thresholds: dict[str, float] = {}  # rel -> prunable min_logprob
     max_iters = max(
         sum(get_n_masks(t, m["n_ents"], cfg.max_ent_subwords))
         for m in rel_info.values()
@@ -266,7 +267,41 @@ def search_ent_tuples(
         )
         # frontier checkpoint runs the prunes once; finished chunks stay
         # lazy over the children checkpoint (re-pruned once at the end)
-        frontier = live.unionByName(inprog).localCheckpoint(eager=True)
+        frontier = live.unionByName(inprog)
+
+        if cfg.prune_slack is not None and done:
+            # branch-and-bound (reference entity_tuple_searcher.py:76-77):
+            # a row's eventual tuple score is min() over logprobs, monotone
+            # non-increasing — rows already below the rel's k-th best
+            # finished candidate can be dropped. k has slack so word-cap
+            # rejections in finalize can't resurrect a pruned rank.
+            k = max(1, int(cfg.max_n_ent_tuples * cfg.prune_slack))
+            acc = done[0]
+            for d in done[1:]:
+                acc = acc.unionByName(d)
+            wk = W.partitionBy("rel").orderBy(F.desc("min_logprob"))
+            kth = (
+                acc.withColumn("_r", F.row_number().over(wk))
+                .filter(F.col("_r") == k)
+                .select("rel", "min_logprob")
+                .collect()
+            )
+            thresholds = {r["rel"]: r["min_logprob"] for r in kth}
+            if thresholds:
+                th_expr = F.coalesce(
+                    *[
+                        F.when(F.col("rel") == rel, F.lit(v))
+                        for rel, v in thresholds.items()
+                    ],
+                    F.lit(float("-inf")),
+                )
+                running_min = F.least(
+                    F.coalesce(F.array_min("ent_logprobs"), F.lit(float("inf"))),
+                    F.coalesce(F.array_min("token_logprobs"), F.lit(float("inf"))),
+                )
+                frontier = frontier.filter(running_min >= th_expr)
+
+        frontier = frontier.localCheckpoint(eager=True)
 
     out = done[0]
     for d in done[1:]:
