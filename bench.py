@@ -64,7 +64,7 @@ def main() -> None:
     # warm), not one-time JVM spin-up.
     cfg = HarvestConfig(
         max_n_ent_tuples=50, token_beam_width=12, max_ent_subwords=2,
-        shuffle_partitions=cpus,
+        shuffle_partitions=cpus, prune_slack=3.0,
     )
     rels = fixture_relations(spark).filter("rel in ('AtLocation','CapableOf')")
     warm_cfg = HarvestConfig(

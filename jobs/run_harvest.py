@@ -54,6 +54,7 @@ def main() -> None:
         max_ent_subwords=args.max_ent_subwords,
         lm=args.lm,
         shuffle_partitions=args.cpus,
+        prune_slack=3.0,
     )
 
     relations = (
