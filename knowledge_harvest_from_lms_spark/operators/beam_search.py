@@ -252,6 +252,8 @@ def search_ent_tuples(
             .mapInPandas(expand, schema=FRONTIER_SCHEMA)
             .localCheckpoint(eager=True)
         )
+        if children.isEmpty():  # cheap on materialized checkpoint
+            break
         completed = _prune_completed(
             children.filter(F.size("token_ids") == 0), cfg
         )
