@@ -70,6 +70,17 @@ class MaskedLM(ABC):
         """A run of ``n`` mask tokens as slot text (word-level backends
         need separators; subword backends concatenate)."""
 
+    def pll_mask_logprobs_batch(
+        self, pairs: Sequence[tuple[str, Sequence[str]]]
+    ) -> list[list[float]]:
+        """Batch PLL scoring — the Arrow-batch-level entry the scoring
+        UDF calls. Default loops; a real MLM backend overrides this to
+        pack one padded forward per micro-batch (the reference batches
+        all mask rows of ONE pair per forward,
+        ``language_model_wrapper.py:52-62``; at 100TB we batch across
+        pairs too, sized by token count)."""
+        return [list(self.pll_mask_logprobs(p, e)) for p, e in pairs]
+
     # -- derived helpers shared by backends ------------------------------
 
     def allowed_token_mask(self) -> np.ndarray:

@@ -35,11 +35,15 @@ def make_pll_score_fn(lm_name: str, seed: int):
 
         lm = resolve_lm(lm_name, seed)
         for pdf in batches:
-            scores = []
-            for prompt, ents in zip(pdf["prompt"].tolist(), pdf["ents"].tolist()):
-                ents = list(ents)
-                lps = lm.pll_mask_logprobs(prompt, ents)
-                scores.append(combine_mask_logprobs(lps, n_ents=len(ents)))
+            pairs = [
+                (prompt, list(ents))
+                for prompt, ents in zip(pdf["prompt"].tolist(), pdf["ents"].tolist())
+            ]
+            all_lps = lm.pll_mask_logprobs_batch(pairs)
+            scores = [
+                combine_mask_logprobs(lps, n_ents=len(ents))
+                for lps, (_, ents) in zip(all_lps, pairs)
+            ]
             pdf = pdf.assign(score=scores)
             yield pdf
 

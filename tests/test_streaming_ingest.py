@@ -27,3 +27,29 @@ def test_ingest_available_now(spark, tmp_path):
     q2 = ingest_pages(spark, drop, table, ckpt, available_now=True)
     q2.awaitTermination(120)
     assert spark.read.parquet(table).count() == 120
+
+    # new crawl drop with FRESH timestamps (inside the watermark):
+    # restart ingests exactly the new rows
+    from pyspark.sql import functions as F
+
+    late = (
+        synth_web_pages(spark, 300, seed=42, n_partitions=2)
+        .filter("url like '%/p/2__'")  # ids 200-299: urls disjoint from first 120
+        .withColumn("warc_ts", F.expr("timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,0,0,0, cast(substring_index(url,'/',-1) as int))"))
+    )
+    n_late = late.count()
+    late.write.mode("append").parquet(drop)
+    q3 = ingest_pages(spark, drop, table, ckpt, available_now=True)
+    q3.awaitTermination(120)
+    total = spark.read.parquet(table).count()
+    assert total == 120 + n_late, (total, n_late)
+
+    # a drop with timestamps far behind the watermark is treated as
+    # late data and excluded from the stream (backfill path instead)
+    stale = late.withColumn(
+        "warc_ts", F.expr("timestamp'2020-01-01 00:00:00'")
+    ).withColumn("url", F.concat("url", F.lit("-stale")))
+    stale.write.mode("append").parquet(drop)
+    q4 = ingest_pages(spark, drop, table, ckpt, available_now=True)
+    q4.awaitTermination(120)
+    assert spark.read.parquet(table).count() == total
