@@ -31,6 +31,14 @@ class HarvestConfig:
     # parity). Mirrors the reference's heap-threshold pruning
     # (entity_tuple_searcher.py:76-77,98-101) as a driver-held scalar.
     prune_slack: float | None = None
+    # A6 word-repeat cap: True = exact reference greedy (sequential
+    # per relation via applyInPandas, parallel across relations);
+    # False = fully window-based rank relaxation.
+    word_cap_exact: bool = True
+    # J6 corpus grounding: restrict beam entity tokens to words
+    # attested in the web_pages corpus (full_pipeline wires the
+    # corpus_token_ids semi-join; harvest-only runs ignore this).
+    ground_beam_to_corpus: bool = False
     seed: int = 42
     lm: str = "stub"                  # "stub" | HF model name on real clusters
     shuffle_partitions: int = 32

@@ -85,7 +85,10 @@ def init_frontier(spark: SparkSession, rel_info: dict, cfg: HarvestConfig) -> Da
     return spark.createDataFrame(rows, FRONTIER_SCHEMA)
 
 
-def make_expand_fn(lm_name: str, seed: int, rel_info: dict, width: int):
+def make_expand_fn(
+    lm_name: str, seed: int, rel_info: dict, width: int,
+    allowed_token_ids: list[int] | None = None,
+):
     def fn(batches):
         import numpy as np
 
@@ -100,10 +103,19 @@ def make_expand_fn(lm_name: str, seed: int, rel_info: dict, width: int):
         lm = resolve_lm(lm_name, seed)
         allowed = lm.allowed_token_mask()
         allowed[lm.banned_ids] = False  # F9 ∧ ¬F10 precomputed once
+        if allowed_token_ids is not None:
+            # corpus grounding (J6): only tokens attested in the
+            # web_pages corpus may fill entity slots
+            ground = np.zeros(lm.vocab_size, dtype=bool)
+            ground[np.asarray(allowed_token_ids, dtype=np.int64)] = True
+            allowed &= ground
         neg_inf = -float("inf")
 
+        all_cand_ids = np.nonzero(allowed)[0]
         for pdf in batches:
             out = {c: [] for c in pdf.columns}
+            if all_cand_ids.size == 0:
+                continue  # grounding left no legal tokens — nothing to expand
 
             def emit(rel, t, n_masks, ent_idx, ents, elps, tids, tlps):
                 out["rel"].append(rel)
@@ -175,6 +187,10 @@ def make_expand_fn(lm_name: str, seed: int, rel_info: dict, width: int):
                         continue
                     emit(row.rel, row.t, n_masks, ent_idx + 1, ents + [pred],
                          list(row.ent_logprobs) + [min(ntlps)], [], [])
+            if not out["rel"]:
+                # empty pd.DataFrame defaults to float64 columns, which
+                # Arrow cannot cast to list<> types — yield nothing
+                continue
             import pandas as pd
 
             yield pd.DataFrame(out, columns=list(pdf.columns))
@@ -224,13 +240,18 @@ def search_ent_tuples(
     prompt_weights: DataFrame,
     relations: DataFrame,
     cfg: HarvestConfig,
+    allowed_token_ids: list[int] | None = None,
 ) -> DataFrame:
     """→ candidate tuples (rel, ents, min_logprob), before the
-    word-repeat cap / top-n (finalize_candidates)."""
+    word-repeat cap / top-n (finalize_candidates). Pass
+    ``allowed_token_ids`` (from corpus_grounding.corpus_token_ids) to
+    restrict entity tokens to corpus-attested words."""
     rel_info = build_rel_info(prompt_weights, relations)
     if not rel_info:
         return spark.createDataFrame([], "rel string, ents array<string>, min_logprob double")
-    expand = make_expand_fn(cfg.lm, cfg.seed, rel_info, cfg.token_beam_width)
+    expand = make_expand_fn(
+        cfg.lm, cfg.seed, rel_info, cfg.token_beam_width, allowed_token_ids
+    )
 
     frontier = init_frontier(spark, rel_info, cfg)
     done: list[DataFrame] = []
@@ -305,21 +326,79 @@ def search_ent_tuples(
 
         frontier = frontier.localCheckpoint(eager=True)
 
+    if not done:
+        return spark.createDataFrame(
+            [], "rel string, ents array<string>, min_logprob double"
+        )
     out = done[0]
     for d in done[1:]:
         out = out.unionByName(d)
     return out
 
 
+def finalize_candidates_greedy(candidates: DataFrame, cfg: HarvestConfig) -> DataFrame:
+    """O1 dedup + A6 word-repeat cap (exact greedy) + W2 top-n.
+
+    Reference semantics (``entity_tuple_searcher.py:53-71``): accept
+    tuples in score order; a tuple is rejected if ANY of its word
+    occurrences would push that word's count past ``max_word_repeat``
+    (each occurrence checked against the pre-acceptance count);
+    accepted tuples increment counts by multiplicity; stop at n.
+
+    The greedy scan is sequential per relation but tiny (post-dedup
+    candidates), so it runs as one ``applyInPandas`` group per
+    relation — parallel across relations, exact within one.
+    """
+    import pandas as pd  # noqa: F401 (schema doc)
+
+    max_word_repeat = cfg.max_word_repeat
+    max_n = cfg.max_n_ent_tuples
+
+    def greedy(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            by=["min_logprob", "_ek"], ascending=[False, True], kind="mergesort"
+        )
+        counts: dict[str, int] = {}
+        keep_rows = []
+        for row in pdf.itertuples(index=False):
+            if len(keep_rows) >= max_n:
+                break
+            words = [w for e in row.ents for w in e.split()]
+            if any(counts.get(w, 0) + 1 > max_word_repeat for w in words):
+                continue
+            for w in words:
+                counts[w] = counts.get(w, 0) + 1
+            keep_rows.append(row)
+        if not keep_rows:
+            return pdf.iloc[0:0]  # preserves Arrow-compatible dtypes
+        return pd.DataFrame(keep_rows, columns=list(pdf.columns))
+
+    ek = F.concat_ws(SEP, "ents")
+    cand = (
+        candidates.withColumn("_ek", ek)
+        .groupBy("rel", "_ek")
+        .agg(F.first("ents").alias("ents"), F.max("min_logprob").alias("min_logprob"))
+    )
+    out = cand.groupBy("rel").applyInPandas(
+        greedy, schema="rel string, _ek string, ents array<string>, min_logprob double"
+    )
+    return out.select("rel", "ents", "min_logprob")
+
+
 def finalize_candidates(candidates: DataFrame, cfg: HarvestConfig) -> DataFrame:
     """O1 dedup + A6 word-repeat cap + W2 top-n per relation.
 
-    The reference applies the cap greedily in heap-discovery order
-    (``entity_tuple_searcher.py:57-71``); the engine's deterministic
-    relaxation ranks tuples per relation by (min_logprob desc, ents)
-    and keeps a tuple iff every one of its word occurrences is within
-    the first ``max_word_repeat`` for that word (SURVEY.md §2.4 A6).
+    Dispatches on ``cfg.word_cap_exact``: the exact greedy
+    (finalize_candidates_greedy, reference-faithful) or the fully
+    window-based relaxation below, which ranks tuples per relation by
+    (min_logprob desc, ents) and keeps a tuple iff every one of its
+    word occurrences is within the first ``max_word_repeat`` for that
+    word (SURVEY.md §2.4 A6).
     """
+    if getattr(cfg, "word_cap_exact", True):
+        return finalize_candidates_greedy(candidates, cfg)
     ek = F.concat_ws(SEP, "ents")
     cand = (
         candidates.withColumn("_ek", ek)

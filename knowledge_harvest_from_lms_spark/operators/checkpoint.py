@@ -33,6 +33,15 @@ def _data_path(base: str, stage: str) -> str:
     return os.path.join(base, stage, "data")
 
 
+def _read(spark: SparkSession, dpath: str, schema_json: str | None) -> DataFrame:
+    if schema_json:
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        return spark.read.schema(schema).parquet(dpath)
+    return spark.read.parquet(dpath)
+
+
 def partition_counts(df: DataFrame) -> list[dict]:
     rows = (
         df.groupBy(F.spark_partition_id().alias("pid"))
@@ -67,23 +76,27 @@ def run_stage(
             man = {}  # unreadable manifest → recompute (resume is safe)
         if man.get("fingerprint") == fingerprint:
             try:
-                return spark.read.parquet(dpath)
+                return _read(spark, dpath, man.get("schema_json"))
             except Exception:
                 pass  # data missing/corrupt → recompute
 
     df = make_df()
+    schema_json = df.schema.json()
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(dpath)
 
-    out = spark.read.parquet(dpath)
+    # schema passed explicitly: an empty stage output writes no parquet
+    # files, which would otherwise make the read-back uninferable
+    out = _read(spark, dpath, schema_json)
     man = {
         "stage": stage,
         "fingerprint": fingerprint,
         "row_count": out.count(),
         "partition_counts": partition_counts(out),
         "schema": out.schema.simpleString(),
+        "schema_json": schema_json,
         "written_at": time.time(),
     }
     os.makedirs(os.path.dirname(mpath), exist_ok=True)

@@ -24,6 +24,21 @@ def tokenize_corpus(web_pages: DataFrame, text_col: str = "text") -> DataFrame:
     ).filter(F.length("word") > 0)
 
 
+def corpus_token_ids(web_pages: DataFrame, lm, text_col: str = "text") -> list[int]:
+    """LM-token ids whose text occurs as a corpus word — the
+    scale-correct way to ground the beam vocabulary: the corpus side
+    reduces to DISTINCT words (one shuffle), the LM vocab (≤250k rows)
+    broadcasts into a semi join, and only matching token ids come back
+    to the driver (≤ vocab_size ints). Feeds
+    ``search_ent_tuples(allowed_token_ids=...)``."""
+    spark = web_pages.sparkSession
+    vocab = [(i, lm.token_text(i).lower()) for i in range(lm.vocab_size)]
+    vdf = spark.createDataFrame(vocab, "token_id int, word string").coalesce(1)
+    words = tokenize_corpus(web_pages, text_col).select("word").distinct()
+    rows = F.broadcast(vdf).join(words, "word", "left_semi").select("token_id").collect()
+    return sorted(r["token_id"] for r in rows)
+
+
 def entity_mentions(
     web_pages: DataFrame,
     entities: DataFrame,

@@ -47,6 +47,8 @@ def make_variant_score_fn(lm_name: str, seed: int):
                     out["score"].append(
                         combine_mask_logprobs(lps, n_ents=len(var))
                     )
+            if not out["rel"]:
+                continue  # avoid float64-typed empty frames (Arrow cast)
             yield pd.DataFrame(out)
 
     return fn

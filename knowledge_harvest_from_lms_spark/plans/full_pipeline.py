@@ -63,12 +63,22 @@ def run_full_pipeline(
         fingerprint=cfg_fp,
     )
 
+    allowed_token_ids = None
+    if cfg.ground_beam_to_corpus:
+        from ..lm import resolve_lm
+        from ..operators.corpus_grounding import corpus_token_ids
+
+        allowed_token_ids = corpus_token_ids(
+            corpus.withColumnRenamed("extracted_text", "text"),
+            resolve_lm(cfg.lm, cfg.seed),
+        )
+
     cand = run_stage(
         spark, base_dir, "30_candidates",
         lambda: finalize_candidates(
-            search_ent_tuples(spark, pw, relations, cfg), cfg
+            search_ent_tuples(spark, pw, relations, cfg, allowed_token_ids), cfg
         ),
-        fingerprint=cfg_fp,
+        fingerprint=_fp(cfg_fp, "grounded" if allowed_token_ids is not None else ""),
     )
 
     triples = run_stage(

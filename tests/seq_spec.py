@@ -163,9 +163,19 @@ def spec_search(records, pw, lm, cfg):
 
 
 def spec_finalize(cands, cfg):
-    """dedup + rank-based word cap + top-n. → {rel: [(ents, min_lp)]}
-    in tuple_rank order."""
+    """dedup + A6 word cap + top-n. → {rel: [(ents, min_lp)]} in
+    acceptance order. Two modes, mirroring the Spark operator:
+
+    - word_cap_exact (default): reference greedy — reject a tuple if
+      any word occurrence would exceed the cap (each occurrence
+      checked against the PRE-acceptance count,
+      entity_tuple_searcher.py:56-60), else increment by multiplicity;
+      stop at n accepted.
+    - relaxation: every occurrence must fall within the first
+      max_word_repeat ranks for its word (occurrences counted for
+      rejected tuples too)."""
     out = {}
+    exact = getattr(cfg, "word_cap_exact", True)
     for rel, items in cands.items():
         best = {}
         for ents, lp in items:
@@ -175,14 +185,24 @@ def spec_finalize(cands, cfg):
         word_occ = {}
         kept = []
         for ents, lp in ranked:
-            occs = []
-            for e in ents:
-                for wd in e.split():
+            if exact:
+                if len(kept) >= cfg.max_n_ent_tuples:
+                    break
+                words = [wd for e in ents for wd in e.split()]
+                if any(word_occ.get(wd, 0) + 1 > cfg.max_word_repeat for wd in words):
+                    continue
+                for wd in words:
                     word_occ[wd] = word_occ.get(wd, 0) + 1
-                    occs.append(word_occ[wd])
-            if max(occs) <= cfg.max_word_repeat:
                 kept.append((list(ents), lp))
-        out[rel] = kept[: cfg.max_n_ent_tuples]
+            else:
+                occs = []
+                for e in ents:
+                    for wd in e.split():
+                        word_occ[wd] = word_occ.get(wd, 0) + 1
+                        occs.append(word_occ[wd])
+                if max(occs) <= cfg.max_word_repeat:
+                    kept.append((list(ents), lp))
+        out[rel] = kept if exact else kept[: cfg.max_n_ent_tuples]
     return out
 
 
