@@ -900,7 +900,10 @@ def q92_simhash_pairs(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     sig = simhash_signatures(docs, "text", "doc_id")
-    return simhash_near_dup_pairs(sig, max_hamming=8)
+    # hamming<=4 → 5 blocking chunks of ~13 bits: selective buckets
+    # (hamming<=8 would block on 7-bit chunks — 128 buckets — and the
+    # candidate set grows quadratically on similar corpora)
+    return simhash_near_dup_pairs(sig, max_hamming=4)
 
 
 def q93_minhash_dedup_pairs(spark, sf_dir):
