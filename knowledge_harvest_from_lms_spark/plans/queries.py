@@ -853,6 +853,108 @@ ORDER BY LENGTH(text) ASC, doc_id ASC LIMIT 100
 
 
 # ---------------------------------------------------------------------------
+# Grouping sets (reporting layer; SURVEY.md §2.4 note)
+# ---------------------------------------------------------------------------
+
+def q30_grouping_sets(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_orders_gs")
+    return spark.sql("""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+Q30_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set ops: intersect / except (SURVEY.md §2.7 — eval-harness shapes)
+# ---------------------------------------------------------------------------
+
+def q31_intersect(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    return cust.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        sup.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+Q31_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q32_except(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    return cust.select(F.col("c_nationkey").alias("nationkey")).exceptAll(
+        sup.select(F.col("s_nationkey").alias("nationkey"))
+    ).distinct()
+
+
+Q32_SQL = """
+SELECT DISTINCT nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  EXCEPT ALL
+  SELECT s_nationkey AS nationkey FROM supplier)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (gaps-and-islands): lag + cumulative conditional sum
+# ---------------------------------------------------------------------------
+
+def q33_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")  # whole seconds
+    gap = epoch - F.lag(epoch).over(wu)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = (
+        ev.withColumn("new_sess", new_sess)
+        .withColumn("sess_id", F.sum("new_sess").over(wu))
+    )
+    return sess.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0, 2).alias(
+            "sess_value"
+        ),
+    )
+
+
+Q33_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, value,
+         CASE WHEN CAST(FLOOR(EPOCH(ts)) AS BIGINT) - LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              OR LAG(ts) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess,
+         ts
+  FROM events),
+s AS (
+  SELECT user_id, event_id, value,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS sess_id
+  FROM g)
+SELECT user_id, sess_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100.0, 2) AS sess_value
+FROM s GROUP BY user_id, sess_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Salted two-phase aggregation (J7 skew pattern) — must equal the plain
 # group-by, which IS the oracle: proves salting preserves semantics.
 # ---------------------------------------------------------------------------
@@ -1033,6 +1135,10 @@ QUERIES = {
     "q27_prompt_style": q27_prompt_style,
     "q28_salted_word_count": q28_salted_word_count,
     "q29_orderby_length": q29_orderby_length,
+    "q30_grouping_sets": q30_grouping_sets,
+    "q31_intersect": q31_intersect,
+    "q32_except": q32_except,
+    "q33_sessionize": q33_sessionize,
     "q90_bertnet_prompt_weights": q90_bertnet_prompt_weights,
     "q91_bertnet_triples": q91_bertnet_triples,
     "q92_simhash_pairs": q92_simhash_pairs,
@@ -1074,4 +1180,8 @@ ORACLES = {
     "q27_prompt_style": Q27_SQL,
     "q28_salted_word_count": Q28_SQL,
     "q29_orderby_length": Q29_SQL,
+    "q30_grouping_sets": Q30_SQL,
+    "q31_intersect": Q31_SQL,
+    "q32_except": Q32_SQL,
+    "q33_sessionize": Q33_SQL,
 }
