@@ -53,6 +53,60 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+    n_lists: int = 16, n_probe: int = 4, seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: a KMeans coarse quantizer (Spark MLlib, JVM)
+    partitions the corpus into n_lists inverted lists; each query
+    probes its n_probe nearest centroids and scores only those lists.
+
+    At 100TB the corpus pass is one fit-sample + one transform; the
+    per-query work is n_probe/n_lists of brute force. Recall improves
+    monotonically with n_probe (n_probe == n_lists → exact)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus_v = corpus.withColumn("_v", array_to_vector(F.col(emb_col).cast("array<double>")))
+    km = KMeans(k=n_lists, seed=seed, featuresCol="_v", predictionCol="_list")
+    model = km.fit(corpus_v.select("_v"))
+    lists = model.transform(corpus_v).select(
+        F.col(id_col).alias("item_id"), F.col(emb_col).alias("ce"),
+        F.col("_list").alias("list_id"),
+    )
+
+    centers = model.clusterCenters()
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("qe"))
+    # distance of each query to each centroid via a small exploded
+    # centroid table (n_lists rows, broadcast)
+    spark = corpus.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "list_id int, center array<double>",
+    ).coalesce(1)
+    dist = F.aggregate(
+        F.zip_with("qe", "center", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0).cast("double"), lambda acc, x: acc + x,
+    )
+    wq = W.partitionBy("query_id").orderBy(F.asc("d"), F.asc("list_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cdf))
+        .withColumn("d", dist)
+        .withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "qe", "list_id")
+    )
+    cand = F.broadcast(probes).join(lists, "list_id").filter(
+        F.col("query_id") != F.col("item_id")
+    )
+    scored = cand.withColumn("cos", F.round(_cos(F.col("qe"), F.col("ce")), 6)).select(
+        "query_id", "item_id", "cos"
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("item_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
 def lsh_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 10,
     id_col: str = "vec_id", emb_col: str = "embedding",

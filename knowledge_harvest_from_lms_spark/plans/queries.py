@@ -1049,6 +1049,16 @@ def q96_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, queries, k=3)
 
 
+def q99_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate nearest neighbors: KMeans coarse quantizer +
+    centroid probing (rows-only; exact baseline q15 is oracle-checked)."""
+    from ..operators.simsearch import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, k=3, n_lists=8, n_probe=4)
+
+
 def q97_multimodal_features(spark, sf_dir):
     """Multimodal binary-column plumbing with the stub decoder
     (rows-only)."""
@@ -1148,6 +1158,7 @@ QUERIES = {
     "q96_ann_lsh_topk": q96_ann_lsh_topk,
     "q97_multimodal_features": q97_multimodal_features,
     "q98_graph_materialize": q98_graph_materialize,
+    "q99_ann_ivf_topk": q99_ann_ivf_topk,
 }
 
 ORACLES = {

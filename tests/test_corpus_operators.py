@@ -200,3 +200,19 @@ def test_multimodal_plumbing(spark):
         assert again[r.media_id] == r.features
     with pytest.raises(NotImplementedError):
         extract_features(media, use_stub=False)
+
+
+def test_ivf_topk_recall(spark):
+    from knowledge_harvest_from_lms_spark.operators.simsearch import ivf_topk
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, k=5, n_lists=8, n_probe=4)
+    e = {(r.query_id, r.item_id) for r in exact.collect()}
+    a = {(r.query_id, r.item_id) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.7
+    # n_probe == n_lists → exact
+    full = ivf_topk(emb, queries, k=5, n_lists=8, n_probe=8)
+    f = {(r.query_id, r.item_id) for r in full.collect()}
+    assert f == e
