@@ -128,6 +128,97 @@ class HFMaskedLM(MaskedLM):  # pragma: no cover - needs torch
         return logprobs[rows, mask_positions, labels].cpu().tolist()
 
 
+    # -- batched scoring (the 100TB hot path) ---------------------------
+
+    def _pll_rows(self, prompt: str, ent_tuple: Sequence[str]):
+        """(input_ids, mask_positions) for one pair — the per-pair part
+        of pll_mask_logprobs, without the forward."""
+        import string
+
+        ents = list(ent_tuple)
+        for i, e in enumerate(ents):
+            if prompt.startswith(f"<ENT{i}>"):
+                ents[i] = e.capitalize()
+        sent = get_sent(prompt, ents)
+        input_ids = self._tok.encode(sent)
+        mask_positions: list[int] = []
+        for ent_idx, ent in enumerate(ents):
+            prefix = prompt[: prompt.find(f"<ENT{ent_idx}>")].strip()
+            for i in range(len(ents)):
+                prefix = prefix.replace(f"<ENT{i}>", ents[i])
+            prefix_ids = self._tok.encode(prefix, add_special_tokens=False)
+            ent_in_sent = prompt[prompt.find(f"<ENT{ent_idx}>"):].split()[0]
+            for punc in string.punctuation:
+                if punc not in "<>":
+                    ent_in_sent = ent_in_sent.split(punc)[0]
+            ent_in_sent = ent_in_sent.replace(f"<ENT{ent_idx}>", ent)
+            ent_in_sent = ent_in_sent.split()[0]
+            prefixed = f" {ent_in_sent}" if sent[len(prefix)] == " " else ent_in_sent
+            ent_token_ids = self._tok.encode(prefixed, add_special_tokens=False)
+            if prefix_ids:
+                l = find_sublist(input_ids, prefix_ids) + len(prefix_ids)
+            else:
+                l = find_sublist(input_ids, ent_token_ids)
+            mask_positions.extend(range(l, l + len(ent_token_ids)))
+        return input_ids, mask_positions
+
+    def pll_mask_logprobs_batch(
+        self, pairs: Sequence[tuple[str, Sequence[str]]],
+        max_tokens_per_forward: int = 16384,
+    ) -> list[list[float]]:
+        """Pack the left-to-right re-masked rows of MANY pairs into
+        padded forwards bounded by a token budget (the reference runs
+        one forward per pair, language_model_wrapper.py:52-62; packing
+        across pairs is the 10-100x lever on executors)."""
+        rows = []  # (pair_idx, row_in_pair, ids(list), pos, label)
+        per_pair_counts = []
+        for pi, (prompt, ents) in enumerate(pairs):
+            input_ids, mask_positions = self._pll_rows(prompt, ents)
+            per_pair_counts.append(len(mask_positions))
+            for i, pos in enumerate(mask_positions):
+                ids = list(input_ids)
+                label = ids[pos]
+                for p in mask_positions[i:]:
+                    ids[p] = self._tok.mask_token_id
+                rows.append((pi, i, ids, pos, label))
+
+        results: dict[tuple[int, int], float] = {}
+        chunk: list[tuple] = []
+        budget = 0
+
+        def flush(chunk):
+            if not chunk:
+                return
+            maxlen = max(len(r[2]) for r in chunk)
+            pad = self._tok.pad_token_id or 0
+            input_ids = torch.full((len(chunk), maxlen), pad, dtype=torch.long)
+            attn = torch.zeros((len(chunk), maxlen), dtype=torch.long)
+            for j, (_, _, ids, _, _) in enumerate(chunk):
+                input_ids[j, : len(ids)] = torch.tensor(ids)
+                attn[j, : len(ids)] = 1
+            with torch.no_grad():
+                logits = self._model(
+                    input_ids=input_ids.to(self._device),
+                    attention_mask=attn.to(self._device),
+                ).logits
+                logprobs = torch.log_softmax(logits, dim=-1)
+            for j, (pi, ri, _, pos, label) in enumerate(chunk):
+                results[(pi, ri)] = float(logprobs[j, pos, label])
+
+        for r in rows:
+            if chunk and budget + len(r[2]) > max_tokens_per_forward:
+                flush(chunk)
+                chunk, budget = [], 0
+            chunk.append(r)
+            budget += len(r[2])
+        flush(chunk)
+
+        return [
+            [results[(pi, ri)] for ri in range(n)]
+            for pi, n in enumerate(per_pair_counts)
+        ]
+
+
 _HF_CACHE: dict = {}
 
 
