@@ -24,13 +24,17 @@ class HarvestConfig:
     weight_clip: float = 0.05         # knowledge_harvester.py:77
     weight_floor: float = 1e-4        # knowledge_harvester.py:82-83
     token_beam_width: int = 48        # spark relaxation of heap-threshold pruning
-    # Optional branch-and-bound: prune frontier rows whose running min
-    # logprob falls below (the rel's current k-th best candidate) where
-    # k = prune_slack * max_n_ent_tuples. Safe for the final top-n when
-    # slack > 1 covers word-cap rejections; None disables (exact spec
-    # parity). Mirrors the reference's heap-threshold pruning
-    # (entity_tuple_searcher.py:76-77,98-101) as a driver-held scalar.
-    prune_slack: float | None = None
+    # Branch-and-bound: prune frontier rows whose running min logprob
+    # falls below the rel's k-th best WORD-CAP-ACCEPTED candidate,
+    # k = prune_slack * max_n_ent_tuples. Mirrors the reference's own
+    # heap-threshold pruning (entity_tuple_searcher.py:76-77: the bar
+    # is the n-th tuple currently accepted under word caps), dug
+    # slack× deeper. HEURISTIC, not exact: a later high-scoring tuple
+    # can evict an accepted one via word caps and push the final
+    # greedy below today's bar (the reference threshold has the same
+    # property). None disables (exact spec parity); the default keeps
+    # reference-style pruning on, as the reference does.
+    prune_slack: float | None = 3.0
     # A6 word-repeat cap: True = exact reference greedy (sequential
     # per relation via applyInPandas, parallel across relations);
     # False = fully window-based rank relaxation.

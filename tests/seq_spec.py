@@ -76,9 +76,13 @@ def spec_prompt_weights(records, lm, cfg):
 def _expand_entity(lm, level_prompts, n_masks, ent_idx, width):
     """Token-level BFS for one entity slot: per-level top-`width` paths
     across the whole node, exactly like the Spark in-progress prune."""
-    allowed = lm.allowed_token_mask().copy()
-    allowed[lm.banned_ids] = False
-    cand_ids = np.nonzero(allowed)[0]
+    # parity with the reference's mask order
+    # (entity_tuple_searcher.py:199-228): banned ids (specials +
+    # stopwords) are -inf'd BEFORE log-softmax; the F9 char filters
+    # restrict candidate SELECTION after, without renormalizing.
+    banned = np.zeros(lm.vocab_size, dtype=bool)
+    banned[lm.banned_ids] = True
+    cand_ids = np.nonzero(lm.allowed_token_mask() & ~banned)[0]
     k = n_masks[ent_idx]
 
     paths = [([], [])]
@@ -97,7 +101,7 @@ def _expand_entity(lm, level_prompts, n_masks, ent_idx, width):
                 total = logits * w if total is None else total + logits * w
                 wsum += w
             total = total / wsum
-            total[~allowed] = -np.inf
+            total[banned] = -np.inf
             m = total.max()
             logprobs = total - (m + np.log(np.exp(total - m).sum()))
             lps = logprobs[cand_ids]

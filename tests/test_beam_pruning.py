@@ -1,5 +1,6 @@
-"""Branch-and-bound pruning (prune_slack) must not change the final
-top-n (min-score monotonicity makes it safe with slack)."""
+"""Branch-and-bound pruning (prune_slack) is a heuristic mirroring the
+reference's heap threshold (the k-th word-cap-ACCEPTED score); on the
+fixtures it must not change the final top-n."""
 
 from knowledge_harvest_from_lms_spark.config import HarvestConfig
 from knowledge_harvest_from_lms_spark.plans.harvest import harvest
@@ -10,7 +11,9 @@ def test_pruned_equals_unpruned(spark):
     rels = fixture_relations(spark).filter("rel = 'AtLocation'")
     base = dict(max_n_ent_tuples=10, token_beam_width=6, max_ent_subwords=2,
                 shuffle_partitions=8)
-    t_exact = harvest(spark, rels, HarvestConfig(**base))["triples"].collect()
+    t_exact = harvest(
+        spark, rels, HarvestConfig(**base, prune_slack=None)
+    )["triples"].collect()
     t_pruned = harvest(
         spark, rels, HarvestConfig(**base, prune_slack=3.0)
     )["triples"].collect()

@@ -142,6 +142,44 @@ def test_embedding_near_dup(spark):
     assert (row.vec_id, 99991) in hits
 
 
+def test_embedding_near_dup_recall_at_threshold(spark):
+    """VERDICT r1 item 3: the planted dups sit AT the cosine threshold
+    (cos ≈ min_cos), where the old single-band design had ≈0 recall.
+    Multi-table LSH must recover ≥90% of them."""
+    import numpy as np
+
+    min_cos = 0.95
+    rng = np.random.Generator(np.random.PCG64(7))
+    rows, planted = [], []
+    vid = 0
+    for i in range(20):
+        u = rng.standard_normal(64)
+        u /= np.linalg.norm(u)
+        w = rng.standard_normal(64)
+        w -= w.dot(u) * u
+        w /= np.linalg.norm(w)
+        c = min_cos + 0.002  # just above the threshold, not cos≈1
+        v = c * u + np.sqrt(1 - c * c) * w
+        rows.append((vid, [float(x) for x in u], "a"))
+        rows.append((vid + 1, [float(x) for x in v], "a"))
+        planted.append((vid, vid + 1))
+        vid += 2
+    # background noise vectors (random ⇒ cos ≈ 0, must not pair up)
+    for _ in range(60):
+        x = rng.standard_normal(64)
+        rows.append((vid, [float(v) for v in x / np.linalg.norm(x)], "b"))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(emb, min_cos=min_cos).collect()
+    }
+    recall = sum(p in got for p in planted) / len(planted)
+    assert recall >= 0.9, (recall, sorted(got))
+    for pair in got:
+        assert pair in planted, f"false positive above min_cos: {pair}"
+
+
 def test_brute_vs_lsh_recall(spark):
     emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -176,6 +214,39 @@ def test_graph_materialize(spark):
     assert merged[0].weight == pytest.approx(0.8)
     for e in edges:
         assert e.src_id == verts[e.src] and e.dst_id == verts[e.dst]
+
+
+def test_graph_ternary_consecutive_slot_edges(spark):
+    """ADVICE r1: a ternary relation (somebody_do_something_at style)
+    must contribute BOTH consecutive-slot edges, not just ents[0]→[1]."""
+    triples = spark.createDataFrame(
+        [("do_at", ["farmer", "plant crops", "field"], 0.7)],
+        "rel string, ents array<string>, weight double",
+    )
+    edges = {(e.src, e.dst) for e in materialize_graph(triples)["edges"].collect()}
+    assert ("farmer", "plant crops") in edges
+    assert ("plant crops", "field") in edges
+    assert len(edges) == 2
+
+
+def test_canonical_map_long_chain_converges(spark):
+    """Pointer doubling: a 12-hop near-duplicate chain collapses to one
+    canonical id within max_iters=5 (ADVICE r1: the 1-hop-only loop
+    silently split chains longer than 5)."""
+    import warnings
+
+    from knowledge_harvest_from_lms_spark.operators.graph import canonical_map
+
+    names = [f"ent{i:02d}" for i in range(13)]
+    ents = spark.createDataFrame([(n,) for n in names], "ent string")
+    pairs = spark.createDataFrame(
+        [(names[i], names[i + 1], 0.9) for i in range(len(names) - 1)],
+        "ent_a string, ent_b string, jaccard double",
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # must not warn
+        cmap = {r.ent: r.canonical for r in canonical_map(ents, pairs).collect()}
+    assert set(cmap.values()) == {"ent00"}
 
 
 def test_entity_mentions_grounding(spark, pages):
@@ -216,3 +287,9 @@ def test_ivf_topk_recall(spark):
     full = ivf_topk(emb, queries, k=5, n_lists=8, n_probe=8)
     f = {(r.query_id, r.item_id) for r in full.collect()}
     assert f == e
+    # sampled quantizer fit (the 100TB path) keeps useful recall
+    sampled = ivf_topk(
+        emb, queries, k=5, n_lists=8, n_probe=4, fit_sample_fraction=0.1
+    )
+    s = {(r.query_id, r.item_id) for r in sampled.collect()}
+    assert len(e & s) / len(e) >= 0.6
