@@ -161,9 +161,9 @@ def main() -> None:
             "North-rule stand-in for N vs 4N executors (no real cluster in\n"
             f"this sandbox): identical jobs at `local[{LEVELS[0]}]` and `local[{LEVELS[1]}]`,\n"
             "same input, fresh JVM per level (see bench_scaling.py).\n"
-            "Levels sit within the host's ~16 PHYSICAL cores: local[8] vs\n"
-            "local[32] only measures the SMT ceiling (~2.4x max), not the\n"
-            "engine's scaling behaviour.\n\n"
+            "Levels sit within the host's ~16 PHYSICAL cores: anything\n"
+            "beyond 16 threads only measures the SMT ceiling (~2.4x max),\n"
+            "not the engine's scaling behaviour.\n\n"
             "## 1. PLL scoring fleet (LM-inference stage, "
             f"{N_ROWS:,} rows)\n\n"
             "| level | rows/sec | sec |\n|---|---|---|\n"

@@ -39,47 +39,118 @@ def corpus_token_ids(web_pages: DataFrame, lm, text_col: str = "text") -> list[i
     return sorted(r["token_id"] for r in rows)
 
 
+def _entity_word_lengths(ents: DataFrame) -> list[int]:
+    """Distinct word counts among the entities — the n-gram lengths the
+    phrase stream must generate. The entity table is the small
+    (broadcastable) side, so this driver collect is bounded."""
+    return sorted(
+        r["L"]
+        for r in ents.select(F.size(F.split("ent", " ")).alias("L")).distinct().collect()
+    )
+
+
+def phrase_stream(
+    web_pages: DataFrame, lengths: list[int], text_col: str = "text"
+) -> DataFrame:
+    """(url, phrase) — every token n-gram of each length, generated in
+    the SAME projection as the corpus scan (no second pass, no join
+    back to the full text; VERDICT r1 item 4 'single-pass')."""
+    def gram_expr(L: int):
+        # NB: capture L via this factory, NOT a `lambda i, L=L:` default
+        # arg — PySpark counts lambda parameters to decide the
+        # higher-order-function arity, so a 2-param lambda would bind L
+        # to the element INDEX
+        g = F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - (L - 1)),
+            lambda i: F.array_join(F.slice("_toks", i, L), " "),
+        )
+        # sequence(1, n) is DESCENDING when n < 1 — guard short pages
+        return F.when(F.size("_toks") >= L, g).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    grams = [gram_expr(L) for L in lengths]
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda w: F.length(w) > 0
+    )
+    return (
+        web_pages.select("url", toks.alias("_toks"))
+        .select("url", F.explode(F.flatten(F.array(*grams))).alias("phrase"))
+    )
+
+
+def _mention_counts(hits: DataFrame, salt_buckets: int) -> DataFrame:
+    """(ent, url) hits → (ent, n_mentions, n_docs) via two-phase
+    aggregation salted by hash(url): every url lands in exactly ONE
+    salt bucket, so the per-bucket count_distinct is EXACT and hot
+    entities spread over salt_buckets partial groups (J7)."""
+    salted = hits.withColumn(
+        "salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets)).cast("int")
+    )
+    partial = salted.groupBy("ent", "salt").agg(
+        F.count(F.lit(1)).alias("m_part"),
+        F.count_distinct("url").alias("d_part"),
+    )
+    return partial.groupBy("ent").agg(
+        F.sum("m_part").alias("n_mentions"),
+        F.sum("d_part").alias("n_docs"),
+    )
+
+
 def entity_mentions(
     web_pages: DataFrame,
     entities: DataFrame,
     text_col: str = "text",
     salt_buckets: int = 32,
 ) -> DataFrame:
-    """entities(ent) → (ent, n_docs, n_mentions) over the corpus.
-
-    Single-word entities join the token stream; multi-word entities
-    are counted with a substring predicate on the (much rarer) pages
-    that contain their first word — the broadcast-join-then-verify
-    pattern that avoids scanning full text for every entity."""
-    ents = entities.select(F.lower("ent").alias("ent")).distinct().withColumn(
-        "first_word", F.split("ent", " ")[0]
-    )
-    tokens = tokenize_corpus(web_pages, text_col)
-
+    """entities(ent) → (ent, n_mentions, n_docs) over the corpus in a
+    SINGLE pass: the scan projects token n-grams for every entity
+    word-length, broadcast-joins the entity table (map-side, no corpus
+    shuffle), and aggregates with the url-hash salt. The only data
+    ever shuffled is (ent, salt) partial counts."""
+    ents = entities.select(F.lower("ent").alias("ent")).distinct()
+    lengths = _entity_word_lengths(ents)
+    if not lengths:
+        return web_pages.sparkSession.createDataFrame(
+            [], "ent string, n_mentions long, n_docs long"
+        )
     hits = (
-        tokens.join(
-            F.broadcast(ents), tokens.word == ents.first_word, "inner"
-        )
-        .join(
-            web_pages.select("url", F.lower(text_col).alias("_t")), "url"
-        )
-        .filter(
-            (F.size(F.split("ent", " ")) == 1)
-            | F.col("_t").contains(F.col("ent"))
-        )
+        phrase_stream(web_pages, lengths, text_col)
+        .join(F.broadcast(ents), F.col("phrase") == F.col("ent"))
         .select("ent", "url")
     )
-    # two-phase salted aggregation (J7): hot entities spread over
-    # salt_buckets partial groups before the final combine
-    salted = hits.withColumn("salt", F.pmod(F.spark_partition_id(), F.lit(salt_buckets)))
-    partial = salted.groupBy("ent", "salt").agg(
-        F.count(F.lit(1)).alias("m_part"),
-        F.approx_count_distinct("url").alias("d_part"),
+    return _mention_counts(hits, salt_buckets)
+
+
+def entity_mentions_salted_join(
+    web_pages: DataFrame,
+    entities: DataFrame,
+    text_col: str = "text",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """J7 as it actually matters at 100 TB: the skew-safe SHUFFLE join
+    for when the entity side outgrows broadcast. The probe (phrase)
+    side salts deterministically by hash(url); the build (entity) side
+    explodes ×salt_buckets; the join key is (phrase, salt), so a head
+    entity's probe rows land on salt_buckets different reducers
+    instead of hot-spotting one. Results are identical to
+    ``entity_mentions`` (pytest + q35 oracle assert it)."""
+    ents = entities.select(F.lower("ent").alias("ent")).distinct()
+    lengths = _entity_word_lengths(ents)
+    if not lengths:
+        return web_pages.sparkSession.createDataFrame(
+            [], "ent string, n_mentions long, n_docs long"
+        )
+    probe = phrase_stream(web_pages, lengths, text_col).withColumn(
+        "salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets)).cast("int")
     )
-    return partial.groupBy("ent").agg(
-        F.sum("m_part").alias("n_mentions"),
-        F.sum("d_part").alias("n_docs_approx"),
+    build = ents.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
+    hits = probe.hint("shuffle_hash").join(
+        build, (probe.phrase == build.ent) & (probe.salt == build.salt)
+    ).select("ent", "url")
+    return _mention_counts(hits, salt_buckets)
 
 
 def ground_triples(

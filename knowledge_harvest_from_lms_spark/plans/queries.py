@@ -955,6 +955,96 @@ FROM s GROUP BY user_id, sess_id
 
 
 # ---------------------------------------------------------------------------
+# Corpus grounding: single-pass entity mentions (J6) + salted skew JOIN
+# (J7 on a JOIN, not just an aggregation). Same DuckDB oracle for both:
+# proves the salted shuffle join preserves the broadcast join's results.
+# ---------------------------------------------------------------------------
+
+def _mention_entities(docs):
+    """Deterministic entity set derived from the corpus itself: top-6
+    unigrams (len>=4) + top-3 bigrams, by (count desc, phrase asc)."""
+    from ..operators.corpus_grounding import phrase_stream
+
+    uni = (
+        phrase_stream(docs, [1])
+        .filter(F.length("phrase") >= 4)
+        .groupBy("phrase").count()
+        .orderBy(F.desc("count"), "phrase").limit(6)
+    )
+    bi = (
+        phrase_stream(docs, [2])
+        .groupBy("phrase").count()
+        .orderBy(F.desc("count"), "phrase").limit(3)
+    )
+    return uni.select(F.col("phrase").alias("ent")).unionAll(
+        bi.select(F.col("phrase").alias("ent"))
+    )
+
+
+def _docs_as_pages(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+
+
+def q34_entity_mentions(spark, sf_dir):
+    """Single-pass entity mentions (J6): one corpus scan projects the
+    n-gram phrase stream, broadcast-joins a corpus-derived entity set
+    (unigrams + bigrams), and aggregates exact counts through the
+    url-hash salt — the only shuffled data is (ent, salt) partials."""
+    from ..operators.corpus_grounding import entity_mentions
+
+    docs = _docs_as_pages(spark, sf_dir)
+    return entity_mentions(docs, _mention_entities(docs)).select(
+        "ent",
+        F.col("n_mentions").cast("long").alias("n_mentions"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
+def q35_salted_skew_join(spark, sf_dir):
+    """The same mentions computed through the skew-safe SHUFFLE join
+    (entity side exploded ×salt, probe side salted by hash(url)) — for
+    when the entity table outgrows broadcast. Must hash-match q34's
+    oracle exactly."""
+    from ..operators.corpus_grounding import entity_mentions_salted_join
+
+    docs = _docs_as_pages(spark, sf_dir)
+    return entity_mentions_salted_join(docs, _mention_entities(docs)).select(
+        "ent",
+        F.col("n_mentions").cast("long").alias("n_mentions"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
+Q34_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS toks
+  FROM documents),
+u AS (SELECT doc_id, unnest(toks) AS phrase FROM t),
+g AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t),
+b AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS phrase FROM g),
+ents AS (
+  SELECT ent FROM (
+    SELECT phrase AS ent FROM u WHERE len(phrase) >= 4
+    GROUP BY phrase ORDER BY COUNT(*) DESC, phrase LIMIT 6)
+  UNION ALL
+  SELECT ent FROM (
+    SELECT phrase AS ent FROM b
+    GROUP BY phrase ORDER BY COUNT(*) DESC, phrase LIMIT 3)
+),
+p AS (SELECT phrase, doc_id FROM u UNION ALL SELECT phrase, doc_id FROM b)
+SELECT ents.ent AS ent, CAST(COUNT(*) AS BIGINT) AS n_mentions,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM p JOIN ents ON p.phrase = ents.ent
+GROUP BY ents.ent
+"""
+
+Q35_SQL = Q34_SQL  # salted join must reproduce the broadcast-join result
+
+
+# ---------------------------------------------------------------------------
 # Salted two-phase aggregation (J7 skew pattern) — must equal the plain
 # group-by, which IS the oracle: proves salting preserves semantics.
 # ---------------------------------------------------------------------------
@@ -1149,6 +1239,8 @@ QUERIES = {
     "q31_intersect": q31_intersect,
     "q32_except": q32_except,
     "q33_sessionize": q33_sessionize,
+    "q34_entity_mentions": q34_entity_mentions,
+    "q35_salted_skew_join": q35_salted_skew_join,
     "q90_bertnet_prompt_weights": q90_bertnet_prompt_weights,
     "q91_bertnet_triples": q91_bertnet_triples,
     "q92_simhash_pairs": q92_simhash_pairs,
@@ -1195,4 +1287,6 @@ ORACLES = {
     "q31_intersect": Q31_SQL,
     "q32_except": Q32_SQL,
     "q33_sessionize": Q33_SQL,
+    "q34_entity_mentions": Q34_SQL,
+    "q35_salted_skew_join": Q35_SQL,
 }
