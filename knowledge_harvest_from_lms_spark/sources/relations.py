@@ -42,8 +42,16 @@ def relations_from_records(spark: SparkSession, records: list[dict]) -> DataFram
     ]
     # tiny dim table (tens-to-hundreds of rows): one partition, always
     # broadcast downstream — avoids fanning every derived branch into
-    # defaultParallelism near-empty partitions
-    return spark.createDataFrame(rows, RELATION_SCHEMA).coalesce(1)
+    # defaultParallelism near-empty partitions. localCheckpoint cuts
+    # the Python-parallelize lineage: downstream plans branch over this
+    # table many times (pos/neg pairs, per-arity negatives, join-backs)
+    # and would otherwise round-trip the driver rows through a Python
+    # worker once per branch per action (~1-2s each, measured)
+    return (
+        spark.createDataFrame(rows, RELATION_SCHEMA)
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
 
 
 def relations_from_json(spark: SparkSession, path: str) -> DataFrame:
