@@ -34,6 +34,19 @@ def main() -> None:
     p.add_argument("--beam-width", type=int, default=16)
     p.add_argument("--max-ent-subwords", type=int, default=2)
     p.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 16)))
+    p.add_argument(
+        "--export-json", default=None, metavar="DIR",
+        help="also write results in the reference layout "
+             "(results/{rel_set}/{setting}/{model}/{rel}/*.json)",
+    )
+    p.add_argument("--rel-set", default="fixture", help="name for --export-json layout")
+    p.add_argument(
+        "--search-prompts", action="store_true",
+        help="run paraphrase prompt search for relations with no "
+             "searched prompts (uses the deterministic offline "
+             "paraphraser unless a real one is wired in) and write the "
+             "relation_info JSON back next to --export-json",
+    )
     args = p.parse_args()
 
     from knowledge_harvest_from_lms_spark.config import HarvestConfig
@@ -62,6 +75,38 @@ def main() -> None:
         if args.relations
         else fixture_relations(spark)
     )
+    if args.search_prompts:
+        # reference search_prompts.py entry point: fill empty prompt
+        # sets by paraphrase search, persist back to relation_info JSON
+        from knowledge_harvest_from_lms_spark.plans.prompt_search import (
+            search_prompts_for_relations,
+            searched_prompts_table,
+        )
+        from knowledge_harvest_from_lms_spark.sources.results_json import (
+            write_relation_info_json,
+        )
+
+        def offline_paraphraser(sent: str) -> str:
+            # deterministic stand-in; swap for an API client in prod
+            import hashlib
+
+            templates = [
+                "it is known that {s}", "commonly, {s}",
+                "as everyone agrees, {s}", "observers report that {s}",
+            ]
+            k = int(hashlib.blake2b(sent.encode(), digest_size=2).hexdigest(), 16)
+            return templates[k % len(templates)].format(s=sent) + "."
+
+        before = relations
+        relations = search_prompts_for_relations(relations, offline_paraphraser)
+        info_path = os.path.join(
+            args.export_json or args.warehouse, "relation_info", f"{args.rel_set}.json"
+        )
+        write_relation_info_json(
+            relations, info_path,
+            searched_prompts=searched_prompts_table(before, relations),
+        )
+        print(f"searched prompts written back to {info_path}")
     if args.synth_pages:
         pages = synth_web_pages(spark, args.synth_pages)
     elif args.web_pages:
@@ -74,6 +119,20 @@ def main() -> None:
     cat = Catalog(spark, args.warehouse)
     cat.save_triples(out["triples"])
     cat.save_graph(out["edges"], out["vertices"])
+
+    if args.export_json:
+        from knowledge_harvest_from_lms_spark.sources.results_json import (
+            write_reference_results,
+        )
+
+        out_dir = write_reference_results(
+            out["prompt_weights"], out["triples"], args.export_json,
+            rel_set=args.rel_set, model_name=args.lm,
+            max_n_ent_tuples=cfg.max_n_ent_tuples,
+            max_n_prompts=cfg.max_n_prompts,
+            use_init_prompts=cfg.use_init_prompts,
+        )
+        print(f"reference-layout results at {out_dir}")
 
     print(render_summary(out["triples"], top_k=10, sample_k=5))
     print(

@@ -53,3 +53,72 @@ def test_ingest_available_now(spark, tmp_path):
     q4 = ingest_pages(spark, drop, table, ckpt, available_now=True)
     q4.awaitTermination(120)
     assert spark.read.parquet(table).count() == total
+
+
+def test_stateful_mention_counts(spark, tmp_path):
+    """applyInPandasWithState running totals: counts accumulate across
+    micro-batches and re-emit updated rows per trigger."""
+    from pyspark.sql import functions as F
+
+    from knowledge_harvest_from_lms_spark.sources.web_pages import (
+        WEB_PAGES_SCHEMA,
+    )
+    from knowledge_harvest_from_lms_spark.streaming.stateful import (
+        streaming_mention_counts,
+    )
+
+    drop = str(tmp_path / "drop")
+    ckpt = str(tmp_path / "ckpt")
+    ents = spark.createDataFrame([("giraffe",), ("africa",)], "ent string")
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [
+                (url, b"", text, "en", __import__("datetime").datetime(2024, 3, 1))
+                for url, text in rows
+            ],
+            "url string, html binary, text string, lang string, warc_ts timestamp",
+        ).select(*[f.name for f in WEB_PAGES_SCHEMA.fields])
+
+    out_dir = str(tmp_path / "out")
+
+    def run_drain():
+        # foreachBatch parquet sink: recoverable from the checkpoint
+        # (memory sink is not), batch ids keep incrementing across
+        # restarts so emissions stay attributable
+        def sink(df, bid):
+            df.withColumn("batch_id", F.lit(bid)).write.mode("append").parquet(out_dir)
+
+        q = (
+            streaming_mention_counts(
+                spark.readStream.schema(WEB_PAGES_SCHEMA).parquet(drop), ents
+            )
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    batch(
+        [("u1", "the giraffe saw a giraffe in africa"), ("u2", "africa is big")]
+    ).write.mode("append").parquet(drop)
+    run_drain()
+    first = {
+        r.ent: (r.n_mentions, r.n_batches)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert first == {"giraffe": (2, 1), "africa": (2, 1)}
+
+    # second drop: totals must ACCUMULATE through the checkpointed state
+    batch([("u3", "another giraffe appears")]).write.mode("append").parquet(drop)
+    run_drain()
+    out = spark.read.parquet(out_dir)
+    last_bid = out.agg(F.max("batch_id")).collect()[0][0]
+    upd = {
+        r.ent: (r.n_mentions, r.n_batches)
+        for r in out.filter(F.col("batch_id") == last_bid).collect()
+    }
+    # only the entity seen in the new batch re-emits, with running totals
+    assert upd == {"giraffe": (3, 2)}
