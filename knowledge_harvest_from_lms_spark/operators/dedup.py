@@ -180,7 +180,15 @@ def lsh_plan_for_recall(
     the LARGEST p meeting the target — more planes ⇒ more selective
     buckets ⇒ fewer false candidates to verify. (Round-1's single
     12-plane band had recall ≈0.28 at cos 0.95 and ≈0 at 0.5 —
-    VERDICT r1 item 3.)"""
+    VERDICT r1 item 3.)
+
+    Scale caveat: hyperplane LSH is only selective when ``min_cos`` is
+    high. At min_cos=0.5 the derived plan is ~4 planes/table, where a
+    RANDOM pair (cos≈0) still collides in ≥1 of 16 tables with p≈0.64
+    — near-quadratic candidates. Real near-dup thresholds (≥0.9) give
+    16-plane tables with random-pair collision ≈ 1e-3. Use a higher
+    threshold or fewer tables at 100 TB; q94's 0.5 exists to exercise
+    recall at tiny scale."""
     import math
 
     s = 1.0 - math.acos(max(-1.0, min(1.0, min_cos))) / math.pi

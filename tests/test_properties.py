@@ -56,3 +56,45 @@ def test_salted_agg_balances_hot_key(spark):
         final["cnt"] != plain["cnt"]
     )
     assert diff.count() == 0
+
+
+# ---- paraphrase slot-recovery properties (C9) -----------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_TMPL_WORDS = st.lists(
+    st.sampled_from(["relates", "to", "near", "within", "holds", "under"]),
+    min_size=1, max_size=3,
+)
+_ENTS = st.lists(
+    st.sampled_from(["qqfox", "zzbird", "kkfish", "jjwolf", "xxdeer"]),
+    min_size=1, max_size=3, unique=True,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(mid=_TMPL_WORDS, ents=_ENTS)
+def test_recover_slots_round_trip(mid, ents):
+    """recover_slots inverts get_sent whenever each entity occurs
+    exactly once: filling a slotted prompt and recovering slots from
+    the (lowercased) sentence returns the original prompt."""
+    from knowledge_harvest_from_lms_spark.functions.paraphrase import recover_slots
+    from knowledge_harvest_from_lms_spark.functions.textops import get_sent
+
+    slots = [f"<ENT{i}>" for i in range(len(ents))]
+    prompt = (" " + " ".join(mid) + " ").join(slots)
+    sent = get_sent(prompt, list(ents)).lower()
+    assert recover_slots(sent, ents) == prompt
+
+
+@settings(max_examples=60, deadline=None)
+@given(a=st.text(max_size=24), b=st.text(max_size=24))
+def test_fuzz_ratio_properties(a, b):
+    from knowledge_harvest_from_lms_spark.functions.paraphrase import fuzz_ratio
+
+    r = fuzz_ratio(a, b)
+    assert 0 <= r <= 100
+    assert r == fuzz_ratio(b, a)
+    if a == b:
+        assert r == 100

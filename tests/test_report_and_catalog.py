@@ -50,3 +50,43 @@ def test_catalog_roundtrip(spark, tmp_path):
     # dynamic partition overwrite: rewriting relA leaves row count stable
     cat.save_triples(t.filter(F.col("rank") <= 10))
     assert cat.load("triples").count() == 10
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Identically bucketed tables must sort-merge join with NO
+    Exchange on either side — the co-located-join layout for url-keyed
+    joins at 100TB."""
+    from pyspark.sql import functions as F
+
+    from knowledge_harvest_from_lms_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    pages = spark.range(500).select(
+        F.concat(F.lit("http://x/"), F.col("id").cast("string")).alias("url"),
+        F.lit("text body").alias("text"),
+    )
+    stats = spark.range(500).select(
+        F.concat(F.lit("http://x/"), F.col("id").cast("string")).alias("url"),
+        (F.col("id") % 7).alias("quality"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    try:
+        # at 100TB neither side broadcasts; force the same regime here
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        cat.save_bucketed(pages, "pages", "url", n_buckets=8)
+        cat.save_bucketed(stats, "stats", "url", n_buckets=8)
+        joined = cat.load_bucketed("pages").join(cat.load_bucketed("stats"), "url")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        if prev_aqe is not None:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS kg_pages")
+        spark.sql("DROP TABLE IF EXISTS kg_stats")

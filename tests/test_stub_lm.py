@@ -67,3 +67,62 @@ def test_allowed_token_mask():
     # specials like <mask> contain punctuation -> disallowed
     assert not mask[0]
     assert mask.sum() > 10
+
+
+def test_token_mask_payload_round_trip():
+    import numpy as np
+
+    from knowledge_harvest_from_lms_spark.lm import (
+        build_stub_lm,
+        token_mask_payload,
+        unpack_token_masks,
+    )
+
+    payload = token_mask_payload("stub")
+    assert payload is not None
+    char_ok, banned = unpack_token_masks(payload)
+    lm = build_stub_lm()
+    assert payload[0] == lm.vocab_size
+    np.testing.assert_array_equal(char_ok, lm.allowed_token_mask())
+    expect_banned = np.zeros(lm.vocab_size, dtype=bool)
+    expect_banned[lm.banned_ids] = True
+    np.testing.assert_array_equal(banned, expect_banned)
+
+
+def test_expand_fn_payload_equals_fallback():
+    """make_expand_fn must produce identical children whether the token
+    masks come packed in the closure (driver precompute) or from the
+    worker-side memoized scan (fallback)."""
+    import pandas as pd
+
+    from knowledge_harvest_from_lms_spark.lm import token_mask_payload
+    from knowledge_harvest_from_lms_spark.operators.beam_search import make_expand_fn
+
+    rel_info = {
+        "AtLocation": {
+            "prompts": [("<ENT0> is located in <ENT1> .", 0.6),
+                        ("You find <ENT0> in <ENT1> .", 0.4)],
+            "n_ents": 2,
+        }
+    }
+    pdf = pd.DataFrame(
+        {
+            "rel": ["AtLocation"],
+            "t": [0],
+            "n_masks": [[1, 1]],
+            "ent_idx": [0],
+            "ents": [[]],
+            "ent_logprobs": [[]],
+            "token_ids": [[]],
+            "token_logprobs": [[]],
+        }
+    )
+    with_payload = make_expand_fn(
+        "stub", 42, rel_info, width=6, mask_payload=token_mask_payload("stub")
+    )
+    fallback = make_expand_fn("stub", 42, rel_info, width=6, mask_payload=None)
+    a = pd.concat(list(with_payload([pdf.copy()])), ignore_index=True)
+    b = pd.concat(list(fallback([pdf.copy()])), ignore_index=True)
+    # width 6 minus completions rejected by the F4-F8 entity filters
+    assert 1 <= len(a) <= 6
+    pd.testing.assert_frame_equal(a, b)
