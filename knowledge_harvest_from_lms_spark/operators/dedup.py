@@ -65,6 +65,34 @@ def minhash_near_dup_pairs(
     )
 
 
+def dedup_documents(
+    docs: DataFrame, text_col: str, id_col: str, sim_threshold: float = 0.8,
+    prefix_chars: int = 512,
+) -> DataFrame:
+    """(doc_id, canonical_id, is_duplicate) — the keep/drop decision a
+    training-data pipeline actually consumes: MinHash-LSH near-dup
+    PAIRS are collapsed into clusters by label propagation
+    (graph.canonical_map, pointer-doubled), and the lowest doc_id in
+    each cluster is the keeper. Ids are zero-padded for the label
+    propagation (its min() is lexicographic) and cast back."""
+    from .graph import canonical_map
+
+    pad = "%020d"
+    ents = docs.select(F.format_string(pad, F.col(id_col)).alias("ent"))
+    pairs = minhash_near_dup_pairs(
+        docs, text_col, id_col, sim_threshold, prefix_chars
+    ).select(
+        F.format_string(pad, "id_a").alias("ent_a"),
+        F.format_string(pad, "id_b").alias("ent_b"),
+    )
+    cmap = canonical_map(ents, pairs)
+    return cmap.select(
+        F.col("ent").cast("long").alias(id_col),
+        F.col("canonical").cast("long").alias("canonical_id"),
+        (F.col("ent") != F.col("canonical")).alias("is_duplicate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash (64-bit) + banded hamming pairs
 # ---------------------------------------------------------------------------

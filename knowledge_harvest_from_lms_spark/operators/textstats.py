@@ -35,6 +35,19 @@ def token_count(text: Column) -> Column:
     return F.size(words(text))
 
 
+# GPT-2-style pre-tokenizer approximation (contractions, letter runs,
+# digit runs, punct runs — each optionally space-prefixed). ASCII
+# classes only so the Java and DuckDB (RE2) regex engines agree.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Subword-ish token count via the BPE pre-tokenizer regex — the
+    cheap LM-token estimator for training-data budgeting (whitespace
+    counts undercount punctuation-heavy web text)."""
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN))
+
+
 def type_token_ratio(text: Column) -> Column:
     w = words(text)
     return F.round(F.size(F.array_distinct(w)) / F.size(w), 4)

@@ -412,8 +412,13 @@ def q14_ngram_jaccard_pairs(spark, sf_dir):
     )
     inter = F.size(F.array_intersect("ga", "gb"))
     union = F.size(F.array_union("ga", "gb"))
+    # lossless prefilter: jaccard <= min(|a|,|b|)/max(|a|,|b|), so pairs
+    # failing the size-ratio bound can't reach 0.3 — skips the O(n·m)
+    # intersect for most candidates without changing the result
+    sa, sb = F.size("ga"), F.size("gb")
     return (
-        pairs.withColumn("jac", F.round(inter / union, 4))
+        pairs.filter(F.least(sa, sb) >= 0.3 * F.greatest(sa, sb))
+        .withColumn("jac", F.round(inter / union, 4))
         .filter(F.col("jac") >= 0.3)
         .select("ia", "ib", "jac")
     )
@@ -955,6 +960,43 @@ FROM s GROUP BY user_id, sess_id
 
 
 # ---------------------------------------------------------------------------
+# BPE-ish token counting (LM-token budgeting for training data)
+# ---------------------------------------------------------------------------
+
+def q36_bpe_token_count(spark, sf_dir):
+    """Whitespace vs BPE-pre-tokenizer token counts per language —
+    the LM-token budget estimator over the documents table."""
+    from ..operators.textstats import bpe_token_count, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        token_count(F.col("text")).alias("ws"),
+        bpe_token_count(F.col("text")).alias("bpe"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.sum("ws").cast("long").alias("ws_tokens"),
+        F.sum("bpe").cast("long").alias("bpe_tokens"),
+        F.round(F.avg(F.col("bpe") / F.col("ws")), 4).alias("avg_ratio"),
+    )
+
+
+Q36_SQL = r"""
+WITH t AS (
+  SELECT lang,
+         len(string_split(text, ' ')) AS ws,
+         len(regexp_extract_all(text,
+             '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+             AS bpe
+  FROM documents)
+SELECT lang, CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+       CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+       ROUND(AVG(CAST(bpe AS DOUBLE) / ws), 4) AS avg_ratio
+FROM t GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # Corpus grounding: single-pass entity mentions (J6) + salted skew JOIN
 # (J7 on a JOIN, not just an aggregation). Same DuckDB oracle for both:
 # proves the salted shuffle join preserves the broadcast join's results.
@@ -1100,11 +1142,14 @@ def q92_simhash_pairs(spark, sf_dir):
 
 def q93_minhash_dedup_pairs(spark, sf_dir):
     """MinHash-LSH near-dup candidate pairs over documents (xxhash64
-    signatures; rows-only check)."""
+    signatures; rows-only check). Threshold 0.8: the synthetic docs
+    are template-generated, so lower thresholds legitimately match
+    most of the corpus to itself (r2: minhash recall fix surfaced
+    this — the r1 numbers reflected a broken signature)."""
     from ..operators.dedup import minhash_near_dup_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_near_dup_pairs(docs, "text", "doc_id", sim_threshold=0.5)
+    return minhash_near_dup_pairs(docs, "text", "doc_id", sim_threshold=0.8)
 
 
 def q94_embedding_near_dup(spark, sf_dir):
@@ -1241,6 +1286,7 @@ QUERIES = {
     "q33_sessionize": q33_sessionize,
     "q34_entity_mentions": q34_entity_mentions,
     "q35_salted_skew_join": q35_salted_skew_join,
+    "q36_bpe_token_count": q36_bpe_token_count,
     "q90_bertnet_prompt_weights": q90_bertnet_prompt_weights,
     "q91_bertnet_triples": q91_bertnet_triples,
     "q92_simhash_pairs": q92_simhash_pairs,
@@ -1289,4 +1335,5 @@ ORACLES = {
     "q33_sessionize": Q33_SQL,
     "q34_entity_mentions": Q34_SQL,
     "q35_salted_skew_join": Q35_SQL,
+    "q36_bpe_token_count": Q36_SQL,
 }

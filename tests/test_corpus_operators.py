@@ -293,3 +293,29 @@ def test_ivf_topk_recall(spark):
     )
     s = {(r.query_id, r.item_id) for r in sampled.collect()}
     assert len(e & s) / len(e) >= 0.6
+
+
+def test_dedup_documents_clusters(spark):
+    """Near-dup cluster collapses to the min doc_id; uniques keep
+    themselves."""
+    from knowledge_harvest_from_lms_spark.operators.dedup import dedup_documents
+
+    base = (
+        "spark engines shuffle data between executors when joins or "
+        "aggregations repartition by key across the cluster nodes"
+    )
+    rows = [
+        (100, base),
+        (205, base.replace("executors", "executor")),   # near-dup of 100
+        (33, base.replace("spark", "flink")),           # near-dup of 100
+        (7, "a completely different very short text about giraffes"),
+        (9, "numbers and symbols 12345 #!? nothing like the others here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.canonical_id, r.is_duplicate)
+           for r in dedup_documents(docs, "text", "doc_id", sim_threshold=0.6).collect()}
+    assert out[33] == (33, False)       # min id of the cluster keeps itself
+    assert out[100] == (33, True)
+    assert out[205] == (33, True)
+    assert out[7] == (7, False)
+    assert out[9] == (9, False)
