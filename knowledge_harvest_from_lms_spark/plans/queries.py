@@ -1152,6 +1152,16 @@ def q93_minhash_dedup_pairs(spark, sf_dir):
     return minhash_near_dup_pairs(docs, "text", "doc_id", sim_threshold=0.8)
 
 
+def q37_dedup_documents(spark, sf_dir):
+    """Document keep/drop decisions: minhash near-dup pairs collapsed
+    to clusters by label propagation; min doc_id kept per cluster
+    (rows-only: LSH banding is not SQL-expressible)."""
+    from ..operators.dedup import dedup_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_documents(docs, "text", "doc_id", sim_threshold=0.8)
+
+
 def q94_embedding_near_dup(spark, sf_dir):
     """Hyperplane-bucketed embedding near-dup pairs (rows-only)."""
     from ..operators.dedup import embedding_near_dup_pairs
@@ -1287,6 +1297,7 @@ QUERIES = {
     "q34_entity_mentions": q34_entity_mentions,
     "q35_salted_skew_join": q35_salted_skew_join,
     "q36_bpe_token_count": q36_bpe_token_count,
+    "q37_dedup_documents": q37_dedup_documents,
     "q90_bertnet_prompt_weights": q90_bertnet_prompt_weights,
     "q91_bertnet_triples": q91_bertnet_triples,
     "q92_simhash_pairs": q92_simhash_pairs,
