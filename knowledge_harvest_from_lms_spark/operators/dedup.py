@@ -43,26 +43,42 @@ def minhash_near_dup_pairs(
     prefix_chars: int = 512,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) candidate near-duplicates via the same
-    banding machinery as entity canonicalization (operators/graph.py)."""
-    ents = docs.select(
-        F.col(id_col).cast("string").alias("_docid"),
+    banding machinery as entity canonicalization (operators/graph.py).
+
+    LSH runs over DISTINCT prefixes (exact duplicates would otherwise
+    flood the buckets); pairs then map back to EVERY doc id carrying
+    each prefix, and byte-identical prefixes additionally pair with
+    their group minimum at jaccard 1.0 — so exact duplicates are
+    reported, not silently collapsed (r2 fix)."""
+    from pyspark.sql import Window as W
+
+    ids = docs.select(
+        F.col(id_col).cast("long").alias("_docid"),
         F.substring(F.col(text_col), 1, prefix_chars).alias("ent"),
     )
-    # reuse LSH over text prefixes; map back to ids afterwards
-    sig = ents.withColumn("grams", char_shingles(F.col("ent")))
     pairs = lsh_candidate_pairs(
-        sig.select("ent"), sim_threshold=sim_threshold
+        ids.select("ent").distinct(), sim_threshold=sim_threshold
     )
-    ids = sig.select("_docid", "ent").dropDuplicates(["ent"])
-    return (
-        pairs.join(ids.select(F.col("ent").alias("ent_a"), F.col("_docid").alias("id_a")), "ent_a")
-        .join(ids.select(F.col("ent").alias("ent_b"), F.col("_docid").alias("id_b")), "ent_b")
+    near = (
+        pairs.join(ids.select(F.col("ent").alias("ent_a"), F.col("_docid").alias("ia")), "ent_a")
+        .join(ids.select(F.col("ent").alias("ent_b"), F.col("_docid").alias("ib")), "ent_b")
         .select(
-            F.col("id_a").cast("long").alias("id_a"),
-            F.col("id_b").cast("long").alias("id_b"),
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
             "jaccard",
         )
     )
+    grp = W.partitionBy("ent")
+    exact = (
+        ids.withColumn("_min", F.min("_docid").over(grp))
+        .filter(F.col("_docid") != F.col("_min"))
+        .select(
+            F.col("_min").alias("id_a"),
+            F.col("_docid").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return near.unionByName(exact).dropDuplicates(["id_a", "id_b"])
 
 
 def dedup_documents(

@@ -1,0 +1,91 @@
+"""Incremental harvest support: streaming corpus grounding.
+
+New crawl drops arrive as a stream; harvested triples are a static
+(small) table. Per micro-batch we update per-entity running mention
+totals through the stateful operator (`streaming/stateful.py`) and
+upsert them into a parquet totals table via foreachBatch — the
+standard streaming-upsert + batch-view pattern (Iceberg MERGE INTO in
+production; idempotent overwrite-by-entity here). `grounded_view`
+then answers "which triples have corpus support ≥ k AS OF the pages
+seen so far" without ever rescanning old drops.
+
+Scale shape: state and the totals table are keyed by harvested
+entities (≤ rels × max_n_ent_tuples × arity — bounded by harvest
+config, NOT by the corpus), so the upsert is small however many pages
+stream through.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .stateful import streaming_mention_counts
+
+
+def triple_entities(triples: DataFrame) -> DataFrame:
+    return triples.select(
+        F.explode("ents").alias("ent")
+    ).select(F.lower("ent").alias("ent")).distinct()
+
+
+def start_incremental_grounding(
+    spark: SparkSession,
+    pages_stream: DataFrame,
+    triples: DataFrame,
+    totals_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+):
+    """Start (availableNow) the totals-upsert stream; returns the
+    StreamingQuery. Totals are ABSOLUTE running counts (the stateful
+    operator carries them), so the upsert is idempotent: replace each
+    emitted entity's row, keep the rest."""
+    counts = streaming_mention_counts(pages_stream, triple_entities(triples), text_col)
+
+    def upsert(batch_df, _bid):
+        batch_df = batch_df.coalesce(1)
+        if os.path.exists(os.path.join(totals_path, "_SUCCESS")):
+            old = batch_df.sparkSession.read.parquet(totals_path)
+            merged = old.join(batch_df.select("ent"), "ent", "left_anti").unionByName(
+                batch_df
+            )
+        else:
+            merged = batch_df
+        tmp = totals_path.rstrip("/") + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        out = batch_df.sparkSession.read.parquet(tmp)
+        out.write.mode("overwrite").parquet(totals_path)
+
+    return (
+        counts.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def grounded_view(
+    spark: SparkSession, triples: DataFrame, totals_path: str, min_mentions: int = 1
+) -> DataFrame:
+    """Triples whose EVERY entity has ≥ min_mentions in the totals
+    accumulated so far; attaches min/total support (the batch analog
+    of operators/corpus_grounding.ground_triples over the stream)."""
+    totals = spark.read.parquet(totals_path).select("ent", "n_mentions")
+    exploded = triples.select(
+        "rel", "ents", "weight", F.explode("ents").alias("ent")
+    ).withColumn("ent", F.lower("ent"))
+    joined = exploded.join(F.broadcast(totals), "ent", "left").withColumn(
+        "n_mentions", F.coalesce("n_mentions", F.lit(0))
+    )
+    return (
+        joined.groupBy("rel", "ents", "weight")
+        .agg(
+            F.min("n_mentions").alias("min_ent_mentions"),
+            F.sum("n_mentions").alias("total_mentions"),
+        )
+        .filter(F.col("min_ent_mentions") >= min_mentions)
+    )

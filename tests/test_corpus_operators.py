@@ -308,6 +308,7 @@ def test_dedup_documents_clusters(spark):
         (100, base),
         (205, base.replace("executors", "executor")),   # near-dup of 100
         (33, base.replace("spark", "flink")),           # near-dup of 100
+        (400, base),                                    # EXACT dup of 100
         (7, "a completely different very short text about giraffes"),
         (9, "numbers and symbols 12345 #!? nothing like the others here"),
     ]
@@ -317,5 +318,6 @@ def test_dedup_documents_clusters(spark):
     assert out[33] == (33, False)       # min id of the cluster keeps itself
     assert out[100] == (33, True)
     assert out[205] == (33, True)
+    assert out[400] == (33, True)       # exact dup joins the same cluster
     assert out[7] == (7, False)
     assert out[9] == (9, False)

@@ -122,3 +122,54 @@ def test_stateful_mention_counts(spark, tmp_path):
     }
     # only the entity seen in the new batch re-emits, with running totals
     assert upd == {"giraffe": (3, 2)}
+
+
+def test_incremental_grounding(spark, tmp_path):
+    """New crawl drops incrementally raise entity support: a triple
+    crosses min_mentions only once enough pages have streamed in —
+    without rescanning earlier drops."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from knowledge_harvest_from_lms_spark.sources.web_pages import WEB_PAGES_SCHEMA
+    from knowledge_harvest_from_lms_spark.streaming.incremental import (
+        grounded_view,
+        start_incremental_grounding,
+    )
+
+    drop = str(tmp_path / "drop")
+    ckpt = str(tmp_path / "ckpt")
+    totals = str(tmp_path / "totals")
+    triples = spark.createDataFrame(
+        [("AtLocation", ["giraffe", "africa"], 0.9),
+         ("AtLocation", ["unicorn", "atlantis"], 0.1)],
+        "rel string, ents array<string>, weight double",
+    )
+
+    def write_drop(rows):
+        spark.createDataFrame(
+            [(u, b"", t, "en", __import__("datetime").datetime(2024, 3, 1))
+             for u, t in rows],
+            "url string, html binary, text string, lang string, warc_ts timestamp",
+        ).select(*[f.name for f in WEB_PAGES_SCHEMA.fields]).write.mode(
+            "append"
+        ).parquet(drop)
+
+    def drain():
+        q = start_incremental_grounding(
+            spark, spark.readStream.schema(WEB_PAGES_SCHEMA).parquet(drop),
+            triples, totals, ckpt,
+        )
+        q.awaitTermination(120)
+
+    # drop 1: giraffe appears, africa does not -> triple ungrounded
+    write_drop([("u1", "a giraffe was seen"), ("u2", "nothing else here")])
+    drain()
+    g1 = grounded_view(spark, triples, totals, min_mentions=1).collect()
+    assert g1 == []
+
+    # drop 2: africa appears -> (giraffe, africa) grounded; unicorn never
+    write_drop([("u3", "africa has a giraffe too")])
+    drain()
+    g2 = {tuple(r.ents): (r.min_ent_mentions, r.total_mentions)
+          for r in grounded_view(spark, triples, totals, min_mentions=1).collect()}
+    assert g2 == {("giraffe", "africa"): (1, 3)}
