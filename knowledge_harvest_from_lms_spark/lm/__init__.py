@@ -38,26 +38,41 @@ def token_mask_payload(name: str, seed: int = 42) -> tuple[int, bytes, bytes] | 
     For HF names only the *tokenizer* is loaded on the driver (never
     the model weights). Returns None when the masks can't be built here
     (e.g. no ``transformers`` on the driver) — workers then fall back
-    to the memoized per-process scan."""
+    to the memoized per-process scan. Memoized per (name, seed): the
+    full-vocab decode scan runs once per driver process, not once per
+    search. Masks are sized to cover added special tokens whose ids
+    sit at/above ``tok.vocab_size`` (e.g. DeBERTa-v3's [MASK])."""
+    key = (name, seed)
+    if key in _PAYLOAD_CACHE:
+        return _PAYLOAD_CACHE[key]
     try:
         if name == "stub":
             lm = get_cached_stub_lm(seed=seed)
             char_ok = lm.allowed_token_mask()
             vocab = lm.vocab_size
-            banned_ids = lm.banned_ids
+            banned_ids = np.asarray(lm.banned_ids, dtype=np.int64)
         else:
             from .hf import tokenizer_token_masks
 
             vocab, char_ok, banned_ids = tokenizer_token_masks(name)
+            banned_ids = np.asarray(banned_ids, dtype=np.int64)
+        size = int(max(vocab, (banned_ids.max() + 1) if banned_ids.size else 0))
+        full_char = np.zeros(size, dtype=bool)
+        full_char[: len(char_ok)] = char_ok
+        banned = np.zeros(size, dtype=bool)
+        banned[banned_ids] = True
+        payload = (
+            size,
+            np.packbits(full_char).tobytes(),
+            np.packbits(banned).tobytes(),
+        )
     except Exception:
-        return None
-    banned = np.zeros(vocab, dtype=bool)
-    banned[np.asarray(banned_ids, dtype=np.int64)] = True
-    return (
-        int(vocab),
-        np.packbits(char_ok).tobytes(),
-        np.packbits(banned).tobytes(),
-    )
+        payload = None
+    _PAYLOAD_CACHE[key] = payload
+    return payload
+
+
+_PAYLOAD_CACHE: dict[tuple[str, int], tuple[int, bytes, bytes] | None] = {}
 
 
 def unpack_token_masks(payload: tuple[int, bytes, bytes]) -> tuple[np.ndarray, np.ndarray]:

@@ -139,6 +139,30 @@ def make_expand_fn(
             cand_ok &= ground
         neg_inf = -float("inf")
         all_cand_ids = np.nonzero(cand_ok)[0]
+        fitted = [len(cand_ok)]
+
+        def fit_width(n: int):
+            """Fit the masks to the model-head width: some HF models pad
+            the embedding matrix past tok.vocab_size (DeBERTa-v3 etc.),
+            so logits can be wider than tokenizer-derived masks. Padded
+            ids keep reference normalization (NOT -inf'd — the
+            reference only bans tokenizer ids) but are never selectable
+            candidates."""
+            nonlocal banned, cand_ok, all_cand_ids
+            if fitted[0] == n:
+                return
+
+            def fit(mask):
+                if len(mask) >= n:
+                    return mask[:n]
+                out = np.zeros(n, dtype=bool)
+                out[: len(mask)] = mask
+                return out
+
+            banned = fit(banned)
+            cand_ok = fit(cand_ok)
+            all_cand_ids = np.nonzero(cand_ok)[0]
+            fitted[0] = n
 
         for pdf in batches:
             out = {c: [] for c in pdf.columns}
@@ -193,6 +217,8 @@ def make_expand_fn(
                 row_meta.append((row, level_prompts, jobs, wsum))
 
             all_logits = lm.mask_logits_batch(texts)
+            if texts:
+                fit_width(int(all_logits[0].shape[-1]))
 
             # ---- pass 2: combine, normalize, select, filter ----
             for row, level_prompts, jobs, wsum in row_meta:

@@ -57,21 +57,22 @@ def lsh_candidate_pairs(
 
     Banding: equal band-hash → candidate; candidates verified with
     exact 3-gram Jaccard (JVM array ops). Rows-per-band derive from
-    the threshold (r = largest with t^r ≥ 1/4), so a pair AT the
-    threshold collides per band with ≥25% and across b = n_hashes/r
-    bands with ≥ 1-(3/4)^b (0.99 for 32 hashes at t=0.5) — a fixed
-    8×4 banding had only ~0.89 recall at t=0.7 and ~0.4 at t=0.5."""
-    import math
-
+    the threshold: the LARGEST r (most selective buckets) whose
+    candidate recall for a pair AT the threshold,
+    1-(1-t^r)^(n_hashes//r), stays ≥ 0.9 — e.g. r=2/b=16 at t=0.5,
+    r=3/b=10 at t=0.7, r=7/b=4 at t=0.9 (a fixed 8×4 banding had only
+    ~0.89 recall at t=0.7 and ~0.4 at t=0.5; and deriving b first then
+    recomputing rows = n_hashes//b inflated r past the guarantee)."""
     if n_bands is None:
-        r = (
-            max(1, int(math.log(4.0) / math.log(1.0 / sim_threshold)))
-            if 0.0 < sim_threshold < 1.0
-            else 4
-        )
-        r = min(r, n_hashes)
-        n_bands = max(1, n_hashes // r)
-    rows = n_hashes // n_bands
+        rows = 1
+        for r in range(min(n_hashes, 30), 0, -1):
+            b = n_hashes // r
+            if (1.0 - sim_threshold**r) ** b <= 0.1:
+                rows = r
+                break
+        n_bands = max(1, n_hashes // rows)
+    else:
+        rows = n_hashes // n_bands
     sig = (
         ents.select("ent")
         .withColumn("grams", char_shingles(F.col("ent")))

@@ -17,8 +17,6 @@ stream through.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -46,18 +44,26 @@ def start_incremental_grounding(
     counts = streaming_mention_counts(pages_stream, triple_entities(triples), text_col)
 
     def upsert(batch_df, _bid):
+        sess = batch_df.sparkSession
         batch_df = batch_df.coalesce(1)
-        if os.path.exists(os.path.join(totals_path, "_SUCCESS")):
-            old = batch_df.sparkSession.read.parquet(totals_path)
+        # existence via the Spark reader, NOT driver-local os.path —
+        # totals_path may be s3a://... / hdfs://... in production
+        try:
+            old = sess.read.parquet(totals_path)
             merged = old.join(batch_df.select("ent"), "ent", "left_anti").unionByName(
                 batch_df
             )
-        else:
+        except Exception:  # AnalysisException: path does not exist
             merged = batch_df
+        # stage through a tmp dir: merged READS totals_path, so it can't
+        # be overwritten in the same job
         tmp = totals_path.rstrip("/") + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        out = batch_df.sparkSession.read.parquet(tmp)
-        out.write.mode("overwrite").parquet(totals_path)
+        sess.read.parquet(tmp).write.mode("overwrite").parquet(totals_path)
+        jvm = sess._jvm
+        hconf = sess._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(tmp)
+        p.getFileSystem(hconf).delete(p, True)
 
     return (
         counts.writeStream.foreachBatch(upsert)

@@ -60,15 +60,22 @@ def streaming_mention_counts(
     """pages stream (url, text, ...) × static entities(ent) →
     streaming (ent, n_mentions, n_batches) with running totals.
 
-    The static entity side broadcast-joins the exploded token stream
-    (stream-static joins are stateless); only matched (ent, count)
-    partials reach the stateful operator."""
+    The static entity side broadcast-joins the page stream's n-gram
+    phrase stream (same generator as the batch operator, so multi-word
+    entities count identically; stream-static joins are stateless);
+    only matched (ent, count) partials reach the stateful operator."""
+    from ..operators.corpus_grounding import (
+        _entity_word_lengths,
+        phrase_stream,
+    )
+
     ents = entities.select(F.lower("ent").alias("ent")).distinct()
-    tokens = pages_stream.select(
-        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word")
-    ).filter(F.length("word") > 0)
-    matched = tokens.join(
-        F.broadcast(ents), tokens.word == ents.ent
+    lengths = _entity_word_lengths(ents)  # static side: driver-safe
+    phrases = phrase_stream(
+        pages_stream.select("url", F.col(text_col)), lengths or [1], text_col
+    )
+    matched = phrases.join(
+        F.broadcast(ents), phrases.phrase == ents.ent
     ).select("ent", F.lit(1).alias("n"))
     return matched.groupBy("ent").applyInPandasWithState(
         _update_counts,

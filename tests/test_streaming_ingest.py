@@ -69,7 +69,11 @@ def test_stateful_mention_counts(spark, tmp_path):
 
     drop = str(tmp_path / "drop")
     ckpt = str(tmp_path / "ckpt")
-    ents = spark.createDataFrame([("giraffe",), ("africa",)], "ent string")
+    # incl. a multi-word entity: the stream must count n-gram phrases
+    # exactly like the batch operator, not just unigrams
+    ents = spark.createDataFrame(
+        [("giraffe",), ("africa",), ("is big",)], "ent string"
+    )
 
     def batch(rows):
         return spark.createDataFrame(
@@ -109,7 +113,7 @@ def test_stateful_mention_counts(spark, tmp_path):
         r.ent: (r.n_mentions, r.n_batches)
         for r in spark.read.parquet(out_dir).collect()
     }
-    assert first == {"giraffe": (2, 1), "africa": (2, 1)}
+    assert first == {"giraffe": (2, 1), "africa": (2, 1), "is big": (1, 1)}
 
     # second drop: totals must ACCUMULATE through the checkpointed state
     batch([("u3", "another giraffe appears")]).write.mode("append").parquet(drop)
