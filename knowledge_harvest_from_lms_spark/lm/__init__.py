@@ -12,10 +12,16 @@ __all__ = [
 
 
 def resolve_lm(name: str, seed: int = 42) -> MaskedLM:
-    """Per-executor LM resolution: 'stub' → deterministic StubMLM
-    singleton; anything else → HuggingFace model name (import-gated)."""
+    """Per-executor LM resolution: 'stub' → deterministic word-level
+    StubMLM singleton; 'fake' → deterministic SUBWORD backend riding
+    the real HFMaskedLM code paths (lm/fake.py, torch-less); anything
+    else → HuggingFace model name (import-gated)."""
     if name == "stub":
         return get_cached_stub_lm(seed=seed)
+    if name == "fake":
+        from .fake import get_cached_fake_lm
+
+        return get_cached_fake_lm(seed=seed)
     from .hf import get_cached_hf_lm
 
     return get_cached_hf_lm(name)
@@ -46,8 +52,8 @@ def token_mask_payload(name: str, seed: int = 42) -> tuple[int, bytes, bytes] | 
     if key in _PAYLOAD_CACHE:
         return _PAYLOAD_CACHE[key]
     try:
-        if name == "stub":
-            lm = get_cached_stub_lm(seed=seed)
+        if name in ("stub", "fake"):
+            lm = resolve_lm(name, seed)
             char_ok = lm.allowed_token_mask()
             vocab = lm.vocab_size
             banned_ids = np.asarray(lm.banned_ids, dtype=np.int64)
