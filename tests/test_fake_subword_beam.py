@@ -87,3 +87,25 @@ def test_subword_beam_deterministic_across_partitionings(spark):
     ka = sorted((r.rel, tuple(r.ents), round(r.min_logprob, 9)) for r in a)
     kb = sorted((r.rel, tuple(r.ents), round(r.min_logprob, 9)) for r in b)
     assert ka == kb
+
+
+def test_fake_full_harvest(spark):
+    """Whole pipeline (prompt weighting -> beam -> word cap ->
+    rescoring) over the subword backend: PLL row plans, packed
+    scoring and casing variants all run through HFMaskedLM code."""
+    from knowledge_harvest_from_lms_spark.plans.harvest import harvest
+
+    rels = fixture_relations(spark).filter("rel = 'AtLocation'")
+    cfg = HarvestConfig(
+        max_n_ent_tuples=6, token_beam_width=5, max_ent_subwords=2,
+        shuffle_partitions=8, lm="fake",
+    )
+    out = harvest(spark, rels, cfg)
+    pw = out["prompt_weights"].collect()
+    assert pw and abs(sum(r.weight for r in pw) - 1.0) < 1e-9
+    triples = out["triples"].collect()
+    assert triples
+    ranks = sorted(r.rank for r in triples)
+    assert ranks == list(range(1, len(ranks) + 1))
+    w = sum(r.weight for r in triples)
+    assert abs(w - 1.0) < 1e-9  # A5 softmax over tuple scores
