@@ -100,6 +100,47 @@ class Catalog:
     def load_bucketed(self, table: str) -> DataFrame:
         return self.spark.read.table(f"{self.namespace}_{table}")
 
+    # --- Iceberg DDL (the production layout, runnable where jars exist) ---
+
+    def iceberg_ddl(self) -> dict[str, str]:
+        """The exact CREATE TABLE statements a jar-equipped cluster
+        runs for this engine's tables — partition transforms match the
+        parquet fallback's directory layout (days(warc_ts) / rel /
+        bucket(url)), so data written here is drop-in migratable."""
+        ns = self.namespace
+        loc = self.warehouse
+        return {
+            "web_pages": (
+                f"CREATE TABLE IF NOT EXISTS {ns}.web_pages (\n"
+                "  url STRING, warc_ts TIMESTAMP, html BINARY,\n"
+                "  text STRING, lang STRING)\n"
+                "USING iceberg\n"
+                "PARTITIONED BY (days(warc_ts), bucket(256, url))\n"
+                f"LOCATION '{loc}/{ns}/web_pages'\n"
+                "TBLPROPERTIES ('write.distribution-mode'='hash',\n"
+                "  'write.target-file-size-bytes'='268435456')"
+            ),
+            "triples": (
+                f"CREATE TABLE IF NOT EXISTS {ns}.triples (\n"
+                "  rel STRING, ents ARRAY<STRING>, score DOUBLE,\n"
+                "  weight DOUBLE, rank INT)\n"
+                "USING iceberg\nPARTITIONED BY (rel)\n"
+                f"LOCATION '{loc}/{ns}/triples'"
+            ),
+            "edges": (
+                f"CREATE TABLE IF NOT EXISTS {ns}.edges (\n"
+                "  src STRING, rel STRING, dst STRING, weight DOUBLE,\n"
+                "  n_mentions BIGINT, src_id BIGINT, dst_id BIGINT)\n"
+                "USING iceberg\nPARTITIONED BY (rel)\n"
+                f"LOCATION '{loc}/{ns}/edges'"
+            ),
+            "vertices": (
+                f"CREATE TABLE IF NOT EXISTS {ns}.vertices (\n"
+                "  ent_id BIGINT, ent STRING)\nUSING iceberg\n"
+                f"LOCATION '{loc}/{ns}/vertices'"
+            ),
+        }
+
     def save_triples(self, triples: DataFrame) -> None:
         self.save(triples, "triples", partition_by=["rel"])
 

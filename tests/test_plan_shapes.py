@@ -147,3 +147,53 @@ def test_salted_join_spreads_hot_key(spark):
         .select("salt").distinct().count()
     )
     assert n_salts >= 2
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Session config must let AQE split skewed partitions in a
+    sort-merge join (the 100TB head-entity regime): one hot key
+    carrying ~90% of the probe side gets partitioned into multiple
+    tasks instead of one straggler."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    prev = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        big = spark.range(400_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(
+                F.concat(F.lit("k"), (F.col("id") % 97).cast("string"))
+            ).alias("k"),
+            F.repeat(F.lit("x"), 64).alias("pad"),
+        )
+        dim = spark.range(200).select(
+            F.when(F.col("id") == 0, F.lit("hot")).otherwise(
+                F.concat(F.lit("k"), F.col("id").cast("string"))
+            ).alias("k"),
+            F.col("id").alias("v"),
+        )
+        joined = big.join(dim, "k").select("v")
+        # executing THIS dataset finalizes ITS adaptive plan (count()
+        # would run a different QueryExecution)
+        n = len(joined.collect())
+        # dim carries 'hot' and k1..k199; probe's k0 has no match
+        expected = 360_000 + sum(
+            1 for i in range(400_000) if i % 10 == 9 and i % 97 != 0
+        )
+        assert n == expected
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            conf.set(k, v)

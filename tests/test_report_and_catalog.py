@@ -90,3 +90,15 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS kg_pages")
         spark.sql("DROP TABLE IF EXISTS kg_stats")
+
+
+def test_iceberg_ddl_shapes(spark, tmp_path):
+    from knowledge_harvest_from_lms_spark.sources.catalog import Catalog
+
+    ddl = Catalog(spark, str(tmp_path / "wh")).iceberg_ddl()
+    assert set(ddl) == {"web_pages", "triples", "edges", "vertices"}
+    assert "PARTITIONED BY (days(warc_ts), bucket(256, url))" in ddl["web_pages"]
+    assert "PARTITIONED BY (rel)" in ddl["triples"]
+    for stmt in ddl.values():
+        assert stmt.startswith("CREATE TABLE IF NOT EXISTS kg.")
+        assert "USING iceberg" in stmt
