@@ -10,17 +10,16 @@ fake. Everything else — slot recovery via the transformation tables,
 first-sentence extraction, fuzz-ratio dedup, the accept loop — is
 deterministic, implemented here, and unit-tested byte-exactly.
 
-Divergence note: the reference's ``thefuzz.fuzz.ratio`` uses
-python-Levenshtein when installed; we use the stdlib
-``difflib.SequenceMatcher`` ratio (same 0-100 scale, occasionally ±1
-on unusual strings) to stay dependency-free.
+``fuzz_ratio`` reimplements the reference's ``thefuzz.fuzz.ratio``
+exactly (indel similarity: ``2*LCS / (len(a)+len(b))``, the
+python-Levenshtein ``ratio`` with substitution cost 2) — symmetric by
+construction, no difflib junk-heuristic divergence.
 """
 
 from __future__ import annotations
 
 import re
 from collections.abc import Callable, Sequence
-from difflib import SequenceMatcher
 
 from .textops import fix_prompt_style, get_n_ents, get_sent
 
@@ -41,9 +40,28 @@ def first_sentence(text: str) -> str:
     return parts[0] if parts else text
 
 
+def _lcs_len(a: str, b: str) -> int:
+    """Longest-common-subsequence length, two-row DP (prompt strings
+    are short; this runs only in the driver-side accept/dedup loop)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = [0] * (len(b) + 1)
+    for ca in a:
+        cur = [0]
+        for j, cb in enumerate(b):
+            cur.append(prev[j] + 1 if ca == cb else max(prev[j + 1], cur[j]))
+        prev = cur
+    return prev[-1]
+
+
 def fuzz_ratio(a: str, b: str) -> int:
-    """0-100 similarity, thefuzz-style (search_prompts.py:92-96)."""
-    return int(round(100 * SequenceMatcher(None, a, b).ratio()))
+    """0-100 similarity, exact ``thefuzz.fuzz.ratio`` semantics
+    (search_prompts.py:92-96): Levenshtein with substitution cost 2 →
+    ``round(100 * 2*LCS / (len(a)+len(b)))``. Symmetric."""
+    total = len(a) + len(b)
+    if total == 0:
+        return 100
+    return int(round(200 * _lcs_len(a, b) / total))
 
 
 def recover_slots(para_sent: str, ent_tuple: Sequence[str]) -> str | None:

@@ -133,9 +133,14 @@ def make_expand_fn(
         cand_ok = char_ok & ~banned
         if allowed_token_ids is not None:
             # corpus grounding (J6): only tokens attested in the
-            # web_pages corpus may fill entity slots
-            ground = np.zeros(lm.vocab_size, dtype=bool)
-            ground[np.asarray(allowed_token_ids, dtype=np.int64)] = True
+            # web_pages corpus may fill entity slots. Sized to the mask
+            # width, NOT lm.vocab_size — the payload mask can be wider
+            # than the tokenizer vocab (added specials at/above
+            # tok.vocab_size, e.g. DeBERTa-v3's [MASK]), and ids are
+            # clipped to that width for the same reason.
+            ground = np.zeros(len(cand_ok), dtype=bool)
+            ids = np.asarray(allowed_token_ids, dtype=np.int64)
+            ground[ids[ids < len(cand_ok)]] = True
             cand_ok &= ground
         neg_inf = -float("inf")
         all_cand_ids = np.nonzero(cand_ok)[0]

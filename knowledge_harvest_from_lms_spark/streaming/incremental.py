@@ -46,22 +46,28 @@ def start_incremental_grounding(
     def upsert(batch_df, _bid):
         sess = batch_df.sparkSession
         batch_df = batch_df.coalesce(1)
-        # existence via the Spark reader, NOT driver-local os.path —
-        # totals_path may be s3a://... / hdfs://... in production
-        try:
+        # existence via the Hadoop FileSystem API, NOT driver-local
+        # os.path (totals_path may be s3a://... / hdfs://...) and NOT a
+        # bare try/except around the read: a transient read failure
+        # (storage hiccup, corrupt footer) must propagate so the
+        # streaming query retries the batch, instead of being mistaken
+        # for "table does not exist" and silently wiping the
+        # accumulated totals with only this batch's entities.
+        jvm = sess._jvm
+        hconf = sess._jsc.hadoopConfiguration()
+        totals_p = jvm.org.apache.hadoop.fs.Path(totals_path)
+        if totals_p.getFileSystem(hconf).exists(totals_p):
             old = sess.read.parquet(totals_path)
             merged = old.join(batch_df.select("ent"), "ent", "left_anti").unionByName(
                 batch_df
             )
-        except Exception:  # AnalysisException: path does not exist
+        else:
             merged = batch_df
         # stage through a tmp dir: merged READS totals_path, so it can't
         # be overwritten in the same job
         tmp = totals_path.rstrip("/") + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
         sess.read.parquet(tmp).write.mode("overwrite").parquet(totals_path)
-        jvm = sess._jvm
-        hconf = sess._jsc.hadoopConfiguration()
         p = jvm.org.apache.hadoop.fs.Path(tmp)
         p.getFileSystem(hconf).delete(p, True)
 

@@ -24,6 +24,54 @@ def test_corpus_token_ids_semijoin(spark):
     assert all(lm.token_text(i).lower() in corpus_words for i in ids)
 
 
+def test_grounding_mask_fits_wide_payload():
+    """Regression (ADVICE r2): when the driver payload is wider than
+    tok.vocab_size (added specials at/above vocab, e.g. DeBERTa-v3's
+    [MASK]), the grounding mask must size to the payload width — the
+    old `np.zeros(lm.vocab_size)` crashed every expansion task with a
+    numpy shape mismatch. Ids at/above the payload width are clipped."""
+    import numpy as np
+    import pandas as pd
+
+    from knowledge_harvest_from_lms_spark.lm import token_mask_payload, unpack_token_masks
+    from knowledge_harvest_from_lms_spark.operators.beam_search import make_expand_fn
+
+    lm = build_stub_lm()
+    vocab, char_b, banned_b = token_mask_payload("stub")
+    wide = vocab + 7  # simulate added specials past tok.vocab_size
+    char_ok, banned = unpack_token_masks((vocab, char_b, banned_b))
+    wide_payload = (
+        wide,
+        np.packbits(np.concatenate([char_ok, np.zeros(7, bool)])).tobytes(),
+        np.packbits(np.concatenate([banned, np.ones(7, bool)])).tobytes(),
+    )
+    allowed = [int(i) for i in np.nonzero(char_ok)[0][:50]] + [wide + 3]  # one out-of-range id
+    rels = {r["rel"]: r for r in _fixture_rel_info()}
+    fn = make_expand_fn("stub", 42, rels, width=4,
+                        allowed_token_ids=allowed, mask_payload=wide_payload)
+    rel = next(iter(rels))
+    pdf = pd.DataFrame({
+        "rel": [rel], "t": [0], "n_masks": [[1, 1]], "ent_idx": [0],
+        "ents": [[]], "ent_logprobs": [[]], "token_ids": [[]], "token_logprobs": [[]],
+    })
+    outs = list(fn(iter([pdf])))  # must not raise; output may be empty
+    for out in outs:
+        assert set(out.columns) == set(pdf.columns)
+
+
+def _fixture_rel_info():
+    from knowledge_harvest_from_lms_spark.sources.fixtures import FIXTURE_RELATIONS
+
+    rows = []
+    for r in FIXTURE_RELATIONS[:1]:
+        prompts = [(p, 1.0) for p in r["init_prompts"]]
+        from knowledge_harvest_from_lms_spark.functions.textops import get_n_ents
+
+        rows.append({"rel": r["rel"], "n_ents": get_n_ents(r["init_prompts"][0]),
+                     "prompts": prompts})
+    return rows
+
+
 def test_grounded_harvest_entities_attested(spark, tmp_path):
     rels = fixture_relations(spark).filter("rel = 'AtLocation'")
     pages = synth_web_pages(spark, 400, seed=42, n_partitions=4)
