@@ -13,15 +13,26 @@ __all__ = [
 
 def resolve_lm(name: str, seed: int = 42) -> MaskedLM:
     """Per-executor LM resolution: 'stub' → deterministic word-level
-    StubMLM singleton; 'fake' → deterministic SUBWORD backend riding
-    the real HFMaskedLM code paths (lm/fake.py, torch-less); anything
-    else → HuggingFace model name (import-gated)."""
+    StubMLM singleton; 'fake' → deterministic sentencepiece-style
+    SUBWORD backend riding the real HFMaskedLM code paths (lm/fake.py,
+    torch-less); 'fake-bpe' / 'fake-wp' → byte-BPE (GPT-2/roberta
+    structure) / WordPiece (BERT structure) fakes over the same real
+    paths (lm/fake_tokenizers.py); anything else → HuggingFace model
+    name (import-gated)."""
     if name == "stub":
         return get_cached_stub_lm(seed=seed)
     if name == "fake":
         from .fake import get_cached_fake_lm
 
         return get_cached_fake_lm(seed=seed)
+    if name == "fake-bpe":
+        from .fake_tokenizers import get_cached_bpe_lm
+
+        return get_cached_bpe_lm(seed=seed)
+    if name == "fake-wp":
+        from .fake_tokenizers import get_cached_wp_lm
+
+        return get_cached_wp_lm(seed=seed)
     from .hf import get_cached_hf_lm
 
     return get_cached_hf_lm(name)
@@ -52,7 +63,7 @@ def token_mask_payload(name: str, seed: int = 42) -> tuple[int, bytes, bytes] | 
     if key in _PAYLOAD_CACHE:
         return _PAYLOAD_CACHE[key]
     try:
-        if name in ("stub", "fake"):
+        if name in ("stub", "fake", "fake-bpe", "fake-wp"):
             lm = resolve_lm(name, seed)
             char_ok = lm.allowed_token_mask()
             vocab = lm.vocab_size

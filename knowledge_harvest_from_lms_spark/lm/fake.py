@@ -41,6 +41,24 @@ def _stable64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
 
 
+def deterministic_logits(
+    ids_list: Sequence[Sequence[int]], vocab: int, seed: int
+) -> np.ndarray:
+    """Seeded numpy stand-in for a padded MLM forward: logits are a pure
+    function of (unpadded input ids, position, seed) — identical across
+    processes and partitionings. Shared by every fake backend
+    (sentencepiece / byte-BPE / WordPiece)."""
+    maxlen = max(len(ids) for ids in ids_list)
+    out = np.zeros((len(ids_list), maxlen, vocab))
+    for j, ids in enumerate(ids_list):
+        key = ",".join(str(int(i)) for i in ids)
+        for pos in range(len(ids)):
+            s = (_stable64(f"{key}|{pos}") ^ seed) & 0x7FFFFFFFFFFFFFFF
+            rng = np.random.Generator(np.random.PCG64(s))
+            out[j, pos] = rng.standard_normal(vocab)
+    return out
+
+
 class FakeSubwordTokenizer:
     """Minimal HF-tokenizer surface (encode/decode/specials) with
     deterministic hashed piece ids."""
@@ -133,15 +151,7 @@ class FakeSubwordMLM(HFMaskedLM):
         self._banned = np.array(sorted(set(banned)), dtype=np.int64)
 
     def _forward_logits_padded(self, ids_list: Sequence[Sequence[int]]) -> np.ndarray:
-        maxlen = max(len(ids) for ids in ids_list)
-        out = np.zeros((len(ids_list), maxlen, V))
-        for j, ids in enumerate(ids_list):
-            key = ",".join(str(int(i)) for i in ids)
-            for pos in range(len(ids)):
-                seed = (_stable64(f"{key}|{pos}") ^ self._seed) & 0x7FFFFFFFFFFFFFFF
-                rng = np.random.Generator(np.random.PCG64(seed))
-                out[j, pos] = rng.standard_normal(V)
-        return out
+        return deterministic_logits(ids_list, V, self._seed)
 
 
 _FAKE_CACHE: dict[int, FakeSubwordMLM] = {}

@@ -48,11 +48,26 @@ except Exception:  # ModuleNotFoundError in sandbox
 # needs only .encode(text, add_special_tokens=...))
 # ---------------------------------------------------------------------------
 
+class PLLAlignmentError(ValueError):
+    """The encoded prompt prefix / entity tokens could not be aligned
+    inside ``encode(sent)`` — a tokenizer merge crossed the slot
+    boundary (possible with byte-BPE when a slot abuts non-space text).
+    The reference crashes here with ``TypeError`` (None + int) or a bare
+    ``AssertionError`` (``language_model_wrapper.py:107-115``); we raise
+    a defined, diagnosable error instead."""
+
+
 def pll_row_plan(tok, prompt: str, ent_tuple: Sequence[str]) -> tuple[list[int], list[int]]:
     """(input_ids, mask_positions) for one (prompt, tuple) pair — the
     reference's mask-location scheme (``language_model_wrapper.py:
     79-112``): only the FIRST word of each entity is masked/scored,
-    located by matching the encoded prefix before the slot."""
+    located by matching the encoded prefix before the slot.
+
+    Raises :class:`PLLAlignmentError` when the prefix is not a token
+    sublist of the sentence or the located span's tokens differ from
+    the standalone-encoded entity tokens (the reference's
+    ``assert input_ids[l:r] == ent_token_ids``,
+    ``language_model_wrapper.py:115``)."""
     import string
 
     ents = list(ent_tuple)
@@ -76,9 +91,28 @@ def pll_row_plan(tok, prompt: str, ent_tuple: Sequence[str]) -> tuple[list[int],
         prefixed = f" {ent_in_sent}" if sent[len(prefix)] == " " else ent_in_sent
         ent_token_ids = list(tok.encode(prefixed, add_special_tokens=False))
         if prefix_ids:
-            left = find_sublist(input_ids, prefix_ids) + len(prefix_ids)
+            at = find_sublist(input_ids, prefix_ids)
+            if at is None:
+                raise PLLAlignmentError(
+                    f"prefix tokens not a sublist of sentence tokens "
+                    f"(slot {ent_idx}): prompt={prompt!r} ents={ents!r} "
+                    f"prefix={prefix!r}"
+                )
+            left = at + len(prefix_ids)
         else:
             left = find_sublist(input_ids, ent_token_ids)
+            if left is None:
+                raise PLLAlignmentError(
+                    f"entity tokens not found in sentence tokens "
+                    f"(slot {ent_idx}): prompt={prompt!r} ents={ents!r}"
+                )
+        got = input_ids[left: left + len(ent_token_ids)]
+        if got != ent_token_ids:
+            raise PLLAlignmentError(
+                f"entity token span mismatch at {left} (slot {ent_idx}): "
+                f"prompt={prompt!r} ents={ents!r} "
+                f"expected={ent_token_ids} got={got}"
+            )
         mask_positions.extend(range(left, left + len(ent_token_ids)))
     return input_ids, mask_positions
 
