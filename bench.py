@@ -52,14 +52,22 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # Methodology (VERDICT r2): r1 was single-shot cold (incl. session
+    # spin-up attributed to the first query); r2 switched to warm-up +
+    # best-of-2 without flagging the break. From r3 on we emit BOTH:
+    # cold = first execution of each query in the (JVM-warmed) session,
+    # i.e. includes that query's plan compilation + codegen;
+    # warm (headline, r2-comparable) = best-of-2.
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):  # best-of-2: the sandbox host is noisy
+        runs = []
+        for _ in range(2):
             t0 = time.time()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        cold[name] = round(runs[0], 3)
+        timings[name] = round(min(runs), 3)
 
     # fixed-size harvest benchmark (independent of sf): 2 binary
     # relations, 2-subword beam. One small warm-up harvest first so the
@@ -75,22 +83,58 @@ def main() -> None:
         shuffle_partitions=cpus,
     )
     harvest(spark, rels.limit(1), warm_cfg)["triples"].count()
-    harvest_sec = float("inf")
+    harvest_runs = []
     for _ in range(2):  # best-of-2 (host noise ±15% observed)
         t0 = time.time()
         n_triples = harvest(spark, rels, cfg)["triples"].count()
-        harvest_sec = min(harvest_sec, time.time() - t0)
+        harvest_runs.append(time.time() - t0)
+    harvest_sec = min(harvest_runs)
+    cold["harvest_pipeline"] = round(harvest_runs[0], 3)
     timings["harvest_pipeline"] = round(harvest_sec, 3)
+
+    # ekar-scale beam regression (VERDICT r2 item 6): 50 real ekar
+    # relations end-to-end on the stub — exercises the beam + the
+    # broadcast-threshold pruning join at a relation count two orders
+    # above the fixture world. Single shot (it IS the cold number; a
+    # driver OOM or a non-broadcast threshold plan would blow this up).
+    ekar_stats: dict[str, float] = {}
+    ekar_path = "/root/reference/relation_info/ekar_aggr.json"
+    if os.path.exists(ekar_path):
+        from knowledge_harvest_from_lms_spark.sources.relations import (
+            relations_from_json,
+        )
+
+        ekar = relations_from_json(spark, ekar_path).orderBy("rel").limit(50)
+        ekar_cfg = HarvestConfig(
+            max_n_ent_tuples=10, token_beam_width=4, max_ent_subwords=1,
+            shuffle_partitions=cpus, prune_slack=3.0,
+        )
+        t0 = time.time()
+        n_ekar = harvest(spark, ekar, ekar_cfg)["triples"].count()
+        ekar_sec = time.time() - t0
+        timings["ekar50_harvest"] = round(ekar_sec, 3)
+        cold["ekar50_harvest"] = round(ekar_sec, 3)
+        ekar_stats = {
+            "ekar50_triples": int(n_ekar),
+            "ekar50_triples_per_sec": round(n_ekar / ekar_sec, 3),
+        }
 
     out = {
         "metric": "headline query suite + stub-LM harvest, local mode",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "cold": cold,
+        "notes": (
+            "queries/value = warm best-of-2 (r2-comparable); cold = first "
+            "execution per query in a JVM-warmed session; r1 series was "
+            "single-shot cold including session spin-up on the first query"
+        ),
         "sf": sf,
         "cpus": cpus,
         "harvest_triples": int(n_triples),
         "harvest_triples_per_sec": round(n_triples / harvest_sec, 3),
+        **ekar_stats,
     }
     spark.stop()
     print(json.dumps(out))

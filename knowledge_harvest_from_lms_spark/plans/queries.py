@@ -1002,19 +1002,19 @@ FROM t GROUP BY lang
 # proves the salted shuffle join preserves the broadcast join's results.
 # ---------------------------------------------------------------------------
 
-def _mention_entities(docs):
+def _mention_entities(docs, word_mode="space"):
     """Deterministic entity set derived from the corpus itself: top-6
     unigrams (len>=4) + top-3 bigrams, by (count desc, phrase asc)."""
     from ..operators.corpus_grounding import phrase_stream
 
     uni = (
-        phrase_stream(docs, [1])
+        phrase_stream(docs, [1], word_mode=word_mode)
         .filter(F.length("phrase") >= 4)
         .groupBy("phrase").count()
         .orderBy(F.desc("count"), "phrase").limit(6)
     )
     bi = (
-        phrase_stream(docs, [2])
+        phrase_stream(docs, [2], word_mode=word_mode)
         .groupBy("phrase").count()
         .orderBy(F.desc("count"), "phrase").limit(3)
     )
@@ -1086,6 +1086,29 @@ GROUP BY ents.ent
 Q35_SQL = Q34_SQL  # salted join must reproduce the broadcast-join result
 
 
+def q39_entity_mentions_punct(spark, sf_dir):
+    """Entity mentions in \\W-aware ``punct`` word mode: real-web-text
+    mentions glued to punctuation ("dog.", "new york,") count
+    (ADVICE r2 — space mode silently missed them). Same single-pass /
+    salted plan as q34; its own DuckDB oracle tokenizes with the same
+    regex class."""
+    from ..operators.corpus_grounding import entity_mentions
+
+    docs = _docs_as_pages(spark, sf_dir)
+    ents = _mention_entities(docs, word_mode="punct")
+    return entity_mentions(docs, ents, word_mode="punct").select(
+        "ent",
+        F.col("n_mentions").cast("long").alias("n_mentions"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
+Q39_SQL = Q34_SQL.replace(
+    "string_split(lower(text), ' ')",
+    "regexp_split_to_array(lower(text), '[^a-z0-9]+')",
+)
+
+
 # ---------------------------------------------------------------------------
 # Salted two-phase aggregation (J7 skew pattern) — must equal the plain
 # group-by, which IS the oracle: proves salting preserves semantics.
@@ -1128,16 +1151,67 @@ def q90_bertnet_prompt_weights(spark, sf_dir):
 
 
 def q92_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs over documents (blake2b word hashes —
-    not oracle-expressible; rows-only check)."""
+    """SimHash near-dup pairs over documents. r3: the signature is a
+    portable polynomial-hash SimHash (operators/dedup.py), so the
+    DuckDB oracle recomputes every signature and brute-forces the pair
+    set — and because pigeonhole chunk blocking is recall-LOSSLESS for
+    the hamming bound, Spark's blocked pair set must EQUAL the oracle's
+    brute-force set (full hash check, was rows-only)."""
     from ..operators.dedup import simhash_near_dup_pairs, simhash_signatures
 
     docs = _t(spark, sf_dir, "documents")
     sig = simhash_signatures(docs, "text", "doc_id")
-    # hamming<=4 → 5 blocking chunks of ~13 bits: selective buckets
-    # (hamming<=8 would block on 7-bit chunks — 128 buckets — and the
+    # hamming<=4 → 5 blocking chunks of 12 bits: selective buckets
+    # (hamming<=8 would block on ~7-bit chunks — 128 buckets — and the
     # candidate set grows quadratically on similar corpora)
     return simhash_near_dup_pairs(sig, max_hamming=4)
+
+
+def _q92_sql() -> str:
+    """Brute-force oracle for q92: identical polynomial word hashes,
+    bit-majority via SUMs, all-pairs bit_count(xor) filter. Generated
+    (60 SUM/CASE terms) — structurally the same plan as q16's
+    oracle-proven char-fold machinery."""
+    fold = (
+        "LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT), "
+        "LIST_TRANSFORM(STRING_SPLIT(w, ''), c -> CAST(ASCII(c) AS BIGINT))), "
+        "(acc, x) -> (acc*{base}+x) % {mod})"
+    )
+    sums = ",\n    ".join(
+        f"SUM(({'h1' if i < 30 else 'h2'} >> {i % 30}) & 1) AS b{i}"
+        for i in range(60)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN 2*b{i} >= n THEN CAST({1 << i} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for i in range(60)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         UNNEST(LIST_FILTER(LIST_DISTINCT(STRING_SPLIT(text, ' ')),
+                            w -> w <> '')) AS w
+  FROM documents),
+hashes AS (
+  SELECT doc_id,
+         {fold.format(base=31, mod=1000000007)} AS h1,
+         {fold.format(base=37, mod=998244353)} AS h2
+  FROM words),
+sums AS (
+  SELECT doc_id, COUNT(*) AS n,
+    {sums}
+  FROM hashes GROUP BY doc_id),
+sig AS (
+  SELECT d.doc_id, COALESCE({assemble}, 0) AS simhash
+  FROM documents d LEFT JOIN sums s ON d.doc_id = s.doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+"""
+
+
+Q92_SQL = _q92_sql()
 
 
 def q93_minhash_dedup_pairs(spark, sf_dir):
@@ -1153,9 +1227,31 @@ def q93_minhash_dedup_pairs(spark, sf_dir):
 
 
 def q37_dedup_documents(spark, sf_dir):
-    """Document keep/drop decisions: minhash near-dup pairs collapsed
-    to clusters by label propagation; min doc_id kept per cluster
-    (rows-only: LSH banding is not SQL-expressible)."""
+    """Document keep/drop decisions over EXACT-duplicate edges via the
+    REAL cluster machinery (pointer-doubled label propagation + min-id
+    keeper). r3: oracle-verifiable — DuckDB recomputes the expected
+    clusters independently as identical-prefix groups (full hash
+    check, was rows-only). MinHash near-dup clustering keeps its
+    rows-only entry as q38 plus planted/property pytest coverage."""
+    from ..operators.dedup import dedup_documents_exact
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_documents_exact(docs, "text", "doc_id")
+
+
+Q37_SQL = """
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY SUBSTR(text, 1, 512)) AS canonical_id,
+       doc_id <> MIN(doc_id) OVER (PARTITION BY SUBSTR(text, 1, 512))
+           AS is_duplicate
+FROM documents
+"""
+
+
+def q38_dedup_documents_minhash(spark, sf_dir):
+    """Document keep/drop decisions over MinHash-LSH near-dup pairs
+    (rows-only: LSH banding is not SQL-expressible; cluster semantics
+    covered by q37's oracle + planted/property tests)."""
     from ..operators.dedup import dedup_documents
 
     docs = _t(spark, sf_dir, "documents")
@@ -1163,11 +1259,27 @@ def q37_dedup_documents(spark, sf_dir):
 
 
 def q94_embedding_near_dup(spark, sf_dir):
-    """Hyperplane-bucketed embedding near-dup pairs (rows-only)."""
+    """Hyperplane-bucketed embedding near-dup pairs, exact-cosine
+    verified. r3: full hash check vs a brute-force DuckDB oracle (was
+    rows-only) — equality holds iff the recall-planned multi-table LSH
+    reaches recall 1.0 on this deterministic dataset, which it does and
+    which the driver now re-proves every round; a recall miss would
+    surface as a hash mismatch, not silently."""
     from ..operators.dedup import embedding_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, min_cos=0.5)
+    return embedding_near_dup_pairs(emb, min_cos=0.5).select(
+        "id_a", "id_b", F.round("cos", 4).alias("cos")
+    )
+
+
+Q94_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(CAST(LIST_COSINE_SIMILARITY(a.embedding, b.embedding)
+                  AS DOUBLE), 4) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE LIST_COSINE_SIMILARITY(a.embedding, b.embedding) >= 0.5
+"""
 
 
 def q95_extract_text_manifest(spark, sf_dir):
@@ -1298,6 +1410,8 @@ QUERIES = {
     "q35_salted_skew_join": q35_salted_skew_join,
     "q36_bpe_token_count": q36_bpe_token_count,
     "q37_dedup_documents": q37_dedup_documents,
+    "q38_dedup_documents_minhash": q38_dedup_documents_minhash,
+    "q39_entity_mentions_punct": q39_entity_mentions_punct,
     "q90_bertnet_prompt_weights": q90_bertnet_prompt_weights,
     "q91_bertnet_triples": q91_bertnet_triples,
     "q92_simhash_pairs": q92_simhash_pairs,
@@ -1347,4 +1461,8 @@ ORACLES = {
     "q34_entity_mentions": Q34_SQL,
     "q35_salted_skew_join": Q35_SQL,
     "q36_bpe_token_count": Q36_SQL,
+    "q37_dedup_documents": Q37_SQL,
+    "q39_entity_mentions_punct": Q39_SQL,
+    "q92_simhash_pairs": Q92_SQL,
+    "q94_embedding_near_dup": Q94_SQL,
 }

@@ -321,3 +321,42 @@ def test_dedup_documents_clusters(spark):
     assert out[400] == (33, True)       # exact dup joins the same cluster
     assert out[7] == (7, False)
     assert out[9] == (9, False)
+
+
+def test_punct_mode_grounds_glued_mentions(spark):
+    """ADVICE r2: space mode silently misses mentions glued to
+    punctuation ("dog.", "new york,"). punct mode counts them; the
+    salted shuffle join reproduces the broadcast result in both
+    modes."""
+    from knowledge_harvest_from_lms_spark.operators.corpus_grounding import (
+        entity_mentions,
+        entity_mentions_salted_join,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", "The dog. sleeps in New York, often"),
+            ("u2", "a dog's day in new york's park"),
+        ],
+        "url string, text string",
+    )
+    ents = spark.createDataFrame([("dog",), ("new york",)], "ent string")
+
+    space = {
+        r.ent: (r.n_mentions, r.n_docs)
+        for r in entity_mentions(pages, ents).collect()
+    }
+    punct = {
+        r.ent: (r.n_mentions, r.n_docs)
+        for r in entity_mentions(pages, ents, word_mode="punct").collect()
+    }
+    assert space == {}  # every mention is punctuation-glued here
+    assert punct == {"dog": (2, 2), "new york": (2, 2)}
+
+    salted = {
+        r.ent: (r.n_mentions, r.n_docs)
+        for r in entity_mentions_salted_join(
+            pages, ents, word_mode="punct"
+        ).collect()
+    }
+    assert salted == punct

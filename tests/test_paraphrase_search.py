@@ -153,3 +153,72 @@ def test_search_prompts_for_relations(spark):
     for rel, ps in got.items():
         for p in ps:
             assert (rel, p) in new_rows
+
+
+# ---------------------------------------------------------------------------
+# OpenAI-compatible client adapter (S10 production wiring; mocked — no
+# network in CI)
+# ---------------------------------------------------------------------------
+
+def test_openai_adapter_request_shaping(monkeypatch):
+    from knowledge_harvest_from_lms_spark.functions.paraphrase_client import (
+        make_openai_paraphrase_fn,
+    )
+
+    seen = {}
+
+    def transport(url, payload, api_key, timeout):
+        seen.update(url=url, payload=payload, api_key=api_key, timeout=timeout)
+        return {"choices": [{"text": " A dog lives in a house. And more."}]}
+
+    fn = make_openai_paraphrase_fn(
+        api_base="https://llm.example/v1/", api_key="sk-test",
+        model="m-test", transport=transport,
+    )
+    out = fn("a dog is in a house")
+    assert out == " A dog lives in a house. And more."
+    assert seen["url"] == "https://llm.example/v1/completions"
+    assert seen["api_key"] == "sk-test"
+    # reference request shape (models/gpt3.py:9-28, search_prompts.py:23)
+    p = seen["payload"]
+    assert p["prompt"] == "paraphrase:\na dog is in a house\n"
+    assert p["model"] == "m-test"
+    assert (p["temperature"], p["max_tokens"], p["top_p"], p["n"]) == (1.0, 30, 1.0, 1)
+    assert (p["frequency_penalty"], p["presence_penalty"]) == (0, 0)
+
+
+def test_openai_adapter_env_gate(monkeypatch):
+    from knowledge_harvest_from_lms_spark.functions import paraphrase_client as pc
+
+    for var in ("PARAPHRASE_API_BASE", "PARAPHRASE_API_KEY", "OPENAI_API_KEY"):
+        monkeypatch.delenv(var, raising=False)
+    assert pc.paraphrase_fn_from_env() is None
+    monkeypatch.setenv("PARAPHRASE_API_KEY", "sk-x")
+    assert pc.paraphrase_fn_from_env() is not None
+
+
+def test_openai_adapter_drives_search_prompts():
+    """The adapter plugs into the real accept/dedup loop: a canned
+    endpoint (transport fake) yields paraphrases that the loop recovers
+    and accepts."""
+    from knowledge_harvest_from_lms_spark.functions.paraphrase import search_prompts
+    from knowledge_harvest_from_lms_spark.functions.paraphrase_client import (
+        make_openai_paraphrase_fn,
+    )
+
+    responses = {
+        "dog is in house": "dog lives in house.",
+        "cat is in garden": "cat lives in garden.",
+    }
+
+    def transport(url, payload, api_key, timeout):
+        sent = payload["prompt"].split("\n")[1]
+        return {"choices": [{"text": responses.get(sent, sent)}]}
+
+    fn = make_openai_paraphrase_fn(api_base="x://y", api_key="k", transport=transport)
+    prompts = search_prompts(
+        ["<ENT0> is in <ENT1>"],
+        [["dog", "house"], ["cat", "garden"]],
+        paraphrase_fn=fn,
+    )
+    assert "<ENT0> lives in <ENT1> ." in prompts
