@@ -48,10 +48,12 @@ def write_reference_results(
     max_n_ent_tuples: int = 1000,
     max_n_prompts: int = 20,
     use_init_prompts: bool = False,
+    summary: bool = True,
 ) -> str:
     """Write ``prompts.json`` + ``ent_tuples.json`` per relation in the
-    reference's exact layout; returns the output dir
-    (``results/{rel_set}/{setting}/{model_name}``).
+    reference's exact layout, plus ``summary.txt`` (the
+    ``present_result.py`` artifact) unless ``summary=False``; returns
+    the output dir (``results/{rel_set}/{setting}/{model_name}``).
 
     ``prompt_weights``: (rel, prompt, weight); ``triples``:
     (rel, ents, weight, rank) as produced by the harvest plan."""
@@ -81,7 +83,54 @@ def write_reference_results(
             json.dump(by_rel_prompts.get(rel, []), f, indent=4)
         with open(os.path.join(rel_dir, "ent_tuples.json"), "w") as f:
             json.dump(by_rel_tuples.get(rel, []), f, indent=4)
+
+    if summary:
+        _write_summary_txt(by_rel_prompts, by_rel_tuples, out_dir)
     return out_dir
+
+
+def _write_summary_txt(
+    by_rel_prompts: dict[str, list],
+    by_rel_tuples: dict[str, list],
+    out_dir: str,
+    n_present: int = 20,
+    pool: int = 200,
+    seed: int = 42,
+) -> str:
+    """``summary.txt`` next to the per-relation JSONs — the reference's
+    final artifact (``present_result.py:44-53``): per relation, the
+    weighted prompts, the top-``n_present`` tuples and a random sample
+    over the top-``pool``, separated by a ``=`` rule. Presentation-only
+    divergences (documented): aligned plain-text columns instead of
+    PrettyTable, and the sample is SEEDED (the engine's determinism
+    contract; the reference uses bare ``random.sample``)."""
+    import random
+
+    lines: list[str] = []
+    for rel in sorted(set(by_rel_prompts) | set(by_rel_tuples)):
+        tuples = by_rel_tuples.get(rel, [])[:pool]
+        if not tuples:
+            continue  # reference skips relations with no outputs
+        top = [str(t[0]) for t in tuples[:n_present]]
+        rng = random.Random(f"{seed}|{rel}")
+        sample = [str(t[0]) for t in rng.sample(tuples, min(n_present, len(tuples)))]
+        lines.append(f"Relation: {rel}")
+        lines.append("Prompts:")
+        for prompt, weight in by_rel_prompts.get(rel, []):
+            lines.append(f"- {weight:.4f} {prompt}")
+        lines.append("Harvested Tuples:")
+        hdr_l, hdr_r = f"Ours (Top {n_present})", f"Ours (Random samples over top {pool} tuples)"
+        width = max([len(hdr_l)] + [len(t) for t in top]) + 2
+        lines.append(f"{hdr_l:{width}s}| {hdr_r}")
+        for i in range(max(len(top), len(sample))):
+            left = top[i] if i < len(top) else "\\"
+            right = sample[i] if i < len(sample) else "\\"
+            lines.append(f"{left:{width}s}| {right}")
+        lines.append("=" * 50)
+    path = os.path.join(out_dir, "summary.txt")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return path
 
 
 def write_relation_info_json(

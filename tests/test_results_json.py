@@ -124,3 +124,34 @@ def test_relation_info_write_back(spark, tmp_path):
             list(t) for t in orig[rel].seed_ent_tuples
         ]
     assert "Somewhere like <ENT1> keeps <ENT0> ." in got["AtLocation"].prompts
+
+
+def test_summary_txt_written_with_every_relation(spark, tmp_path):
+    """write_reference_results emits summary.txt (the reference's
+    present_result.py artifact) next to the per-relation JSONs: every
+    relation with tuples appears, with its weighted prompts and the
+    top/sample table; the file is deterministic across runs."""
+    pw, triples = _synth_outputs(spark)
+    out_dir = write_reference_results(
+        pw, triples, str(tmp_path), rel_set="fixture", model_name="stub"
+    )
+    path = os.path.join(out_dir, "summary.txt")
+    assert os.path.exists(path)
+    text = open(path).read()
+    for rel in ("AtLocation", "CapableOf"):
+        assert f"Relation: {rel}" in text
+    assert "- 0.6000 <ENT0> is located in <ENT1> ." in text
+    assert "Harvested Tuples:" in text
+    assert "['giraffe', 'africa']" in text
+    assert text.count("=" * 50) == 2
+
+    out2 = write_reference_results(
+        pw, triples, str(tmp_path / "again"), rel_set="fixture", model_name="stub"
+    )
+    assert open(os.path.join(out2, "summary.txt")).read() == text
+
+    out3 = write_reference_results(
+        pw, triples, str(tmp_path / "nosummary"), rel_set="fixture",
+        model_name="stub", summary=False,
+    )
+    assert not os.path.exists(os.path.join(out3, "summary.txt"))
