@@ -197,3 +197,42 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in prev.items():
             conf.set(k, v)
+
+
+def test_q92_simhash_plan_is_pure_jvm(spark):
+    """r3 portable SimHash: the whole pipeline (word explode, polynomial
+    hashes, 60 bit-majority SUMs, chunk self-joins, bit_count verify)
+    must stay JVM-side — no Python eval nodes — with map-side partial
+    aggregation on the bit sums."""
+    plan = plan_of(QUERIES["q92_simhash_pairs"](spark, SF_SMALL))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert node not in plan, node
+    assert "HashAggregate" in plan and "partial_sum" in plan
+    # every documents scan is pruned: the signature scan reads
+    # (doc_id, text), the id-only left-join scan reads just doc_id,
+    # and nothing reads lang/url
+    reads = [seg.splitlines()[0] for seg in plan.split("ReadSchema")[1:]]
+    assert any("text" in r for r in reads), reads
+    assert all("lang" not in r and "url" not in r for r in reads), reads
+
+
+def test_q37_cluster_plan_shuffles_ids_only(spark):
+    """Exact-dup cluster decisions: the edge stage is a single window
+    over prefix groups with no Python nodes. (The final q37 df is a
+    checkpointed-RDD scan — canonical_map localCheckpoints each
+    label-propagation iteration — so the shape guard targets the edge
+    stage plan, which is what runs against the corpus.)"""
+    from pyspark.sql import functions as F
+
+    from knowledge_harvest_from_lms_spark.operators.dedup import exact_dup_star_edges
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", F.col("text")
+    )
+    plan = plan_of(exact_dup_star_edges(docs, "text", "doc_id"))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
+    assert "Window" in plan  # prefix-group min
+    # shuffle carries the 512-char prefix key, not full bodies: the
+    # window partitions by the substring projection
+    assert "substring" in plan.lower()
