@@ -42,7 +42,11 @@ class HarvestConfig:
     # J6 corpus grounding: restrict beam entity tokens to words
     # attested in the web_pages corpus (full_pipeline wires the
     # corpus_token_ids semi-join; harvest-only runs ignore this).
-    ground_beam_to_corpus: bool = False
+    # True → one global corpus vocabulary; "per_relation" → each
+    # relation grounds to tokens attested on pages mentioning its own
+    # seed entities (corpus_token_ids_per_relation — tighter at 100 TB
+    # where the global vocabulary saturates).
+    ground_beam_to_corpus: bool | str = False
     seed: int = 42
     lm: str = "stub"                  # "stub" | HF model name on real clusters
     shuffle_partitions: int = 32

@@ -89,7 +89,7 @@ def init_frontier(spark: SparkSession, rel_info: dict, cfg: HarvestConfig) -> Da
 
 def make_expand_fn(
     lm_name: str, seed: int, rel_info: dict, width: int,
-    allowed_token_ids: list[int] | None = None,
+    allowed_token_ids: list[int] | dict[str, list[int]] | None = None,
     mask_payload: tuple[int, bytes, bytes] | None = None,
 ):
     """Arrow-batched beam expansion (P2). Two passes per batch:
@@ -131,7 +131,16 @@ def make_expand_fn(
             banned = np.zeros(lm.vocab_size, dtype=bool)
             banned[lm.banned_ids] = True
         cand_ok = char_ok & ~banned
-        if allowed_token_ids is not None:
+        per_rel_ids = None
+        if isinstance(allowed_token_ids, dict):
+            # per-relation grounding (corpus_token_ids_per_relation):
+            # each relation restricts to tokens attested on pages that
+            # mention its seed entities; masks built lazily per rel
+            per_rel_ids = {
+                r: np.asarray(v, dtype=np.int64)
+                for r, v in allowed_token_ids.items()
+            }
+        elif allowed_token_ids is not None:
             # corpus grounding (J6): only tokens attested in the
             # web_pages corpus may fill entity slots. Sized to the mask
             # width, NOT lm.vocab_size — the payload mask can be wider
@@ -145,6 +154,24 @@ def make_expand_fn(
         neg_inf = -float("inf")
         all_cand_ids = np.nonzero(cand_ok)[0]
         fitted = [len(cand_ok)]
+        rel_cand_cache: dict = {}
+
+        def cand_ids_for(rel):
+            """Candidate ids for one relation (== the global set unless
+            per-relation grounding is active)."""
+            if per_rel_ids is None:
+                return all_cand_ids
+            got = rel_cand_cache.get(rel)
+            if got is None:
+                ids = per_rel_ids.get(rel)
+                if ids is None:
+                    got = np.empty(0, dtype=np.int64)
+                else:
+                    g = np.zeros(len(cand_ok), dtype=bool)
+                    g[ids[ids < len(cand_ok)]] = True
+                    got = np.nonzero(cand_ok & g)[0]
+                rel_cand_cache[rel] = got
+            return got
 
         def fit_width(n: int):
             """Fit the masks to the model-head width: some HF models pad
@@ -167,11 +194,12 @@ def make_expand_fn(
             banned = fit(banned)
             cand_ok = fit(cand_ok)
             all_cand_ids = np.nonzero(cand_ok)[0]
+            rel_cand_cache.clear()  # per-rel masks depend on the width
             fitted[0] = n
 
         for pdf in batches:
             out = {c: [] for c in pdf.columns}
-            if all_cand_ids.size == 0:
+            if per_rel_ids is None and all_cand_ids.size == 0:
                 continue  # grounding left no legal tokens — nothing to expand
 
             def emit(rel, t, n_masks, ent_idx, ents, elps, tids, tlps):
@@ -189,6 +217,8 @@ def make_expand_fn(
             text_idx: dict[str, int] = {}
             row_meta = []  # (row, level_prompts, [(job, mask_idx, w)], wsum)
             for row in pdf.itertuples(index=False):
+                if cand_ids_for(row.rel).size == 0:
+                    continue  # this relation's grounding is empty
                 meta = rel_info[row.rel]
                 n_masks = list(row.n_masks)
                 ent_idx = int(row.ent_idx)
@@ -244,10 +274,13 @@ def make_expand_fn(
                 logprobs = total - (m + np.log(np.exp(total - m).sum()))
 
                 # top-B among post-softmax candidates, tiebreak by id
-                cand_lps = logprobs[all_cand_ids]
-                order = np.lexsort((all_cand_ids, -cand_lps))[:width]
+                cand_ids = cand_ids_for(row.rel)
+                if cand_ids.size == 0:
+                    continue
+                cand_lps = logprobs[cand_ids]
+                order = np.lexsort((cand_ids, -cand_lps))[:width]
                 for idx in order:
-                    tid = int(all_cand_ids[idx])
+                    tid = int(cand_ids[idx])
                     lpv = float(cand_lps[idx])
                     ntids = tids + [tid]
                     ntlps = tlps + [lpv]
@@ -317,12 +350,15 @@ def search_ent_tuples(
     prompt_weights: DataFrame,
     relations: DataFrame,
     cfg: HarvestConfig,
-    allowed_token_ids: list[int] | None = None,
+    allowed_token_ids: list[int] | dict[str, list[int]] | None = None,
 ) -> DataFrame:
     """→ candidate tuples (rel, ents, min_logprob), before the
     word-repeat cap / top-n (finalize_candidates). Pass
-    ``allowed_token_ids`` (from corpus_grounding.corpus_token_ids) to
-    restrict entity tokens to corpus-attested words."""
+    ``allowed_token_ids`` to restrict entity tokens to corpus-attested
+    words: a flat list (corpus_grounding.corpus_token_ids, global
+    vocabulary) or a per-relation dict
+    (corpus_token_ids_per_relation, tokens attested on pages
+    mentioning that relation's seed entities)."""
     from ..lm import token_mask_payload
 
     rel_info = build_rel_info(prompt_weights, relations)

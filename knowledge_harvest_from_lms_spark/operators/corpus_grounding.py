@@ -63,6 +63,57 @@ def corpus_token_ids(web_pages: DataFrame, lm, text_col: str = "text") -> list[i
     return sorted(r["token_id"] for r in rows)
 
 
+def corpus_token_ids_per_relation(
+    web_pages: DataFrame,
+    relations: DataFrame,
+    lm,
+    text_col: str = "text",
+    word_mode: str = "space",
+) -> dict[str, list[int]]:
+    """rel → LM-token ids attested on pages that mention ANY of the
+    relation's seed entities — a tighter beam grounding than the
+    global ``corpus_token_ids`` (ROADMAP r3 item: a head relation's
+    candidates shouldn't include words only ever seen on unrelated
+    pages).
+
+    Scale shape (100 TB): ONE corpus tokenization feeds both sides —
+    the (url, word) stream broadcast-joins the seed words to find hit
+    pages (map-side), hit urls shuffle once to collect their word
+    sets, and the LM vocab broadcasts into the final semi-join. The
+    returned driver object is ≤ |rels| × vocab ints, bounded by
+    harvest config, not the corpus."""
+    spark = web_pages.sparkSession
+    seeds = relations.select(
+        "rel", F.explode("seed_ent_tuples").alias("tup")
+    ).select(
+        "rel", F.explode("tup").alias("seed")
+    ).select(
+        "rel",
+        F.explode(
+            F.split(F.lower(F.regexp_replace("seed", "_", " ")), " ")
+        ).alias("word"),
+    ).filter(F.length("word") > 0).distinct()
+
+    toks = tokenize_corpus(web_pages, text_col, word_mode)
+    hit_pages = toks.join(F.broadcast(seeds), "word").select("rel", "url").distinct()
+    rel_words = (
+        toks.join(hit_pages, "url")
+        .select("rel", "word")
+        .distinct()
+    )
+    vocab = list(enumerate(lm.vocab_texts()))
+    vdf = spark.createDataFrame(vocab, "token_id int, word string").coalesce(1)
+    rows = (
+        rel_words.join(F.broadcast(vdf), "word")
+        .select("rel", "token_id")
+        .collect()
+    )
+    out: dict[str, list[int]] = {}
+    for r in rows:
+        out.setdefault(r["rel"], []).append(r["token_id"])
+    return {rel: sorted(ids) for rel, ids in out.items()}
+
+
 def _entity_word_lengths(ents: DataFrame) -> list[int]:
     """Distinct word counts among the entities — the n-gram lengths the
     phrase stream must generate. The entity table is the small

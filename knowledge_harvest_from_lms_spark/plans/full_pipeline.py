@@ -66,19 +66,34 @@ def run_full_pipeline(
     allowed_token_ids = None
     if cfg.ground_beam_to_corpus:
         from ..lm import resolve_lm
-        from ..operators.corpus_grounding import corpus_token_ids
-
-        allowed_token_ids = corpus_token_ids(
-            corpus.withColumnRenamed("extracted_text", "text"),
-            resolve_lm(cfg.lm, cfg.seed),
+        from ..operators.corpus_grounding import (
+            corpus_token_ids,
+            corpus_token_ids_per_relation,
         )
 
+        pages_text = corpus.withColumnRenamed("extracted_text", "text")
+        if cfg.ground_beam_to_corpus == "per_relation":
+            allowed_token_ids = corpus_token_ids_per_relation(
+                pages_text, relations, resolve_lm(cfg.lm, cfg.seed)
+            )
+        else:
+            allowed_token_ids = corpus_token_ids(
+                pages_text, resolve_lm(cfg.lm, cfg.seed)
+            )
+
+    ground_tag = ""
+    if allowed_token_ids is not None:
+        ground_tag = (
+            "grounded_per_rel"
+            if cfg.ground_beam_to_corpus == "per_relation"
+            else "grounded"
+        )
     cand = run_stage(
         spark, base_dir, "30_candidates",
         lambda: finalize_candidates(
             search_ent_tuples(spark, pw, relations, cfg, allowed_token_ids), cfg
         ),
-        fingerprint=_fp(cfg_fp, "grounded" if allowed_token_ids is not None else ""),
+        fingerprint=_fp(cfg_fp, ground_tag),
     )
 
     triples = run_stage(

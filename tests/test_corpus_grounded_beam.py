@@ -89,3 +89,70 @@ def test_grounded_harvest_entities_attested(spark, tmp_path):
         for ent in t.ents:
             for w in ent.lower().split():
                 assert w in corpus_words, (t.ents, w)
+
+
+def test_corpus_token_ids_per_relation(spark):
+    """Per-relation vocabularies: each relation grounds to the words of
+    pages mentioning ITS seed entities only."""
+    from knowledge_harvest_from_lms_spark.operators.corpus_grounding import (
+        corpus_token_ids_per_relation,
+    )
+
+    # words drawn from the 131-word stub vocab so the vocab semi-join
+    # keeps them
+    pages = spark.createDataFrame(
+        [
+            ("u1", "bird africa airport bread"),
+            ("u2", "boat bridge bottle"),
+            ("u3", "artist battleground answer"),  # mentions no seeds
+        ],
+        "url string, text string",
+    )
+    rels = spark.createDataFrame(
+        [
+            ("AtLocation", [["bird", "africa"]]),
+            ("CapableOf", [["boat", "bridge"]]),
+        ],
+        "rel string, seed_ent_tuples array<array<string>>",
+    )
+    lm = build_stub_lm()
+    per_rel = corpus_token_ids_per_relation(pages, rels, lm)
+    assert set(per_rel) == {"AtLocation", "CapableOf"}
+    at_words = {lm.token_text(i).lower() for i in per_rel["AtLocation"]}
+    cap_words = {lm.token_text(i).lower() for i in per_rel["CapableOf"]}
+    # seed-co-occurring words only; the seedless page contributes to neither
+    assert at_words == {"bird", "africa", "airport", "bread"}
+    assert cap_words == {"boat", "bridge", "bottle"}
+    assert "artist" not in at_words | cap_words
+
+
+def test_per_relation_grounded_harvest(spark, tmp_path):
+    """ground_beam_to_corpus='per_relation' end to end: every harvested
+    entity word is attested on a page mentioning that relation's
+    seeds, and a relation with NO seed hits harvests nothing rather
+    than crashing."""
+    from knowledge_harvest_from_lms_spark.operators.corpus_grounding import (
+        corpus_token_ids_per_relation,
+    )
+
+    rels = fixture_relations(spark).filter("rel in ('AtLocation','CapableOf')")
+    pages = synth_web_pages(spark, 400, seed=42, n_partitions=4)
+    cfg = HarvestConfig(
+        max_n_ent_tuples=8, token_beam_width=5, max_ent_subwords=1,
+        shuffle_partitions=8, ground_beam_to_corpus="per_relation",
+    )
+    out = run_full_pipeline(spark, rels, pages, str(tmp_path), cfg)
+    triples = out["triples"].collect()
+    assert triples
+    lm = build_stub_lm()
+    per_rel = corpus_token_ids_per_relation(
+        pages.select("url", "text"), rels, lm
+    )
+    rel_words = {
+        rel: {lm.token_text(i).lower() for i in ids}
+        for rel, ids in per_rel.items()
+    }
+    for t in triples:
+        for ent in t.ents:
+            for w in ent.lower().split():
+                assert w in rel_words[t.rel], (t.rel, t.ents, w)
