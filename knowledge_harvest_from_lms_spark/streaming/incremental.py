@@ -29,6 +29,10 @@ def triple_entities(triples: DataFrame) -> DataFrame:
     ).select(F.lower("ent").alias("ent")).distinct()
 
 
+def _changed_path(totals_path: str) -> str:
+    return totals_path.rstrip("/") + ".changed"
+
+
 def start_incremental_grounding(
     spark: SparkSession,
     pages_stream: DataFrame,
@@ -36,11 +40,17 @@ def start_incremental_grounding(
     totals_path: str,
     checkpoint_dir: str,
     text_col: str = "text",
+    track_changes: bool = False,
 ):
     """Start (availableNow) the totals-upsert stream; returns the
     StreamingQuery. Totals are ABSOLUTE running counts (the stateful
     operator carries them), so the upsert is idempotent: replace each
-    emitted entity's row, keep the rest."""
+    emitted entity's row, keep the rest.
+
+    ``track_changes=True`` additionally appends each batch's touched
+    entities to ``<totals>.changed`` — the delta feed that lets
+    ``incremental_rerank`` re-rank ONLY relations whose corpus support
+    moved, instead of rescoring the whole triple table per drop."""
     counts = streaming_mention_counts(pages_stream, triple_entities(triples), text_col)
 
     def upsert(batch_df, _bid):
@@ -70,6 +80,10 @@ def start_incremental_grounding(
         sess.read.parquet(tmp).write.mode("overwrite").parquet(totals_path)
         p = jvm.org.apache.hadoop.fs.Path(tmp)
         p.getFileSystem(hconf).delete(p, True)
+        if track_changes:
+            batch_df.select("ent").write.mode("append").parquet(
+                _changed_path(totals_path)
+            )
 
     return (
         counts.writeStream.foreachBatch(upsert)
@@ -78,6 +92,101 @@ def start_incremental_grounding(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def rerank_with_support(
+    triples: DataFrame, totals: DataFrame, alpha: float = 0.1
+) -> DataFrame:
+    """(rel, ents, weight, rank, min_ent_mentions, support_score,
+    support_rank): the corpus-support-adjusted ranking —
+    ``score = weight * (1 + alpha * log1p(min_ent_mentions))`` — an
+    engine extension beyond the reference (which never re-ranks after
+    harvest): triples all of whose entities are well-attested in the
+    crawl rise; unattested ones keep their LM-only ordering at
+    min_ent_mentions = 0. Deterministic tie-break on the entity key."""
+    from pyspark.sql import Window as W
+
+    exploded = triples.select(
+        "rel", "ents", "weight", "rank", F.explode("ents").alias("ent")
+    ).withColumn("ent", F.lower("ent"))
+    joined = exploded.join(
+        F.broadcast(totals.select("ent", "n_mentions")), "ent", "left"
+    ).withColumn("n_mentions", F.coalesce("n_mentions", F.lit(0)))
+    support = joined.groupBy("rel", "ents", "weight", "rank").agg(
+        F.min("n_mentions").alias("min_ent_mentions")
+    )
+    score = F.col("weight") * (
+        F.lit(1.0) + F.lit(alpha) * F.log1p(F.col("min_ent_mentions"))
+    )
+    w = W.partitionBy("rel").orderBy(
+        F.desc("support_score"), F.concat_ws("\x1f", "ents")
+    )
+    return (
+        support.withColumn("support_score", F.round(score, 9))
+        .withColumn("support_rank", F.row_number().over(w))
+    )
+
+
+def incremental_rerank(
+    spark: SparkSession,
+    triples: DataFrame,
+    totals_path: str,
+    reranked_path: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Consume the ``.changed`` delta feed and refresh the persisted
+    support-ranked table for ONLY the relations that contain a changed
+    entity — the drop-to-rerank increment of a streaming harvest
+    (unchanged relations' rows are carried over verbatim, never
+    rescored). Clears the delta feed afterwards. Returns the refreshed
+    table. First call (no reranked table yet) ranks everything."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def _exists(path: str) -> bool:
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        return p.getFileSystem(hconf).exists(p)
+
+    changed_path = _changed_path(totals_path)
+    totals = (
+        spark.read.parquet(totals_path)
+        if _exists(totals_path)
+        else spark.createDataFrame([], "ent string, n_mentions long, n_batches long")
+    )
+
+    if not _exists(reranked_path):
+        out = rerank_with_support(triples, totals, alpha)
+    else:
+        if _exists(changed_path):
+            changed = spark.read.parquet(changed_path).select(
+                F.lower("ent").alias("ent")
+            ).distinct()
+        else:
+            changed = spark.createDataFrame([], "ent string")
+        affected = (
+            triples.select("rel", F.explode("ents").alias("ent"))
+            .withColumn("ent", F.lower("ent"))
+            .join(F.broadcast(changed), "ent", "left_semi")
+            .select("rel")
+            .distinct()
+        )
+        fresh = rerank_with_support(
+            triples.join(F.broadcast(affected), "rel", "left_semi"), totals, alpha
+        )
+        kept = spark.read.parquet(reranked_path).join(
+            F.broadcast(affected), "rel", "left_anti"
+        )
+        out = kept.unionByName(fresh)
+
+    tmp = reranked_path.rstrip("/") + ".tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(reranked_path)
+    for path in (tmp, changed_path):
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(hconf)
+        if fs.exists(p):
+            fs.delete(p, True)
+    return spark.read.parquet(reranked_path)
 
 
 def grounded_view(

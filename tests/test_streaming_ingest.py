@@ -177,3 +177,81 @@ def test_incremental_grounding(spark, tmp_path):
     g2 = {tuple(r.ents): (r.min_ent_mentions, r.total_mentions)
           for r in grounded_view(spark, triples, totals, min_mentions=1).collect()}
     assert g2 == {("giraffe", "africa"): (1, 3)}
+
+
+def test_incremental_rerank_only_affected_relations(spark, tmp_path):
+    """Drop → delta entities → support re-rank of ONLY the relations
+    whose entities changed: the untouched relation's rows carry over
+    verbatim; the affected relation's ordering flips once corpus
+    support outweighs the LM weight margin; the delta feed is cleared
+    after consumption."""
+    import os
+
+    from knowledge_harvest_from_lms_spark.sources.web_pages import WEB_PAGES_SCHEMA
+    from knowledge_harvest_from_lms_spark.streaming.incremental import (
+        incremental_rerank,
+        start_incremental_grounding,
+    )
+
+    drop = str(tmp_path / "drop")
+    ckpt = str(tmp_path / "ckpt")
+    totals = str(tmp_path / "totals")
+    reranked = str(tmp_path / "reranked")
+    triples = spark.createDataFrame(
+        [
+            ("AtLocation", ["giraffe", "africa"], 0.4, 2),
+            ("AtLocation", ["unicorn", "atlantis"], 0.6, 1),
+            ("CapableOf", ["bird", "fly"], 0.7, 1),
+            ("CapableOf", ["fish", "sing"], 0.3, 2),
+        ],
+        "rel string, ents array<string>, weight double, rank int",
+    )
+
+    def write_drop(rows):
+        spark.createDataFrame(
+            [(u, b"", t, "en", __import__("datetime").datetime(2024, 3, 1))
+             for u, t in rows],
+            "url string, html binary, text string, lang string, warc_ts timestamp",
+        ).select(*[f.name for f in WEB_PAGES_SCHEMA.fields]).write.mode(
+            "append"
+        ).parquet(drop)
+
+    def drain():
+        q = start_incremental_grounding(
+            spark, spark.readStream.schema(WEB_PAGES_SCHEMA).parquet(drop),
+            triples, totals, ckpt, track_changes=True,
+        )
+        q.awaitTermination(120)
+
+    # drop 1: only AtLocation entities appear; strong giraffe/africa support
+    write_drop([
+        ("u1", "giraffe africa giraffe africa giraffe africa"),
+        ("u2", "giraffe africa giraffe africa"),
+    ])
+    drain()
+    r1 = incremental_rerank(spark, triples, totals, reranked, alpha=1.0)
+    rows1 = {(r.rel, tuple(r.ents)): (r.support_rank, r.min_ent_mentions)
+             for r in r1.collect()}
+    # support flips AtLocation: 0.4*(1+ln(1+5)) > 0.6*(1+0)
+    assert rows1[("AtLocation", ("giraffe", "africa"))][0] == 1
+    assert rows1[("AtLocation", ("unicorn", "atlantis"))][0] == 2
+    # CapableOf keeps LM-only ordering (no support either way)
+    assert rows1[("CapableOf", ("bird", "fly"))][0] == 1
+    # delta feed consumed
+    assert not os.path.exists(totals + ".changed")
+
+    # drop 2: only CapableOf entities appear -> AtLocation rows carry
+    # over BYTE-identical (they are not rescored)
+    before_at = sorted(
+        map(str, r1.filter("rel = 'AtLocation'").collect())
+    )
+    write_drop([("u3", "fish sing fish sing fish sing fish sing")])
+    drain()
+    r2 = incremental_rerank(spark, triples, totals, reranked, alpha=1.0)
+    after_at = sorted(map(str, r2.filter("rel = 'AtLocation'").collect()))
+    assert after_at == before_at
+    rows2 = {(r.rel, tuple(r.ents)): (r.support_rank, r.min_ent_mentions)
+             for r in r2.collect()}
+    # 0.3*(1+ln(5)) ~ 0.78 > 0.7 -> fish/sing overtakes bird/fly
+    assert rows2[("CapableOf", ("fish", "sing"))][0] == 1
+    assert rows2[("CapableOf", ("bird", "fly"))][0] == 2
