@@ -1,12 +1,17 @@
-"""Multimodal column plumbing: image/audio/video as opaque `binary`
-columns with typed metadata (driver brief).
+"""Multimodal columns: image/audio/video as opaque `binary` columns
+with typed metadata (driver brief).
 
-The decode/feature kernels are STUBS behind an explicit gate — the
-image/audio libraries are not in this container — but the Spark-side
-contract is real and tested: schemas, Arrow batch shapes, mapInPandas
-signatures, partition-by-modality layout. A deterministic fake
-("features" = seeded bytes-hash projection) stands in for the decoder
-so downstream joins/aggregations are exercisable end-to-end.
+r3: the decode/feature kernels for PCM WAV, PNG and binary PPM are
+REAL — dependency-free codecs in ``operators/media_codecs.py``
+(stdlib wave/zlib + numpy), round-trip tested. Video container
+formats genuinely need av/ffmpeg, so the video path stays behind an
+explicit per-row gate: in real mode each row's ``decoder`` column
+records which kernel produced its features, and video rows either
+raise (default) or carry the clearly-tagged deterministic stub.
+
+Spark-side contract unchanged: schemas, Arrow batch shapes,
+mapInPandas signatures, partition-by-modality layout (keeps Arrow
+batches decoder-homogeneous).
 """
 
 from __future__ import annotations
@@ -43,66 +48,127 @@ FEATURES_SCHEMA = T.StructType(
     ]
 )
 
-HAS_REAL_DECODERS = False  # PIL / torchaudio / av not in this container
+# wav/png/ppm are real (media_codecs.py); video needs av/ffmpeg
+REAL_DECODED_MODALITIES = ("image", "audio")
+HAS_REAL_DECODERS = True
 
 
 def _fake_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
-    """Deterministic stand-in: seeded projection of the content hash.
-    Replace with a real decoder on clusters with media libs."""
+    """Deterministic stand-in: seeded projection of the content hash —
+    used for ALL rows in stub mode and for video rows (when allowed)
+    in real mode."""
     h = hashlib.blake2b(content or b"", digest_size=8).digest()
     rng = np.random.Generator(np.random.PCG64(int.from_bytes(h, "big")))
     return [float(x) for x in rng.standard_normal(dim).astype(np.float32)]
 
 
-def decode_real(content: bytes, modality: str):  # pragma: no cover
+def decode_real(content: bytes, modality: str) -> tuple[list[float], str]:
+    """(features, decoder-tag) via the dependency-free codecs. Raises
+    on video / unknown formats."""
+    from . import media_codecs as mc
+
+    if modality == "image":
+        if content[:8] == b"\x89PNG\r\n\x1a\n":
+            img, tag = mc.decode_png(content), "png-v1"
+        elif content[:2] == b"P6":
+            img, tag = mc.decode_ppm(content), "ppm-v1"
+        else:
+            raise ValueError("unknown image container (png/ppm supported)")
+        return [float(x) for x in np.asarray(mc.image_features(img, FEATURE_DIM), dtype=np.float32)], tag
+    if modality == "audio":
+        samples, rate = mc.decode_wav(content)
+        return [float(x) for x in np.asarray(mc.audio_features(samples, rate, FEATURE_DIM), dtype=np.float32)], "wav-v1"
     raise NotImplementedError(
-        "real media decoding requires PIL/torchaudio/av; this container "
-        "ships the Spark plumbing with a deterministic fake "
-        "(extract_features(..., use_stub=True))"
+        f"no dependency-free decoder for modality {modality!r} "
+        "(video containers need av/ffmpeg)"
     )
 
 
-def extract_features(media: DataFrame, use_stub: bool = True) -> DataFrame:
+def extract_features(
+    media: DataFrame, use_stub: bool = True, video_stub_ok: bool = False
+) -> DataFrame:
     """content binary → features array<float>, Arrow-batched, one
-    decoder instance per python worker."""
-    if not use_stub and not HAS_REAL_DECODERS:
-        raise NotImplementedError("no real decoders in this container")
+    decoder dispatch per row; the ``decoder`` column records which
+    kernel produced each row (stub rows are explicitly tagged).
+
+    ``use_stub=False`` decodes image(png/ppm)/audio(wav) for real;
+    video rows then raise unless ``video_stub_ok=True`` tags them
+    through the deterministic stub."""
 
     def fn(batches):
         import pandas as pd
 
         for pdf in batches:
-            feats = [_fake_features(c) for c in pdf["content"]]
+            feats, tags = [], []
+            for content, modality in zip(pdf["content"], pdf["modality"]):
+                if use_stub:
+                    feats.append(_fake_features(content))
+                    tags.append("stub-blake2b-v1")
+                    continue
+                try:
+                    fv, tag = decode_real(bytes(content), modality)
+                except NotImplementedError:
+                    if not video_stub_ok:
+                        raise
+                    fv, tag = _fake_features(content), "stub-blake2b-v1"
+                feats.append(fv)
+                tags.append(tag)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "modality": pdf["modality"],
                     "features": feats,
-                    "decoder": ["stub-blake2b-v1"] * len(pdf),
+                    "decoder": tags,
                 }
             )
 
     # modality partitioning: decode cost is modality-specific; keeps
-    # Arrow batches homogeneous for a real decoder
+    # Arrow batches homogeneous per decoder
     return media.repartition("modality").mapInPandas(fn, schema=FEATURES_SCHEMA)
 
 
 def synth_media(spark, n_rows: int = 100, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for plumbing tests."""
+    """Deterministic media table with REAL encoded payloads: seeded
+    gradient PNGs, seeded sine-wave WAVs, and (for video) hashed
+    opaque bytes — so real-mode decoding is exercisable end to end."""
+    from . import media_codecs as mc
+
     rows = []
     for i in range(n_rows):
         modality = ["image", "audio", "video"][i % 3]
-        content = hashlib.blake2b(f"{seed}:{i}".encode(), digest_size=32).digest()
+        rng = np.random.Generator(np.random.PCG64(seed * 1_000_003 + i))
+        if modality == "image":
+            w = h = 16 + (i % 4) * 8
+            base = rng.integers(0, 200, size=(h, w, 3), dtype=np.uint8)
+            ramp = np.linspace(0, 55, w, dtype=np.uint8)[None, :, None]
+            img = (base + ramp).astype(np.uint8)
+            content = mc.encode_png(img) if i % 2 == 0 else mc.encode_ppm(img)
+            mime = "image/png" if i % 2 == 0 else "image/x-portable-pixmap"
+            width, height, dur = w, h, None
+        elif modality == "audio":
+            rate = 8000
+            t = np.arange(int(rate * 0.05), dtype=np.float32) / rate
+            f0 = 200.0 + float(rng.integers(0, 1000))
+            samples = 0.5 * np.sin(2 * np.pi * f0 * t)
+            content = mc.encode_wav(samples, rate)
+            mime = "audio/wav"
+            width = height = None
+            dur = 50
+        else:
+            content = hashlib.blake2b(f"{seed}:{i}".encode(), digest_size=32).digest()
+            mime = "video/mp4"
+            width = height = 64
+            dur = 1000 + i
         rows.append(
             (
                 i,
                 f"https://media.example/{modality}/{i}",
                 modality,
                 bytearray(content),
-                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[modality],
-                64 if modality != "audio" else None,
-                64 if modality != "audio" else None,
-                None if modality == "image" else 1000 + i,
+                mime,
+                width,
+                height,
+                dur,
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)

@@ -1109,6 +1109,93 @@ Q39_SQL = Q34_SQL.replace(
 )
 
 
+def q41_support_rerank(spark, sf_dir):
+    """Corpus-support re-ranking (streaming/incremental.
+    rerank_with_support — the streaming harvest's drop-to-rerank
+    scorer) made oracle-checkable: deterministic synthetic triples
+    over the corpus-derived entity set, totals = q34's mention counts,
+    score = weight * (1 + 0.5*log1p(min entity mentions))."""
+    from pyspark.sql import Window as W
+
+    from ..operators.corpus_grounding import entity_mentions
+    from ..streaming.incremental import rerank_with_support
+
+    docs = _docs_as_pages(spark, sf_dir)
+    ents = _mention_entities(docs)
+    totals = entity_mentions(docs, ents).select("ent", "n_mentions")
+    a = ents.select(F.col("ent").alias("ent_a"))
+    b = ents.select(F.col("ent").alias("ent_b"))
+    pairs = a.crossJoin(b).filter(F.col("ent_a") < F.col("ent_b"))
+    weight = F.lit(1.0) / (F.length("ent_a") + F.length("ent_b"))
+    trip = pairs.select(
+        F.lit("corpus").alias("rel"),
+        F.array("ent_a", "ent_b").alias("ents"),
+        weight.alias("weight"),
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("rel").orderBy(
+                F.desc("weight"), F.concat_ws("\x1f", "ents")
+            )
+        ),
+    )
+    rr = rerank_with_support(trip, totals, alpha=0.5)
+    return rr.select(
+        F.element_at("ents", 1).alias("ent_a"),
+        F.element_at("ents", 2).alias("ent_b"),
+        F.round("weight", 6).alias("weight"),
+        F.col("min_ent_mentions").cast("long").alias("min_ent_mentions"),
+        F.round("support_score", 6).alias("support_score"),
+        F.col("support_rank").cast("int").alias("support_rank"),
+    )
+
+
+# the oracle replays q34's mention CTEs, then the support-scoring
+# formula (ranking over the 9-decimal-rounded score, matching
+# rerank_with_support) in SQL
+Q41_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS toks
+  FROM documents),
+u AS (SELECT doc_id, unnest(toks) AS phrase FROM t),
+g AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t),
+b AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS phrase FROM g),
+ents AS (
+  SELECT ent FROM (
+    SELECT phrase AS ent FROM u WHERE len(phrase) >= 4
+    GROUP BY phrase ORDER BY COUNT(*) DESC, phrase LIMIT 6)
+  UNION ALL
+  SELECT ent FROM (
+    SELECT phrase AS ent FROM b
+    GROUP BY phrase ORDER BY COUNT(*) DESC, phrase LIMIT 3)
+),
+p AS (SELECT phrase, doc_id FROM u UNION ALL SELECT phrase, doc_id FROM b),
+m AS (
+  SELECT ents.ent AS ent, COUNT(*) AS n_mentions
+  FROM p JOIN ents ON p.phrase = ents.ent
+  GROUP BY ents.ent),
+pairs AS (
+  SELECT a.ent AS ent_a, b.ent AS ent_b
+  FROM ents a JOIN ents b ON a.ent < b.ent),
+scored AS (
+  SELECT ent_a, ent_b,
+         1.0 / (LEN(ent_a) + LEN(ent_b)) AS w,
+         LEAST(ma.n_mentions, mb.n_mentions) AS minm
+  FROM pairs
+  JOIN m ma ON ma.ent = pairs.ent_a
+  JOIN m mb ON mb.ent = pairs.ent_b)
+SELECT ent_a, ent_b,
+       ROUND(w, 6) AS weight,
+       CAST(minm AS BIGINT) AS min_ent_mentions,
+       ROUND(ROUND(w * (1 + 0.5 * LN(1 + minm)), 9), 6) AS support_score,
+       CAST(ROW_NUMBER() OVER (
+           ORDER BY ROUND(w * (1 + 0.5 * LN(1 + minm)), 9) DESC,
+                    ent_a || chr(31) || ent_b) AS INT) AS support_rank
+FROM scored
+"""
+
+
 # ---------------------------------------------------------------------------
 # Salted two-phase aggregation (J7 skew pattern) — must equal the plain
 # group-by, which IS the oracle: proves salting preserves semantics.
@@ -1317,12 +1404,15 @@ def q99_ann_ivf_topk(spark, sf_dir):
 
 
 def q97_multimodal_features(spark, sf_dir):
-    """Multimodal binary-column plumbing with the stub decoder
-    (rows-only)."""
+    """Multimodal feature extraction with the REAL dependency-free
+    decoders (r3): PNG/PPM images and PCM WAV audio decode for real
+    (operators/media_codecs.py); video rows carry the clearly-tagged
+    deterministic stub (rows-only: binary codecs aren't
+    SQL-expressible)."""
     from ..operators.multimodal import extract_features, synth_media
 
     media = synth_media(spark, 60)
-    feats = extract_features(media, use_stub=True)
+    feats = extract_features(media, use_stub=False, video_stub_ok=True)
     return feats.select(
         "media_id", "modality", F.round(F.element_at("features", 1), 6).alias("f0"),
         "decoder",
@@ -1412,6 +1502,7 @@ QUERIES = {
     "q37_dedup_documents": q37_dedup_documents,
     "q38_dedup_documents_minhash": q38_dedup_documents_minhash,
     "q39_entity_mentions_punct": q39_entity_mentions_punct,
+    "q41_support_rerank": q41_support_rerank,
     "q90_bertnet_prompt_weights": q90_bertnet_prompt_weights,
     "q91_bertnet_triples": q91_bertnet_triples,
     "q92_simhash_pairs": q92_simhash_pairs,
@@ -1463,6 +1554,7 @@ ORACLES = {
     "q36_bpe_token_count": Q36_SQL,
     "q37_dedup_documents": Q37_SQL,
     "q39_entity_mentions_punct": Q39_SQL,
+    "q41_support_rerank": Q41_SQL,
     "q92_simhash_pairs": Q92_SQL,
     "q94_embedding_near_dup": Q94_SQL,
 }

@@ -269,8 +269,40 @@ def test_multimodal_plumbing(spark):
     again = {r.media_id: r.features for r in extract_features(media).collect()}
     for r in rows:
         assert again[r.media_id] == r.features
-    with pytest.raises(NotImplementedError):
-        extract_features(media, use_stub=False)
+
+
+def test_multimodal_real_decoders(spark):
+    """r3: PNG/PPM/WAV decode for REAL (dependency-free codecs); each
+    row's decoder column records the kernel; video rows stub only when
+    explicitly allowed, with the stub tag."""
+    media = synth_media(spark, 30)
+    rows = extract_features(media, use_stub=False, video_stub_ok=True).collect()
+    tags = {r.media_id: r.decoder for r in rows}
+    by_mod = {}
+    for r in rows:
+        by_mod.setdefault(r.modality, set()).add(r.decoder)
+    assert by_mod["image"] == {"png-v1", "ppm-v1"}
+    assert by_mod["audio"] == {"wav-v1"}
+    assert by_mod["video"] == {"stub-blake2b-v1"}
+    # real features carry decode-derived semantics: audio row 1 is a
+    # 0.05 s sine at 8 kHz -> duration feature == 0.05, rms ~ 0.35
+    audio = {r.media_id: r.features for r in rows if r.modality == "audio"}
+    f = next(iter(audio.values()))
+    assert abs(f[0] - 0.05) < 1e-6
+    assert 0.3 < f[1] < 0.4
+    # determinism
+    again = {r.media_id: (r.features, r.decoder)
+             for r in extract_features(media, use_stub=False, video_stub_ok=True).collect()}
+    for r in rows:
+        assert again[r.media_id] == (r.features, tags[r.media_id])
+
+
+def test_multimodal_video_without_optin_raises(spark):
+    from pyspark.errors import PythonException
+
+    media = synth_media(spark, 9).filter("modality = 'video'")
+    with pytest.raises(PythonException, match="av/ffmpeg"):
+        extract_features(media, use_stub=False).collect()
 
 
 def test_ivf_topk_recall(spark):
