@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Incremental-grounding cluster entry point — the streaming half of
+the `spark-submit --py-files` surface:
+
+  spark-submit --py-files kg_spark.zip jobs/run_incremental.py \\
+      --drops s3://bucket/crawl_drops --triples s3://bucket/wh/triples \\
+      --totals s3://bucket/wh/mention_totals \\
+      --reranked s3://bucket/wh/triples_support_ranked \\
+      --checkpoints s3://bucket/ckpt/incremental
+
+Each invocation drains whatever new crawl drops landed since the last
+run (availableNow trigger — works as a cron'd batch or a long-running
+stream), updates per-entity running mention totals through the
+stateful operator, and refreshes the corpus-support ranking for ONLY
+the relations whose entities changed.
+
+Sandbox smoke run:
+
+  python jobs/run_harvest.py --synth-pages 500      # produce triples
+  python jobs/run_incremental.py --synth-drop 200 \\
+      --triples /tmp/kg_warehouse/kg/triples
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--drops", default="/tmp/kg_drops", help="crawl-drop parquet dir (streamed)")
+    p.add_argument("--triples", required=True, help="harvested triples parquet")
+    p.add_argument("--totals", default="/tmp/kg_warehouse/mention_totals")
+    p.add_argument("--reranked", default="/tmp/kg_warehouse/triples_support_ranked")
+    p.add_argument("--checkpoints", default="/tmp/kg_checkpoints/incremental")
+    p.add_argument("--alpha", type=float, default=0.1)
+    p.add_argument("--min-mentions", type=int, default=1)
+    p.add_argument("--synth-drop", type=int, default=0,
+                   help="write N synthetic pages into --drops first (sandbox)")
+    p.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 16)))
+    args = p.parse_args()
+
+    from knowledge_harvest_from_lms_spark.session import get_session
+    from knowledge_harvest_from_lms_spark.sources.web_pages import (
+        WEB_PAGES_SCHEMA,
+        synth_web_pages,
+    )
+    from knowledge_harvest_from_lms_spark.streaming.incremental import (
+        grounded_view,
+        incremental_rerank,
+        start_incremental_grounding,
+    )
+
+    spark = get_session(cpus=args.cpus, app_name="kg-incremental")
+    if args.synth_drop:
+        synth_web_pages(spark, args.synth_drop).write.mode("append").parquet(args.drops)
+
+    triples = spark.read.parquet(args.triples)
+    stream = spark.readStream.schema(WEB_PAGES_SCHEMA).parquet(args.drops)
+    q = start_incremental_grounding(
+        spark, stream, triples, args.totals, args.checkpoints, track_changes=True
+    )
+    q.awaitTermination()
+
+    reranked = incremental_rerank(
+        spark, triples, args.totals, args.reranked, alpha=args.alpha
+    )
+    grounded = grounded_view(spark, triples, args.totals, args.min_mentions)
+    print(
+        f"reranked={reranked.count()} rows at {args.reranked}; "
+        f"grounded(min_mentions={args.min_mentions})={grounded.count()} "
+        f"triples; totals at {args.totals}"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -288,3 +288,41 @@ def test_subword_entities_exercised_bpe(spark):
         for e in r.ents:
             multi += len(lm._tok.encode(e, add_special_tokens=False)) > 1
     assert multi > 0
+
+
+# ---------------------------------------------------------------------------
+# property: pll_row_plan has DEFINED behavior on arbitrary input
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def slotted_prompts(draw):
+    """Random 2-slot prompts with arbitrary glue (possibly empty /
+    punctuation-glued, the misalignment-prone shapes) + entities."""
+    word = st.text(alphabet="abcdefghijklmnop'", min_size=1, max_size=8)
+    glue = st.text(alphabet="abcdefg ',.-", min_size=0, max_size=10)
+    pre, mid, post = draw(glue), draw(glue), draw(glue)
+    prompt = f"{pre}<ENT0>{mid} likes <ENT1>{post}"
+    e0 = " ".join(draw(st.lists(word, min_size=1, max_size=2)))
+    e1 = " ".join(draw(st.lists(word, min_size=1, max_size=2)))
+    return prompt, [e0, e1]
+
+
+@settings(max_examples=150, deadline=None)
+@given(case=slotted_prompts())
+def test_pll_row_plan_defined_behavior(case):
+    """For ANY prompt/entity shape: either a valid plan (non-empty
+    in-range mask positions) or PLLAlignmentError — never a raw
+    TypeError/IndexError (the reference's failure mode,
+    language_model_wrapper.py:107-115)."""
+    prompt, ents = case
+    for tok in (ByteBPEFakeTokenizer(), WordPieceFakeTokenizer()):
+        try:
+            ids, mp = pll_row_plan(tok, prompt, ents)
+        except PLLAlignmentError:
+            continue
+        assert mp, (prompt, ents)
+        assert all(0 < p < len(ids) for p in mp), (prompt, ents, mp)
