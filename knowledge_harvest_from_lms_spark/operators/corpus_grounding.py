@@ -54,10 +54,18 @@ def corpus_token_ids(web_pages: DataFrame, lm, text_col: str = "text") -> list[i
     per-instance ``lm.vocab_texts()`` cache — one full-vocab decode
     scan per (model, seed) per driver process, however many grounding
     jobs run (VERDICT r2 item 4). Feeds
-    ``search_ent_tuples(allowed_token_ids=...)``."""
+    ``search_ent_tuples(allowed_token_ids=...)``.
+
+    Token texts are TRIMMED before matching: byte-BPE word-initial
+    tokens decode with a leading space (``Ġdog`` → ``" dog"``), and
+    without the trim every word-start token of a roberta-style
+    backend would silently fail to match its corpus word, leaving
+    grounding to continuation pieces only."""
     spark = web_pages.sparkSession
     vocab = list(enumerate(lm.vocab_texts()))
-    vdf = spark.createDataFrame(vocab, "token_id int, word string").coalesce(1)
+    vdf = spark.createDataFrame(vocab, "token_id int, word string").select(
+        "token_id", F.trim("word").alias("word")
+    ).coalesce(1)
     words = tokenize_corpus(web_pages, text_col).select("word").distinct()
     rows = F.broadcast(vdf).join(words, "word", "left_semi").select("token_id").collect()
     return sorted(r["token_id"] for r in rows)
@@ -102,7 +110,9 @@ def corpus_token_ids_per_relation(
         .distinct()
     )
     vocab = list(enumerate(lm.vocab_texts()))
-    vdf = spark.createDataFrame(vocab, "token_id int, word string").coalesce(1)
+    vdf = spark.createDataFrame(vocab, "token_id int, word string").select(
+        "token_id", F.trim("word").alias("word")  # Ġ-tokens decode " word"
+    ).coalesce(1)
     rows = (
         rel_words.join(F.broadcast(vdf), "word")
         .select("rel", "token_id")

@@ -156,3 +156,21 @@ def test_per_relation_grounded_harvest(spark, tmp_path):
         for ent in t.ents:
             for w in ent.lower().split():
                 assert w in rel_words[t.rel], (t.rel, t.ents, w)
+
+
+def test_corpus_token_ids_includes_bpe_word_start_tokens(spark):
+    """Regression: byte-BPE word-initial tokens decode with a leading
+    space (Ġdog -> " dog"); grounding must trim before matching or
+    every roberta-style word-start token silently drops out."""
+    from knowledge_harvest_from_lms_spark.lm import resolve_lm
+
+    pages = spark.createDataFrame(
+        [("u1", "the dog is in the house")], "url string, text string"
+    )
+    lm = resolve_lm("fake-bpe")
+    ids = corpus_token_ids(pages, lm)
+    texts = {lm.token_text(i) for i in ids}
+    assert " dog" in texts or "dog" in texts
+    assert any(t.startswith(" ") for t in texts), (
+        "no word-start (space-decoded) tokens grounded"
+    )
