@@ -33,9 +33,27 @@ HEADLINE = [
 ]
 
 
+def wait_for_idle(max_load: float = 4.0, timeout_s: float = 90.0) -> None:
+    """Best-effort idle gate: residual load from a just-finished run
+    (or a co-tenant) depresses local[N] throughput by up to ~35%
+    (observed r3) and poisons round-over-round comparisons. Waits
+    until 1-min loadavg drops below ``max_load``, bounded by
+    ``timeout_s``."""
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        try:
+            load = os.getloadavg()[0]
+        except OSError:  # platform without getloadavg
+            return
+        if load < max_load:
+            return
+        time.sleep(5)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    wait_for_idle()
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
 
     from knowledge_harvest_from_lms_spark.config import HarvestConfig

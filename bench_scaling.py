@@ -124,8 +124,11 @@ def main() -> None:
         print("RESULT " + json.dumps(run_level(int(sys.argv[2]))))
         return
 
+    from bench import wait_for_idle
+
     results = {}
     for cpus in LEVELS:
+        wait_for_idle()  # residual load depresses N->4N efficiency
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
             capture_output=True, text=True, timeout=1200,

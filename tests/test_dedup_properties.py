@@ -120,3 +120,54 @@ def test_adversarial_chain_warns_not_splits_silently(spark):
     )
     with pytest.warns(RuntimeWarning, match="did not converge"):
         canonical_map(ents, pairs, max_iters=2).collect()
+
+
+def test_minhash_pairs_sound_and_exact_complete_via_duckdb(spark):
+    """DuckDB soundness oracle for the q93 minhash pairs (VERDICT r2
+    item 3's q93 half, test-level since banding completeness is
+    probabilistic): every reported pair's TRUE padded-3-gram jaccard
+    over 512-char prefixes must clear the threshold (soundness), and
+    every jaccard = 1.0 pair must be reported (exact-dup completeness
+    is guaranteed — identical gram sets share every band, and
+    identical prefixes pair through the star edges)."""
+    import duckdb
+
+    from knowledge_harvest_from_lms_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    reported = minhash_near_dup_pairs(
+        docs, "text", "doc_id", sim_threshold=0.8
+    ).collect()
+    assert reported, "synthetic docs are templated; pairs expected"
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    con.execute("""
+        CREATE VIEW grams AS
+        SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
+                 RANGE(1, GREATEST(LENGTH(p) - 2, 1) + 1),
+                 i -> SUBSTR(p, i, 3))) AS g
+        FROM (SELECT doc_id, ' ' || SUBSTR(text, 1, 512) || ' ' AS p
+              FROM documents)
+    """)
+    true_jac = {
+        (a, b): j
+        for a, b, j in con.execute("""
+            SELECT x.doc_id, y.doc_id,
+                   CAST(LEN(LIST_INTERSECT(x.g, y.g)) AS DOUBLE)
+                   / LEN(LIST_DISTINCT(LIST_CONCAT(x.g, y.g)))
+            FROM grams x JOIN grams y ON x.doc_id < y.doc_id
+        """).fetchall()
+    }
+    for r in reported:
+        assert true_jac[(r.id_a, r.id_b)] >= 0.8 - 1e-9, (
+            r.id_a, r.id_b, true_jac[(r.id_a, r.id_b)], r.jaccard)
+    got = {(r.id_a, r.id_b) for r in reported}
+    exact = {k for k, j in true_jac.items() if j >= 1.0 - 1e-12}
+    assert exact, "expected at least one exact-gram-set pair at sf0.001"
+    assert exact <= got, exact - got
