@@ -174,3 +174,33 @@ def test_corpus_token_ids_includes_bpe_word_start_tokens(spark):
     assert any(t.startswith(" ") for t in texts), (
         "no word-start (space-decoded) tokens grounded"
     )
+
+
+def test_per_relation_empty_grounding_skips_relation():
+    """A relation whose grounding dict entry is missing/empty expands
+    to NOTHING (skipped in pass 1, no LM work) while other relations
+    proceed — no crash, no cross-relation leakage."""
+    import pandas as pd
+
+    from knowledge_harvest_from_lms_spark.operators.beam_search import make_expand_fn
+
+    lm = build_stub_lm()
+    rels = {r["rel"]: r for r in _fixture_rel_info()}
+    rel = next(iter(rels))
+    grounded_ids = [int(i) for i in range(4, lm.vocab_size)]
+    fn = make_expand_fn(
+        "stub", 42, rels, width=4,
+        allowed_token_ids={rel: grounded_ids, "GhostRel": []},
+    )
+    pdf = pd.DataFrame({
+        "rel": [rel], "t": [0], "n_masks": [[1, 1]], "ent_idx": [0],
+        "ents": [[]], "ent_logprobs": [[]], "token_ids": [[]], "token_logprobs": [[]],
+    })
+    outs = list(fn(iter([pdf])))
+    assert outs and len(outs[0]) > 0  # grounded relation expands
+
+    # same frontier row under a rel with EMPTY grounding: nothing
+    fn_empty = make_expand_fn(
+        "stub", 42, rels, width=4, allowed_token_ids={},
+    )
+    assert list(fn_empty(iter([pdf]))) == []

@@ -326,3 +326,39 @@ def test_pll_row_plan_defined_behavior(case):
             continue
         assert mp, (prompt, ents)
         assert all(0 < p < len(ids) for p in mp), (prompt, ents, mp)
+
+
+@pytest.mark.parametrize("lm_name", ["fake-bpe", "fake-wp"])
+def test_harvest_export_reload_eval_loop(spark, tmp_path, lm_name):
+    """The COMPLETE artifact loop over realistic tokenizer structure:
+    harvest → reference-layout JSON export (incl. summary.txt) →
+    reload through the golden-artifact loaders → P/R@k == 1.0 against
+    itself. This is the exact machinery the north rule's content
+    comparison runs through, exercised end to end on byte-BPE and
+    WordPiece structure without torch."""
+    from knowledge_harvest_from_lms_spark.plans.evaluation import (
+        load_golden_ent_tuples,
+        precision_recall_at_k,
+    )
+    from knowledge_harvest_from_lms_spark.plans.harvest import harvest
+    from knowledge_harvest_from_lms_spark.sources.results_json import (
+        write_reference_results,
+    )
+
+    rels = fixture_relations(spark).filter("rel = 'AtLocation'")
+    cfg = HarvestConfig(
+        max_n_ent_tuples=5, token_beam_width=4, max_ent_subwords=2,
+        shuffle_partitions=8, lm=lm_name,
+    )
+    out = harvest(spark, rels, cfg)
+    out_dir = write_reference_results(
+        out["prompt_weights"], out["triples"], str(tmp_path),
+        rel_set="fixture", model_name=lm_name,
+    )
+    import os
+
+    assert os.path.exists(os.path.join(out_dir, "summary.txt"))
+    golden = load_golden_ent_tuples(spark, out_dir, ["AtLocation"])
+    pr = precision_recall_at_k(out["triples"], golden, k=100).collect()
+    assert len(pr) == 1
+    assert pr[0].precision == 1.0 and pr[0].recall == 1.0
