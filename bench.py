@@ -110,6 +110,11 @@ def main() -> None:
     cold["harvest_pipeline"] = round(harvest_runs[0], 3)
     timings["harvest_pipeline"] = round(harvest_sec, 3)
 
+    # "value" stays r2-comparable: headline warm times + harvest only.
+    # The ekar entry below is additive instrumentation (and only runs
+    # where /root/reference is mounted), so it reports separately.
+    headline_value = round(sum(timings.values()), 3)
+
     # ekar-scale beam regression (VERDICT r2 item 6): 50 real ekar
     # relations end-to-end on the stub — exercises the beam + the
     # broadcast-threshold pruning join at a relation count two orders
@@ -139,12 +144,14 @@ def main() -> None:
 
     out = {
         "metric": "headline query suite + stub-LM harvest, local mode",
-        "value": round(sum(timings.values()), 3),
+        "value": headline_value,
         "unit": "sec",
         "queries": timings,
         "cold": cold,
         "notes": (
-            "queries/value = warm best-of-2 (r2-comparable); cold = first "
+            "value = warm best-of-2 over headline queries + harvest "
+            "(r2-comparable; EXCLUDES the additive ekar50 entry, which is "
+            "single-shot and reference-mount-dependent); cold = first "
             "execution per query in a JVM-warmed session; r1 series was "
             "single-shot cold including session spin-up on the first query"
         ),

@@ -291,13 +291,15 @@ class WordPieceFakeTokenizer:
             for w in _basic_tokenize(t):
                 words[w] += 1
         for w, _c in words.items():
+            # NB: pieces longer than _MAX_PIECE would be dead vocab —
+            # greedy matching never looks past _MAX_PIECE chars, so
+            # only add reachable pieces (whole words <= _MAX_PIECE are
+            # already covered by the prefix below)
             pieces.add(w[: self._MAX_PIECE])
             for start in range(1, len(w)):
                 piece = w[start: start + self._MAX_PIECE]
                 if piece:
                     pieces.add("##" + piece)
-            if len(w) <= 12:
-                pieces.add(w)  # whole-word piece for common words
         self._piece_to_id: dict[str, int] = {}
         self._rev: dict[int, str] = {
             self.PAD_ID: "[PAD]", self.UNK_ID: "[UNK]", self.CLS_ID: "[CLS]",

@@ -54,21 +54,28 @@ def corpus_token_ids(web_pages: DataFrame, lm, text_col: str = "text") -> list[i
     per-instance ``lm.vocab_texts()`` cache — one full-vocab decode
     scan per (model, seed) per driver process, however many grounding
     jobs run (VERDICT r2 item 4). Feeds
-    ``search_ent_tuples(allowed_token_ids=...)``.
-
-    Token texts are TRIMMED before matching: byte-BPE word-initial
-    tokens decode with a leading space (``Ġdog`` → ``" dog"``), and
-    without the trim every word-start token of a roberta-style
-    backend would silently fail to match its corpus word, leaving
-    grounding to continuation pieces only."""
+    ``search_ent_tuples(allowed_token_ids=...)``."""
     spark = web_pages.sparkSession
-    vocab = list(enumerate(lm.vocab_texts()))
-    vdf = spark.createDataFrame(vocab, "token_id int, word string").select(
-        "token_id", F.trim("word").alias("word")
-    ).coalesce(1)
+    vdf = _vocab_df(spark, lm)
     words = tokenize_corpus(web_pages, text_col).select("word").distinct()
     rows = F.broadcast(vdf).join(words, "word", "left_semi").select("token_id").collect()
     return sorted(r["token_id"] for r in rows)
+
+
+def _vocab_df(spark, lm) -> DataFrame:
+    """(token_id, word) table from the per-instance vocab-text cache.
+    Token texts are TRIMMED before matching: byte-BPE word-initial
+    tokens decode with a leading space (``Ġdog`` → ``" dog"``), and
+    without the trim every word-start token of a roberta-style backend
+    would silently fail to match its corpus word, leaving grounding to
+    continuation pieces only. Shared by the global and per-relation
+    grounding paths so the matching semantics cannot diverge."""
+    vocab = list(enumerate(lm.vocab_texts()))
+    return (
+        spark.createDataFrame(vocab, "token_id int, word string")
+        .select("token_id", F.trim("word").alias("word"))
+        .coalesce(1)
+    )
 
 
 def corpus_token_ids_per_relation(
@@ -84,40 +91,44 @@ def corpus_token_ids_per_relation(
     candidates shouldn't include words only ever seen on unrelated
     pages).
 
-    Scale shape (100 TB): ONE corpus tokenization feeds both sides —
-    the (url, word) stream broadcast-joins the seed words to find hit
-    pages (map-side), hit urls shuffle once to collect their word
-    sets, and the LM vocab broadcasts into the final semi-join. The
-    returned driver object is ≤ |rels| × vocab ints, bounded by
-    harvest config, not the corpus."""
+    Scale shape (100 TB): the (url, word) token stream is built once
+    and CACHED across its two joins — the seed-word broadcast join
+    that finds hit pages (map-side) and the hit-url join that
+    collects their word sets (at full scale, write the tokenized
+    corpus once instead; it is consumed by every grounding/mention
+    operator). Seed entities are tokenized with the SAME ``word_mode``
+    as the corpus, so punctuated seeds ("o'clock") match in punct
+    mode instead of silently grounding to nothing. The returned
+    driver object is ≤ |rels| × vocab ints, bounded by harvest
+    config, not the corpus."""
     spark = web_pages.sparkSession
+    seed_text = F.lower(F.regexp_replace("seed", "_", " "))
+    seed_words = (
+        F.split(seed_text, " ")
+        if word_mode == "space"
+        else F.split(seed_text, WORD_SPLIT_RE)
+    )
     seeds = relations.select(
         "rel", F.explode("seed_ent_tuples").alias("tup")
     ).select(
         "rel", F.explode("tup").alias("seed")
     ).select(
-        "rel",
-        F.explode(
-            F.split(F.lower(F.regexp_replace("seed", "_", " ")), " ")
-        ).alias("word"),
+        "rel", F.explode(seed_words).alias("word")
     ).filter(F.length("word") > 0).distinct()
 
-    toks = tokenize_corpus(web_pages, text_col, word_mode)
-    hit_pages = toks.join(F.broadcast(seeds), "word").select("rel", "url").distinct()
-    rel_words = (
-        toks.join(hit_pages, "url")
-        .select("rel", "word")
-        .distinct()
-    )
-    vocab = list(enumerate(lm.vocab_texts()))
-    vdf = spark.createDataFrame(vocab, "token_id int, word string").select(
-        "token_id", F.trim("word").alias("word")  # Ġ-tokens decode " word"
-    ).coalesce(1)
-    rows = (
-        rel_words.join(F.broadcast(vdf), "word")
-        .select("rel", "token_id")
-        .collect()
-    )
+    toks = tokenize_corpus(web_pages, text_col, word_mode).cache()
+    try:
+        hit_pages = toks.join(F.broadcast(seeds), "word").select(
+            "rel", "url"
+        ).distinct()
+        rel_words = toks.join(hit_pages, "url").select("rel", "word").distinct()
+        rows = (
+            rel_words.join(F.broadcast(_vocab_df(spark, lm)), "word")
+            .select("rel", "token_id")
+            .collect()
+        )
+    finally:
+        toks.unpersist()
     out: dict[str, list[int]] = {}
     for r in rows:
         out.setdefault(r["rel"], []).append(r["token_id"])

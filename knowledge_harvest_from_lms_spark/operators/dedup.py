@@ -169,8 +169,13 @@ def simhash_signatures(
     which is what turns the driver's q92 from rows-only into
     hash-oracle-checked (VERDICT r2 item 3)."""
     assert n_bits <= 60
+    # split on ASCII whitespace runs, not single spaces: line-wrapped
+    # near-duplicates must not fuse words across newlines/tabs into
+    # per-doc-unique tokens (that silently destroys recall on
+    # multi-line text; the oracle uses the same class)
     words = F.filter(
-        F.array_distinct(F.split(F.col(text_col), " ")), lambda w: w != ""
+        F.array_distinct(F.split(F.col(text_col), r"[ \t\n\x0B\f\r]+")),
+        lambda w: w != "",
     )
     ex = docs.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("w"))
     chars = "transform(split(w, ''), c -> CAST(ascii(c) AS BIGINT))"

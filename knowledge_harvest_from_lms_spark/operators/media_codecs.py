@@ -151,6 +151,8 @@ def decode_png(content: bytes) -> np.ndarray:
             )
             if depth != 8 or interlace != 0:
                 raise ValueError("only 8-bit non-interlaced PNG supported")
+            if color not in _CHANNELS:  # e.g. 3 = palette
+                raise ValueError(f"unsupported PNG color type {color}")
             channels = _CHANNELS[color]
         elif tag == b"IDAT":
             idat += data

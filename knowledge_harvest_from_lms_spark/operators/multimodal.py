@@ -85,7 +85,8 @@ def decode_real(content: bytes, modality: str) -> tuple[list[float], str]:
 
 
 def extract_features(
-    media: DataFrame, use_stub: bool = True, video_stub_ok: bool = False
+    media: DataFrame, use_stub: bool = True, video_stub_ok: bool = False,
+    corrupt_ok: bool = False,
 ) -> DataFrame:
     """content binary → features array<float>, Arrow-batched, one
     decoder dispatch per row; the ``decoder`` column records which
@@ -93,7 +94,12 @@ def extract_features(
 
     ``use_stub=False`` decodes image(png/ppm)/audio(wav) for real;
     video rows then raise unless ``video_stub_ok=True`` tags them
-    through the deterministic stub."""
+    through the deterministic stub. ``corrupt_ok=True`` keeps
+    MALFORMED rows (truncated files, unsupported containers) from
+    killing the whole job on real corpora — they come back with the
+    stub projection tagged ``corrupt-stub-v1`` for downstream
+    filtering/quarantine; the default raises (a corrupt row in a
+    curated table is a bug worth surfacing)."""
 
     def fn(batches):
         import pandas as pd
@@ -111,6 +117,13 @@ def extract_features(
                     if not video_stub_ok:
                         raise
                     fv, tag = _fake_features(content), "stub-blake2b-v1"
+                except Exception:
+                    # ValueError / zlib.error / wave.Error / EOFError /
+                    # struct.error ... — one poison row must not abort
+                    # a full-corpus extraction when the caller opts in
+                    if not corrupt_ok:
+                        raise
+                    fv, tag = _fake_features(content), "corrupt-stub-v1"
                 feats.append(fv)
                 tags.append(tag)
             yield pd.DataFrame(

@@ -65,6 +65,13 @@ def run_full_pipeline(
 
     allowed_token_ids = None
     if cfg.ground_beam_to_corpus:
+        if cfg.ground_beam_to_corpus not in (True, "per_relation"):
+            # a typo ("per-relation") must not silently fall back to
+            # global grounding with a healthy-looking run
+            raise ValueError(
+                "ground_beam_to_corpus must be False, True (global) or "
+                f"'per_relation'; got {cfg.ground_beam_to_corpus!r}"
+            )
         from ..lm import resolve_lm
         from ..operators.corpus_grounding import (
             corpus_token_ids,

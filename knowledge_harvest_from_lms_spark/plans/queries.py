@@ -1276,7 +1276,8 @@ def _q92_sql() -> str:
     return f"""
 WITH words AS (
   SELECT doc_id,
-         UNNEST(LIST_FILTER(LIST_DISTINCT(STRING_SPLIT(text, ' ')),
+         UNNEST(LIST_FILTER(LIST_DISTINCT(
+                    regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')),
                             w -> w <> '')) AS w
   FROM documents),
 hashes AS (

@@ -163,18 +163,29 @@ def incremental_rerank(
             ).distinct()
         else:
             changed = spark.createDataFrame([], "ent string")
-        affected = (
+        existing = spark.read.parquet(reranked_path)
+        # rescore relations whose entities changed PLUS relations that
+        # have no rows in the persisted table yet (a newer harvest can
+        # add relations between drops); carried-over rows are restricted
+        # to relations still present in `triples`, so deleted relations
+        # age out instead of persisting forever.
+        cur_rels = triples.select("rel").distinct()
+        touched = (
             triples.select("rel", F.explode("ents").alias("ent"))
             .withColumn("ent", F.lower("ent"))
             .join(F.broadcast(changed), "ent", "left_semi")
             .select("rel")
             .distinct()
         )
+        new_rels = cur_rels.join(
+            existing.select("rel").distinct(), "rel", "left_anti"
+        )
+        affected = touched.unionByName(new_rels).distinct()
         fresh = rerank_with_support(
             triples.join(F.broadcast(affected), "rel", "left_semi"), totals, alpha
         )
-        kept = spark.read.parquet(reranked_path).join(
-            F.broadcast(affected), "rel", "left_anti"
+        kept = existing.join(F.broadcast(affected), "rel", "left_anti").join(
+            F.broadcast(cur_rels), "rel", "left_semi"
         )
         out = kept.unionByName(fresh)
 

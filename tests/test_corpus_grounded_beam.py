@@ -204,3 +204,28 @@ def test_per_relation_empty_grounding_skips_relation():
         "stub", 42, rels, width=4, allowed_token_ids={},
     )
     assert list(fn_empty(iter([pdf]))) == []
+
+
+def test_per_relation_punct_mode_matches_punctuated_seeds(spark):
+    """Seeds are tokenized with the SAME word_mode as the corpus: a
+    punctuated seed ("bird's") must still hit pages in punct mode
+    (space mode would keep \"bird's\" whole and match nothing)."""
+    from knowledge_harvest_from_lms_spark.operators.corpus_grounding import (
+        corpus_token_ids_per_relation,
+    )
+
+    pages = spark.createDataFrame(
+        [("u1", "the bird's, africa! and bread")], "url string, text string"
+    )
+    rels = spark.createDataFrame(
+        [("AtLocation", [["bird's", "africa"]])],
+        "rel string, seed_ent_tuples array<array<string>>",
+    )
+    lm = build_stub_lm()
+    space = corpus_token_ids_per_relation(pages, rels, lm, word_mode="space")
+    punct = corpus_token_ids_per_relation(pages, rels, lm, word_mode="punct")
+    # space mode: every seed mention is punctuation-glued ("bird's," /
+    # "africa!"), so no page hits and no grounding
+    assert space.get("AtLocation") is None
+    words = {lm.token_text(i).lower() for i in punct["AtLocation"]}
+    assert {"bird", "africa", "bread"} <= words

@@ -392,3 +392,50 @@ def test_punct_mode_grounds_glued_mentions(spark):
         ).collect()
     }
     assert salted == punct
+
+
+def test_multimodal_corrupt_rows_quarantined_not_fatal(spark):
+    """A poison row (bytes that are no known container) must not abort
+    a full-corpus extraction when corrupt_ok=True — it comes back
+    tagged corrupt-stub-v1; the default still raises."""
+    from pyspark.errors import PythonException
+
+    from knowledge_harvest_from_lms_spark.operators.multimodal import MEDIA_SCHEMA
+
+    rows = [
+        (0, "u0", "image", bytearray(b"\x89PNG but actually truncated"),
+         "image/png", 8, 8, None),
+        (1, "u1", "image", bytearray(b"not an image at all"),
+         "image/jpeg", 8, 8, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    with pytest.raises(PythonException):
+        extract_features(media, use_stub=False).collect()
+    out = {r.media_id: r.decoder
+           for r in extract_features(media, use_stub=False, corrupt_ok=True).collect()}
+    assert out == {0: "corrupt-stub-v1", 1: "corrupt-stub-v1"}
+
+
+def test_simhash_whitespace_split_recall(spark):
+    """Line-wrapped near-duplicates: the signature must split on ANY
+    whitespace run — a single-space split fuses words across newlines
+    into per-doc-unique tokens and silently destroys recall."""
+    from knowledge_harvest_from_lms_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+        simhash_signatures,
+    )
+
+    base = ("spark engines shuffle data between executors when joins "
+            "or aggregations repartition by key across cluster nodes "
+            "and partial aggregation reduces the shuffled volume")
+    words = base.split()
+    wrapped = " ".join(words[:8]) + "\n" + " ".join(words[8:16]) + "\n\t" + " ".join(words[16:])
+    docs = spark.createDataFrame(
+        [(1, base), (2, wrapped)], "doc_id long, text string"
+    )
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(docs, "text", "doc_id").collect()}
+    assert sigs[1] == sigs[2]  # same word set -> identical signature
+    pairs = simhash_near_dup_pairs(
+        simhash_signatures(docs, "text", "doc_id"), max_hamming=4
+    ).collect()
+    assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(1, 2, 0)]

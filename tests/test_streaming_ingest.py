@@ -255,3 +255,38 @@ def test_incremental_rerank_only_affected_relations(spark, tmp_path):
     # 0.3*(1+ln(5)) ~ 0.78 > 0.7 -> fish/sing overtakes bird/fly
     assert rows2[("CapableOf", ("fish", "sing"))][0] == 1
     assert rows2[("CapableOf", ("bird", "fly"))][0] == 2
+
+
+def test_incremental_rerank_handles_new_and_removed_relations(spark, tmp_path):
+    """Between drops a newer harvest can ADD relations (must be ranked
+    even if no drop touched their entities) and REMOVE relations (their
+    stale rows must age out of the persisted table)."""
+    from knowledge_harvest_from_lms_spark.streaming.incremental import (
+        incremental_rerank,
+    )
+
+    totals = str(tmp_path / "totals")
+    reranked = str(tmp_path / "reranked")
+    spark.createDataFrame(
+        [("giraffe", 5, 1)], "ent string, n_mentions long, n_batches long"
+    ).write.parquet(totals)
+
+    t1 = spark.createDataFrame(
+        [("AtLocation", ["giraffe", "africa"], 0.9, 1),
+         ("Obsolete", ["unicorn", "atlantis"], 0.5, 1)],
+        "rel string, ents array<string>, weight double, rank int",
+    )
+    r1 = incremental_rerank(spark, t1, totals, reranked)
+    assert {r.rel for r in r1.collect()} == {"AtLocation", "Obsolete"}
+
+    # harvest evolves: Obsolete dropped, NewRel added; NO drop ran in
+    # between (no .changed feed)
+    t2 = spark.createDataFrame(
+        [("AtLocation", ["giraffe", "africa"], 0.9, 1),
+         ("NewRel", ["bird", "fly"], 0.7, 1)],
+        "rel string, ents array<string>, weight double, rank int",
+    )
+    r2 = incremental_rerank(spark, t2, totals, reranked)
+    rows = {r.rel: r for r in r2.collect()}
+    assert set(rows) == {"AtLocation", "NewRel"}  # Obsolete aged out
+    assert rows["NewRel"].support_rank == 1       # ranked despite no delta
