@@ -425,18 +425,30 @@ def search_ent_tuples(
             acc = done[0]
             for d in done[1:]:
                 acc = acc.unionByName(d)
-            accepted = finalize_candidates_greedy(acc, cfg, max_n=k)
-            kth = (
-                accepted.groupBy("rel")
-                .agg(
-                    F.count(F.lit(1)).alias("_c"),
-                    F.min("min_logprob").alias("_th"),
-                )
-                .filter(F.col("_c") >= k)  # bar defined only once k accepted
-                .select("rel", "_th")
-                .collect()  # bounded: ≤ one row per relation
+            # Lossless precheck: the bar exists only once a relation has
+            # >= k ACCEPTED tuples, and accepted <= raw — so when no
+            # relation has even k raw candidates yet, skip the (Python
+            # greedy + collect) job entirely. Early beam levels always
+            # hit this, saving one applyInPandas job per iteration.
+            raw_counts = (
+                acc.groupBy("rel")
+                .agg(F.count(F.lit(1)).alias("_c"))
+                .filter(F.col("_c") >= k)
             )
-            thresholds = {r["rel"]: r["_th"] for r in kth}
+            thresholds: dict[str, float] = {}
+            if not raw_counts.isEmpty():
+                accepted = finalize_candidates_greedy(acc, cfg, max_n=k)
+                kth = (
+                    accepted.groupBy("rel")
+                    .agg(
+                        F.count(F.lit(1)).alias("_c"),
+                        F.min("min_logprob").alias("_th"),
+                    )
+                    .filter(F.col("_c") >= k)  # bar defined once k accepted
+                    .select("rel", "_th")
+                    .collect()  # bounded: ≤ one row per relation
+                )
+                thresholds = {r["rel"]: r["_th"] for r in kth}
             if thresholds:
                 th_df = F.broadcast(
                     spark.createDataFrame(

@@ -1373,15 +1373,23 @@ WHERE LIST_COSINE_SIMILARITY(a.embedding, b.embedding) >= 0.5
 def q95_extract_text_manifest(spark, sf_dir):
     """Byte-identical HTML→text extraction over a deterministic synth
     web_pages table; returns urls whose extraction violates the
-    invariant (must be 0 rows) plus the count row."""
+    invariant. The contract IS the empty set, and the oracle pins it:
+    any violation row becomes a driver hash MISMATCH instead of a
+    silently-passing rows-only count (r3 — was rows-only)."""
     from ..operators.extract_text import extract_text
     from ..sources.web_pages import synth_web_pages
 
     pages = synth_web_pages(spark, 500, seed=42, n_partitions=8)
     ext = extract_text(pages)
     return ext.filter(F.col("extracted_text") != F.col("text")).select(
-        "url", "text_sha256"
+        "url", "text_sha256"  # Q95_SQL pins this exact (empty) shape
     )
+
+
+Q95_SQL = """
+SELECT CAST(NULL AS VARCHAR) AS url, CAST(NULL AS VARCHAR) AS text_sha256
+WHERE FALSE
+"""
 
 
 def q96_ann_lsh_topk(spark, sf_dir):
@@ -1557,5 +1565,6 @@ ORACLES = {
     "q39_entity_mentions_punct": Q39_SQL,
     "q41_support_rerank": Q41_SQL,
     "q92_simhash_pairs": Q92_SQL,
+    "q95_extract_text_manifest": Q95_SQL,
     "q94_embedding_near_dup": Q94_SQL,
 }
