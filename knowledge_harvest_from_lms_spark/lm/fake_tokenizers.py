@@ -278,7 +278,15 @@ class WordPieceFakeTokenizer:
     all_special_ids = [PAD_ID, UNK_ID, CLS_ID, SEP_ID, MASK_ID]
 
     _N_RESERVE = 512
-    _MAX_PIECE = 6
+    # Max piece length for BOTH vocab construction and greedy matching.
+    # They must agree: a piece the matcher cannot reach is dead vocab
+    # for encode() yet still selectable by the logits-driven beam and
+    # by grounding — an inconsistent tokenizer (r3 review finding). 12
+    # keeps real-BERT-like whole-word tokens ("playground") encodable
+    # AND generable; continuations use a shorter span so multi-piece
+    # words still occur (the structure this fake exists to exercise).
+    _MAX_PIECE = 12
+    _MAX_CONT = 6
 
     def __init__(self):
         pieces: set[str] = set()
@@ -291,13 +299,9 @@ class WordPieceFakeTokenizer:
             for w in _basic_tokenize(t):
                 words[w] += 1
         for w, _c in words.items():
-            # NB: pieces longer than _MAX_PIECE would be dead vocab —
-            # greedy matching never looks past _MAX_PIECE chars, so
-            # only add reachable pieces (whole words <= _MAX_PIECE are
-            # already covered by the prefix below)
             pieces.add(w[: self._MAX_PIECE])
             for start in range(1, len(w)):
-                piece = w[start: start + self._MAX_PIECE]
+                piece = w[start: start + self._MAX_CONT]
                 if piece:
                     pieces.add("##" + piece)
         self._piece_to_id: dict[str, int] = {}

@@ -372,6 +372,7 @@ def search_ent_tuples(
     frontier = init_frontier(spark, rel_info, cfg)
     done: list[DataFrame] = []
     thresholds: dict[str, float] = {}  # rel -> prunable min_logprob
+    raw_seen = False  # latched: some relation reached k raw candidates
     max_iters = max(
         sum(get_n_masks(t, m["n_ents"], cfg.max_ent_subwords))
         for m in rel_info.values()
@@ -426,17 +427,21 @@ def search_ent_tuples(
             for d in done[1:]:
                 acc = acc.unionByName(d)
             # Lossless precheck: the bar exists only once a relation has
-            # >= k ACCEPTED tuples, and accepted <= raw — so when no
-            # relation has even k raw candidates yet, skip the (Python
+            # >= k ACCEPTED tuples, and accepted <= raw — so while no
+            # relation has even k raw candidates, skip the (Python
             # greedy + collect) job entirely. Early beam levels always
-            # hit this, saving one applyInPandas job per iteration.
-            raw_counts = (
-                acc.groupBy("rel")
-                .agg(F.count(F.lit(1)).alias("_c"))
-                .filter(F.col("_c") >= k)
-            )
+            # hit this. Raw counts only grow, so the check latches:
+            # once satisfied it never runs again (no extra aggregation
+            # job on mid/late iterations).
+            if not raw_seen:
+                raw_seen = not (
+                    acc.groupBy("rel")
+                    .agg(F.count(F.lit(1)).alias("_c"))
+                    .filter(F.col("_c") >= k)
+                    .isEmpty()
+                )
             thresholds: dict[str, float] = {}
-            if not raw_counts.isEmpty():
+            if raw_seen:
                 accepted = finalize_candidates_greedy(acc, cfg, max_n=k)
                 kth = (
                     accepted.groupBy("rel")

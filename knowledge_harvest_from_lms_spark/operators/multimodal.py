@@ -93,12 +93,13 @@ def extract_features(
     kernel produced each row (stub rows are explicitly tagged).
 
     ``use_stub=False`` decodes image(png/ppm)/audio(wav) for real;
-    video rows then raise unless ``video_stub_ok=True`` tags them
-    through the deterministic stub. ``corrupt_ok=True`` keeps
-    MALFORMED rows (truncated files, unsupported containers) from
-    killing the whole job on real corpora — they come back with the
-    stub projection tagged ``corrupt-stub-v1`` for downstream
-    filtering/quarantine; the default raises (a corrupt row in a
+    video rows then raise unless ``video_stub_ok=True`` (stub tag) or
+    ``corrupt_ok=True`` (quarantine tag) lets them through.
+    ``corrupt_ok=True`` keeps ANY undecodable row — truncated files,
+    unknown containers, video without the explicit opt-in — from
+    killing the whole job on real corpora: such rows come back with
+    the stub projection tagged ``corrupt-stub-v1`` for downstream
+    filtering/quarantine. The default raises (an undecodable row in a
     curated table is a bug worth surfacing)."""
 
     def fn(batches):
@@ -114,9 +115,12 @@ def extract_features(
                 try:
                     fv, tag = decode_real(bytes(content), modality)
                 except NotImplementedError:
-                    if not video_stub_ok:
+                    if video_stub_ok:
+                        fv, tag = _fake_features(content), "stub-blake2b-v1"
+                    elif corrupt_ok:
+                        fv, tag = _fake_features(content), "corrupt-stub-v1"
+                    else:
                         raise
-                    fv, tag = _fake_features(content), "stub-blake2b-v1"
                 except Exception:
                     # ValueError / zlib.error / wave.Error / EOFError /
                     # struct.error ... — one poison row must not abort

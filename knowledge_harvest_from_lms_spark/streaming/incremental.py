@@ -164,11 +164,13 @@ def incremental_rerank(
         else:
             changed = spark.createDataFrame([], "ent string")
         existing = spark.read.parquet(reranked_path)
-        # rescore relations whose entities changed PLUS relations that
-        # have no rows in the persisted table yet (a newer harvest can
-        # add relations between drops); carried-over rows are restricted
-        # to relations still present in `triples`, so deleted relations
-        # age out instead of persisting forever.
+        # rescore relations whose entities changed PLUS relations whose
+        # TRIPLE SET changed since the last refresh (a newer harvest
+        # can add/remove tuples — or whole relations — between drops;
+        # relation-granular new-rel detection alone would still miss a
+        # new tuple inside an existing relation). Carried-over rows are
+        # restricted to relations still present in `triples`, so
+        # deleted relations age out instead of persisting forever.
         cur_rels = triples.select("rel").distinct()
         touched = (
             triples.select("rel", F.explode("ents").alias("ent"))
@@ -177,10 +179,16 @@ def incremental_rerank(
             .select("rel")
             .distinct()
         )
-        new_rels = cur_rels.join(
-            existing.select("rel").distinct(), "rel", "left_anti"
+        tkey = ["rel", F.concat_ws("\x1f", "ents").alias("_k")]
+        cur_keys = triples.select(*tkey)
+        old_keys = existing.select(*tkey)
+        drifted = (
+            cur_keys.join(old_keys, ["rel", "_k"], "left_anti")
+            .unionByName(old_keys.join(cur_keys, ["rel", "_k"], "left_anti"))
+            .select("rel")
+            .distinct()
         )
-        affected = touched.unionByName(new_rels).distinct()
+        affected = touched.unionByName(drifted).distinct()
         fresh = rerank_with_support(
             triples.join(F.broadcast(affected), "rel", "left_semi"), totals, alpha
         )
