@@ -362,3 +362,46 @@ def test_harvest_export_reload_eval_loop(spark, tmp_path, lm_name):
     pr = precision_recall_at_k(out["triples"], golden, k=100).collect()
     assert len(pr) == 1
     assert pr[0].precision == 1.0 and pr[0].recall == 1.0
+
+
+@pytest.mark.parametrize("lm_name", ["fake-bpe", "fake-wp"])
+def test_spark_equals_sequential_spec_realistic(spark, lm_name):
+    """EXACT spec equality over the realistic tokenizer families: the
+    distributed pipeline must reproduce the deterministic sequential
+    spec (tests/seq_spec.py) on byte-BPE and WordPiece structure —
+    the same contract already proven for the stub, now over
+    multi-piece/Ġ/## token dynamics."""
+    import seq_spec
+
+    from knowledge_harvest_from_lms_spark.plans.harvest import harvest
+    from knowledge_harvest_from_lms_spark.sources.fixtures import FIXTURE_RELATIONS
+    from knowledge_harvest_from_lms_spark.sources.relations import (
+        relations_from_records,
+    )
+
+    cfg = HarvestConfig(
+        max_n_ent_tuples=8, token_beam_width=5, max_ent_subwords=2,
+        shuffle_partitions=8, lm=lm_name, prune_slack=None,
+    )
+    records = [r for r in FIXTURE_RELATIONS if r["rel"] == "AtLocation"]
+    out = harvest(spark, relations_from_records(spark, records), cfg)
+    got_triples = {}
+    for r in out["triples"].collect():
+        got_triples.setdefault(r.rel, []).append(
+            (r.rank, tuple(r.ents), r.score, r.weight)
+        )
+
+    lm = resolve_lm(lm_name)
+    pw = seq_spec.spec_prompt_weights(records, lm, cfg)
+    fin = seq_spec.spec_finalize(seq_spec.spec_search(records, pw, lm, cfg), cfg)
+    triples = seq_spec.spec_rescore(fin, pw, lm, cfg)
+
+    for rel, expected in triples.items():
+        rows = sorted(got_triples[rel])
+        assert len(rows) == len(expected), rel
+        for (rank, ents, score, weight), (e_ents, e_score, e_weight, e_rank) in zip(
+            rows, expected
+        ):
+            assert rank == e_rank and ents == tuple(e_ents), (rel, rank, ents)
+            assert score == pytest.approx(e_score, rel=1e-6)
+            assert weight == pytest.approx(e_weight, rel=1e-6)
