@@ -142,6 +142,28 @@ def dedup_documents_exact(
     return cluster_decisions(docs, pairs, id_col)
 
 
+def dedup_documents_minhash_exact_slice(
+    docs: DataFrame, text_col: str, id_col: str, sim_threshold: float = 0.8,
+    prefix_chars: int = 512,
+) -> DataFrame:
+    """Keep/drop decisions over the VERIFIED-EXACT slice (true 3-gram
+    jaccard = 1.0) of the full MinHash-LSH pair pipeline — the
+    driver-visible equality oracle for the q93 machinery (ROADMAP
+    item 6). Deterministically complete: identical gram sets hash to
+    identical minhash signatures, so they share every band and are
+    guaranteed LSH candidates (and byte-identical prefixes pair via
+    the star edges); sound because ``jaccard`` in the pair output is
+    the exact verified 3-gram jaccard, not the banding estimate. The
+    resulting clusters are therefore exactly the identical-gram-set
+    groups, which DuckDB recomputes independently (q40's oracle) —
+    unlike q37, every reported row has flowed through signatures,
+    banding, bucket joins and label propagation."""
+    pairs = minhash_near_dup_pairs(
+        docs, text_col, id_col, sim_threshold, prefix_chars
+    ).filter(F.col("jaccard") >= 1.0 - 1e-12)
+    return cluster_decisions(docs, pairs, id_col)
+
+
 # ---------------------------------------------------------------------------
 # SimHash (64-bit) + banded hamming pairs
 # ---------------------------------------------------------------------------

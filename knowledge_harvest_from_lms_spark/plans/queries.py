@@ -410,12 +410,14 @@ def q14_ngram_jaccard_pairs(spark, sf_dir):
         ),
         (F.col("la") == F.col("lb")) & (F.col("ia") < F.col("ib")),
     )
+    # |union| = |a|+|b|-|inter| (both arrays are distinct), so one
+    # O(n·m) intersect per pair instead of intersect + union
+    sa, sb = F.size("ga"), F.size("gb")
     inter = F.size(F.array_intersect("ga", "gb"))
-    union = F.size(F.array_union("ga", "gb"))
+    union = sa + sb - inter
     # lossless prefilter: jaccard <= min(|a|,|b|)/max(|a|,|b|), so pairs
     # failing the size-ratio bound can't reach 0.3 — skips the O(n·m)
     # intersect for most candidates without changing the result
-    sa, sb = F.size("ga"), F.size("gb")
     return (
         pairs.filter(F.least(sa, sb) >= 0.3 * F.greatest(sa, sb))
         .withColumn("jac", F.round(inter / union, 4))
@@ -1346,6 +1348,37 @@ def q38_dedup_documents_minhash(spark, sf_dir):
     return dedup_documents(docs, "text", "doc_id", sim_threshold=0.8)
 
 
+def q40_minhash_exact_clusters(spark, sf_dir):
+    """Keep/drop clusters over the verified-exact (true jaccard = 1.0)
+    slice of the FULL MinHash-LSH pipeline — the driver-visible
+    equality oracle for the q93 machinery (was the last rows-only gap
+    flagged in ROADMAP item 6). Every row has flowed through xxhash64
+    signatures, threshold-aware banding, bucket joins, star edges and
+    pointer-doubled label propagation; the oracle recomputes the
+    expected clusters independently as identical-3-gram-set groups,
+    which the slice provably equals (identical gram sets ⇒ identical
+    signatures ⇒ candidates in every band)."""
+    from ..operators.dedup import dedup_documents_minhash_exact_slice
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_documents_minhash_exact_slice(docs, "text", "doc_id")
+
+
+Q40_SQL = """
+WITH grams AS (
+  SELECT doc_id,
+         LIST_SORT(LIST_DISTINCT(LIST_TRANSFORM(
+             RANGE(1, GREATEST(LENGTH(p) - 2, 1) + 1),
+             i -> SUBSTR(p, i, 3)))) AS g
+  FROM (SELECT doc_id, ' ' || SUBSTR(text, 1, 512) || ' ' AS p
+        FROM documents))
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY g) AS canonical_id,
+       doc_id <> MIN(doc_id) OVER (PARTITION BY g) AS is_duplicate
+FROM grams
+"""
+
+
 def q94_embedding_near_dup(spark, sf_dir):
     """Hyperplane-bucketed embedding near-dup pairs, exact-cosine
     verified. r3: full hash check vs a brute-force DuckDB oracle (was
@@ -1511,6 +1544,7 @@ QUERIES = {
     "q37_dedup_documents": q37_dedup_documents,
     "q38_dedup_documents_minhash": q38_dedup_documents_minhash,
     "q39_entity_mentions_punct": q39_entity_mentions_punct,
+    "q40_minhash_exact_clusters": q40_minhash_exact_clusters,
     "q41_support_rerank": q41_support_rerank,
     "q90_bertnet_prompt_weights": q90_bertnet_prompt_weights,
     "q91_bertnet_triples": q91_bertnet_triples,
@@ -1563,6 +1597,7 @@ ORACLES = {
     "q36_bpe_token_count": Q36_SQL,
     "q37_dedup_documents": Q37_SQL,
     "q39_entity_mentions_punct": Q39_SQL,
+    "q40_minhash_exact_clusters": Q40_SQL,
     "q41_support_rerank": Q41_SQL,
     "q92_simhash_pairs": Q92_SQL,
     "q95_extract_text_manifest": Q95_SQL,
