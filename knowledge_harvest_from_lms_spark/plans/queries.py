@@ -404,25 +404,33 @@ def q14_ngram_jaccard_pairs(spark, sf_dir):
     anchors = grams.filter(F.col("doc_id") % 50 == 0).select(
         F.col("doc_id").alias("ia"), F.col("lang").alias("la"), F.col("g").alias("ga")
     )
-    pairs = F.broadcast(anchors).join(
-        grams.select(
-            F.col("doc_id").alias("ib"), F.col("lang").alias("lb"), F.col("g").alias("gb")
-        ),
-        (F.col("la") == F.col("lb")) & (F.col("ia") < F.col("ib")),
-    )
     # |union| = |a|+|b|-|inter| (both arrays are distinct), so one
     # O(n·m) intersect per pair instead of intersect + union
     sa, sb = F.size("ga"), F.size("gb")
     inter = F.size(F.array_intersect("ga", "gb"))
-    union = sa + sb - inter
-    # lossless prefilter: jaccard <= min(|a|,|b|)/max(|a|,|b|), so pairs
-    # failing the size-ratio bound can't reach 0.3 — skips the O(n·m)
-    # intersect for most candidates without changing the result
+    jac = F.round(inter / (sa + sb - inter), 4)
+    # The full predicate lives IN the join condition, cheap-first:
+    # post-join filters would get AND-ed in FRONT of ia<ib by the
+    # pushdown rule, making every pair pay the O(n·m) intersect before
+    # the cheap long compare (observed in the r3 plan audit). The
+    # size-ratio prefilter is lossless: jaccard <= min|.|/max|.|.
+    cond = (
+        (F.col("la") == F.col("lb"))
+        & (F.col("ia") < F.col("ib"))
+        & (F.least(sa, sb) >= 0.3 * F.greatest(sa, sb))
+        & (jac >= 0.3)
+    )
     return (
-        pairs.filter(F.least(sa, sb) >= 0.3 * F.greatest(sa, sb))
-        .withColumn("jac", F.round(inter / union, 4))
-        .filter(F.col("jac") >= 0.3)
-        .select("ia", "ib", "jac")
+        F.broadcast(anchors)
+        .join(
+            grams.select(
+                F.col("doc_id").alias("ib"),
+                F.col("lang").alias("lb"),
+                F.col("g").alias("gb"),
+            ),
+            cond,
+        )
+        .select("ia", "ib", jac.alias("jac"))
     )
 
 
