@@ -10,8 +10,11 @@ Pipeline:
      graph (min-id per component; bounded iterations);
   4. canonical id = xxhash64(canonical string) — deterministic across
      runs and partitionings (no monotonically_increasing_id);
-  5. edges aggregated with a SALTED two-phase groupBy so head
-     entities ("people", "water") cannot hot-spot one reducer.
+  5. edges aggregated with a single hash groupBy — map-side partial
+     aggregation already combines head entities ("people", "water")
+     per task, so hot keys reach the reducer pre-collapsed (explicit
+     salting is reserved for the JOIN path, where no partial agg can
+     help: operators/corpus_grounding.py entity_mentions_salted_join).
 """
 
 from __future__ import annotations
@@ -191,14 +194,17 @@ def canonical_map(ents: DataFrame, pairs: DataFrame, max_iters: int = 16) -> Dat
 
 
 def materialize_graph(
-    triples: DataFrame, sim_threshold: float = 0.7, salt_buckets: int = 16
+    triples: DataFrame, sim_threshold: float = 0.7
 ) -> dict[str, DataFrame]:
     """triples(rel, ents[2+], weight) → {vertices, edges, ent_map}.
 
     Binary relations become edges (src=ents[0], dst=ents[1]); higher
-    arity contributes consecutive-slot edges. Edge aggregation is the
-    SALTED two-phase groupBy (J7): partial agg on (src, rel, dst,
-    salt) then final on (src, rel, dst) — the hot-key pattern."""
+    arity contributes consecutive-slot edges. Edge aggregation is a
+    single hash groupBy: Spark's map-side partial aggregation already
+    combines hot (src, rel, dst) keys per task, so an explicit salt
+    would only add a second shuffle (r2 verdict flagged the salted
+    variant here as redundant — the genuinely skew-bound path is the
+    mention-count JOIN, covered by entity_mentions_salted_join, J7)."""
     # every consecutive slot pair contributes an edge: binary relations
     # give (ents[0] → ents[1]); ternary (e.g. somebody_do_something_at,
     # reference relation_info) additionally give (ents[1] → ents[2])
@@ -232,15 +238,10 @@ def materialize_graph(
             cmap.select(F.col("ent").alias("dst_ent"), F.col("canonical").alias("dst")),
             "dst_ent",
         )
-        .withColumn("salt", F.pmod(F.spark_partition_id(), F.lit(salt_buckets)))
-    )
-    # two-phase salted aggregation (partial per salt, then final)
-    partial = e.groupBy("src", "rel", "dst", "salt").agg(
-        F.sum("weight").alias("w_part"), F.count(F.lit(1)).alias("n_part")
     )
     edges = (
-        partial.groupBy("src", "rel", "dst")
-        .agg(F.sum("w_part").alias("weight"), F.sum("n_part").alias("n_mentions"))
+        e.groupBy("src", "rel", "dst")
+        .agg(F.sum("weight").alias("weight"), F.count(F.lit(1)).alias("n_mentions"))
         .withColumn("src_id", F.xxhash64("src"))
         .withColumn("dst_id", F.xxhash64("dst"))
     )
