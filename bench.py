@@ -50,10 +50,36 @@ def wait_for_idle(max_load: float = 4.0, timeout_s: float = 90.0) -> None:
         time.sleep(5)
 
 
+def _cpu_times() -> list[int]:
+    try:
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:]]
+    except OSError:
+        return []
+
+
+def calibrate_host(seconds: float = 1.0) -> float:
+    """Single-core sha256 rounds/sec — a fixed yardstick for the host.
+    The VM's loadavg cannot see a hypervisor co-tenant; identical code
+    has measured 2x apart hours apart on this sandbox, so every bench
+    records the host's single-core speed alongside its timings."""
+    import hashlib
+
+    h = b"x" * 64
+    n = 0
+    t0 = time.time()
+    while time.time() - t0 < seconds:
+        h = hashlib.sha256(h).digest()
+        n += 1
+    return n / (time.time() - t0)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     wait_for_idle()
+    cpu_before = _cpu_times()
+    calib = calibrate_host()
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
 
     from knowledge_harvest_from_lms_spark.config import HarvestConfig
@@ -142,6 +168,13 @@ def main() -> None:
             "ekar50_triples_per_sec": round(n_ekar / ekar_sec, 3),
         }
 
+    cpu_after = _cpu_times()
+    steal_pct = None
+    if cpu_before and cpu_after and len(cpu_before) > 7:
+        d = [b - a for a, b in zip(cpu_before, cpu_after)]
+        if sum(d) > 0:
+            steal_pct = round(100.0 * d[7] / sum(d), 2)
+
     out = {
         "metric": "headline query suite + stub-LM harvest, local mode",
         "value": headline_value,
@@ -153,10 +186,17 @@ def main() -> None:
             "(r2-comparable; EXCLUDES the additive ekar50 entry, which is "
             "single-shot and reference-mount-dependent); cold = first "
             "execution per query in a JVM-warmed session; r1 series was "
-            "single-shot cold including session spin-up on the first query"
+            "single-shot cold including session spin-up on the first query. "
+            "host_calib_sha256_per_sec is a single-core yardstick measured "
+            "just before the suite (hypervisor co-tenants are invisible to "
+            "in-VM loadavg and have measured identical code 2x apart; "
+            "~1.3-1.7M/s observed on an idle host), host_steal_pct the steal "
+            "time over the whole bench window"
         ),
         "sf": sf,
         "cpus": cpus,
+        "host_calib_sha256_per_sec": round(calib),
+        "host_steal_pct": steal_pct,
         "harvest_triples": int(n_triples),
         "harvest_triples_per_sec": round(n_triples / harvest_sec, 3),
         **ekar_stats,
