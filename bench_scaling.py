@@ -43,6 +43,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def run_level(cpus: int) -> dict:
+    from bench import calibrate_host
     from pyspark.sql import functions as F
 
     from knowledge_harvest_from_lms_spark.lm import build_stub_lm
@@ -52,6 +53,7 @@ def run_level(cpus: int) -> dict:
     from knowledge_harvest_from_lms_spark.session import get_session
     from knowledge_harvest_from_lms_spark.sources.web_pages import synth_web_pages
 
+    calib = calibrate_host()
     spark = get_session(cpus=cpus, shuffle_partitions=cpus, app_name=f"kg-scale-{cpus}")
 
     lm = build_stub_lm()
@@ -123,6 +125,11 @@ def run_level(cpus: int) -> dict:
     spark.stop()
     return {
         "cpus": cpus,
+        # single-core yardstick at level start: an efficiency ratio is
+        # only meaningful if the host was equally healthy at both
+        # levels (a hypervisor co-tenant has measured identical code
+        # 2x apart on this sandbox; ~1.3-1.7M/s = idle host)
+        "host_calib_sha256_per_sec": round(calib),
         "pll_rows": N_ROWS,
         "pll_sec": round(pll_sec, 3),
         "pll_runs": pll_runs,
@@ -161,6 +168,14 @@ def main() -> None:
     r_lo, r_hi = results[LEVELS[0]], results[LEVELS[1]]
     pll_eff = (r_hi["pll_rows_per_sec"] / r_lo["pll_rows_per_sec"]) / 4.0
     corpus_eff = (r_hi["corpus_pages_per_sec"] / r_lo["corpus_pages_per_sec"]) / 4.0
+    calibs = [r_lo["host_calib_sha256_per_sec"], r_hi["host_calib_sha256_per_sec"]]
+    calib_drift = round(max(calibs) / max(1, min(calibs)) - 1.0, 3)
+    if calib_drift > 0.15:
+        sys.stderr.write(
+            f"WARNING: host speed drifted {calib_drift:.0%} between levels "
+            f"({calibs[0]:,} vs {calibs[1]:,} sha256/s) — the efficiency "
+            "ratio is contaminated; re-run when the host settles\n"
+        )
     out = {
         "metric": f"throughput scaling efficiency local[{LEVELS[0]}] -> local[{LEVELS[1]}] (N -> 4N)",
         "pll_scoring": {
@@ -173,6 +188,7 @@ def main() -> None:
             "pages_per_sec_4n": r_hi["corpus_pages_per_sec"],
             "efficiency": round(corpus_eff, 3),
         },
+        "host_calib_drift": calib_drift,
         "detail": results,
     }
     os.makedirs("BENCH", exist_ok=True)

@@ -236,3 +236,21 @@ def test_q37_cluster_plan_shuffles_ids_only(spark):
     # shuffle carries the 512-char prefix key, not full bodies: the
     # window partitions by the substring projection
     assert "substring" in plan.lower()
+
+
+def test_q14_join_condition_cheap_first(spark):
+    """q14's whole predicate must live IN the join condition, ordered
+    cheap-first: the id compare and the lossless size-ratio bound have
+    to be evaluated before the O(n*m) array_intersect, and no separate
+    post-join Filter may reintroduce a pre-intersect copy (pushdown
+    AND-s post-filters IN FRONT of the join condition — the shape this
+    guard exists to prevent; measured 1.5x on the verify stage)."""
+    plan = plan_of(QUERIES["q14_ngram_jaccard_pairs"](spark, SF_SMALL), "simple")
+    join_lines = [l for l in plan.splitlines() if "BroadcastHashJoin" in l]
+    assert len(join_lines) == 1, plan
+    cond = join_lines[0]
+    assert cond.index(" < ") < cond.index("least"), cond
+    assert cond.index("least") < cond.index("array_intersect"), cond
+    # the predicate is fully inside the join: no Filter node above it
+    above = plan[: plan.index("BroadcastHashJoin")]
+    assert "Filter" not in above, plan
