@@ -47,6 +47,11 @@ class HarvestConfig:
     # seed entities (corpus_token_ids_per_relation — tighter at 100 TB
     # where the global vocabulary saturates).
     ground_beam_to_corpus: bool | str = False
+    # per-relation grounding only: ±k token positions around a
+    # seed-word occurrence define the co-occurrence context (None →
+    # whole hit page). A window scopes long pages' vocabulary to local
+    # context (relation_word_cooccurrence).
+    grounding_cooccur_window: int | None = None
     seed: int = 42
     lm: str = "stub"                  # "stub" | HF model name on real clusters
     shuffle_partitions: int = 32

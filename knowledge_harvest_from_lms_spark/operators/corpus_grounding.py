@@ -45,6 +45,19 @@ def tokenize_corpus(
     ).filter(F.length("word") > 0)
 
 
+def tokenize_corpus_with_pos(
+    web_pages: DataFrame, text_col: str = "text", word_mode: str = "space"
+) -> DataFrame:
+    """(url, pos, word) token stream with 0-based RAW array positions
+    (empty tokens are dropped AFTER posexplode, so positions stay
+    stable under multi-space runs — the DuckDB oracle zips parallel
+    UNNESTs the same way)."""
+    return web_pages.select(
+        "url",
+        F.posexplode(_token_array(text_col, word_mode)).alias("pos", "word"),
+    ).filter(F.length("word") > 0)
+
+
 def corpus_token_ids(web_pages: DataFrame, lm, text_col: str = "text") -> list[int]:
     """LM-token ids whose text occurs as a corpus word — the
     scale-correct way to ground the beam vocabulary: the corpus side
@@ -78,12 +91,85 @@ def _vocab_df(spark, lm) -> DataFrame:
     )
 
 
+def _seed_words(relations: DataFrame, word_mode: str) -> DataFrame:
+    """(rel, word) distinct seed-entity words, tokenized with the SAME
+    word mode as the corpus (punctuated seeds match in punct mode)."""
+    seed_text = F.lower(F.regexp_replace("seed", "_", " "))
+    seed_words = (
+        F.split(seed_text, " ")
+        if word_mode == "space"
+        else F.split(seed_text, WORD_SPLIT_RE)
+    )
+    return (
+        relations.select("rel", F.explode("seed_ent_tuples").alias("tup"))
+        .select("rel", F.explode("tup").alias("seed"))
+        .select("rel", F.explode(seed_words).alias("word"))
+        .filter(F.length("word") > 0)
+        .distinct()
+    )
+
+
+def relation_word_cooccurrence(
+    web_pages: DataFrame,
+    relations: DataFrame,
+    text_col: str = "text",
+    word_mode: str = "space",
+    cooccur_window: int | None = None,
+) -> DataFrame:
+    """(rel, word) distinct corpus words attested NEAR a seed-entity
+    word of the relation. ``cooccur_window=None`` → page-level
+    co-occurrence (any word on a page that mentions a seed word);
+    ``cooccur_window=k`` → only words within ±k raw token positions of
+    a seed-word occurrence (ROADMAP r3 refinement: same-page grounding
+    admits words from unrelated paragraphs of long pages; a window
+    scopes the vocabulary to local context).
+
+    Scale shape (100 TB): the token stream is built once and cached
+    across both joins; seed words broadcast. In window mode the
+    position filter runs only over HIT pages (pages carrying a seed
+    word), and the per-page pair volume is |seed hits| × |page words|
+    — bounded by page length, never corpus-quadratic."""
+    seeds = _seed_words(relations, word_mode)
+    if cooccur_window is None:
+        toks = tokenize_corpus(web_pages, text_col, word_mode).cache()
+        try:
+            hit_pages = toks.join(F.broadcast(seeds), "word").select(
+                "rel", "url"
+            ).distinct()
+            out = toks.join(hit_pages, "url").select("rel", "word").distinct()
+            # the result is bounded (≤ |rels| × distinct corpus words on
+            # hit pages) — eager-checkpoint it so the big token stream
+            # can be unpersisted without the caller recomputing it
+            return out.localCheckpoint(eager=True)
+        finally:
+            toks.unpersist()
+    w = int(cooccur_window)
+    ptoks = tokenize_corpus_with_pos(web_pages, text_col, word_mode).cache()
+    try:
+        hits = ptoks.join(F.broadcast(seeds), "word").select(
+            "rel", "url", F.col("pos").alias("seed_pos")
+        ).distinct()
+        out = (
+            ptoks.join(hits, "url")
+            .filter(
+                (F.col("pos") >= F.col("seed_pos") - w)
+                & (F.col("pos") <= F.col("seed_pos") + w)
+            )
+            .select("rel", "word")
+            .distinct()
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        ptoks.unpersist()
+
+
 def corpus_token_ids_per_relation(
     web_pages: DataFrame,
     relations: DataFrame,
     lm,
     text_col: str = "text",
     word_mode: str = "space",
+    cooccur_window: int | None = None,
 ) -> dict[str, list[int]]:
     """rel → LM-token ids attested on pages that mention ANY of the
     relation's seed entities — a tighter beam grounding than the
@@ -100,35 +186,19 @@ def corpus_token_ids_per_relation(
     as the corpus, so punctuated seeds ("o'clock") match in punct
     mode instead of silently grounding to nothing. The returned
     driver object is ≤ |rels| × vocab ints, bounded by harvest
-    config, not the corpus."""
+    config, not the corpus. ``cooccur_window=k`` restricts each
+    relation's vocabulary to words within ±k token positions of a
+    seed-word occurrence (default: whole hit page) — see
+    :func:`relation_word_cooccurrence`."""
     spark = web_pages.sparkSession
-    seed_text = F.lower(F.regexp_replace("seed", "_", " "))
-    seed_words = (
-        F.split(seed_text, " ")
-        if word_mode == "space"
-        else F.split(seed_text, WORD_SPLIT_RE)
+    rel_words = relation_word_cooccurrence(
+        web_pages, relations, text_col, word_mode, cooccur_window
     )
-    seeds = relations.select(
-        "rel", F.explode("seed_ent_tuples").alias("tup")
-    ).select(
-        "rel", F.explode("tup").alias("seed")
-    ).select(
-        "rel", F.explode(seed_words).alias("word")
-    ).filter(F.length("word") > 0).distinct()
-
-    toks = tokenize_corpus(web_pages, text_col, word_mode).cache()
-    try:
-        hit_pages = toks.join(F.broadcast(seeds), "word").select(
-            "rel", "url"
-        ).distinct()
-        rel_words = toks.join(hit_pages, "url").select("rel", "word").distinct()
-        rows = (
-            rel_words.join(F.broadcast(_vocab_df(spark, lm)), "word")
-            .select("rel", "token_id")
-            .collect()
-        )
-    finally:
-        toks.unpersist()
+    rows = (
+        rel_words.join(F.broadcast(_vocab_df(spark, lm)), "word")
+        .select("rel", "token_id")
+        .collect()
+    )
     out: dict[str, list[int]] = {}
     for r in rows:
         out.setdefault(r["rel"], []).append(r["token_id"])

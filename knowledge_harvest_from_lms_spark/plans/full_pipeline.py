@@ -81,7 +81,8 @@ def run_full_pipeline(
         pages_text = corpus.withColumnRenamed("extracted_text", "text")
         if cfg.ground_beam_to_corpus == "per_relation":
             allowed_token_ids = corpus_token_ids_per_relation(
-                pages_text, relations, resolve_lm(cfg.lm, cfg.seed)
+                pages_text, relations, resolve_lm(cfg.lm, cfg.seed),
+                cooccur_window=cfg.grounding_cooccur_window,
             )
         else:
             allowed_token_ids = corpus_token_ids(

@@ -1119,6 +1119,55 @@ Q39_SQL = Q34_SQL.replace(
 )
 
 
+def q42_window_cooccurrence(spark, sf_dir):
+    """Windowed per-relation co-occurrence vocabulary (ROADMAP r3
+    refinement of per-relation grounding): for a deterministic
+    corpus-derived seed set (top-3 unigrams len>=4 by count desc,
+    word asc), every corpus word within ±3 RAW token positions of a
+    seed occurrence. Runs the real relation_word_cooccurrence window
+    path (posexplode positions, hit-page-restricted position join);
+    the oracle recomputes it with zipped parallel UNNESTs."""
+    from ..operators.corpus_grounding import (
+        phrase_stream,
+        relation_word_cooccurrence,
+    )
+
+    docs = _docs_as_pages(spark, sf_dir)
+    seeds = (
+        phrase_stream(docs, [1])
+        .filter(F.length("phrase") >= 4)
+        .groupBy("phrase").count()
+        .orderBy(F.desc("count"), "phrase").limit(3)
+    )
+    rels = seeds.select(
+        F.col("phrase").alias("rel"),
+        F.array(F.array(F.col("phrase"))).alias("seed_ent_tuples"),
+    )
+    return relation_word_cooccurrence(docs, rels, cooccur_window=3).select(
+        F.col("rel").alias("seed"), "word"
+    )
+
+
+Q42_SQL = """
+WITH tok AS (
+  SELECT url, word, pos FROM (
+    SELECT CAST(doc_id AS VARCHAR) AS url,
+           UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS word,
+           UNNEST(RANGE(0, LEN(STRING_SPLIT(LOWER(text), ' ')))) AS pos
+    FROM documents)
+  WHERE word <> ''),
+seeds AS (
+  SELECT word AS seed FROM tok WHERE LENGTH(word) >= 4
+  GROUP BY word ORDER BY COUNT(*) DESC, word LIMIT 3),
+hits AS (
+  SELECT DISTINCT s.seed, t.url, t.pos
+  FROM tok t JOIN seeds s ON t.word = s.seed)
+SELECT DISTINCT h.seed, t.word
+FROM hits h JOIN tok t
+  ON t.url = h.url AND t.pos BETWEEN h.pos - 3 AND h.pos + 3
+"""
+
+
 def q41_support_rerank(spark, sf_dir):
     """Corpus-support re-ranking (streaming/incremental.
     rerank_with_support — the streaming harvest's drop-to-rerank
@@ -1554,6 +1603,7 @@ QUERIES = {
     "q39_entity_mentions_punct": q39_entity_mentions_punct,
     "q40_minhash_exact_clusters": q40_minhash_exact_clusters,
     "q41_support_rerank": q41_support_rerank,
+    "q42_window_cooccurrence": q42_window_cooccurrence,
     "q90_bertnet_prompt_weights": q90_bertnet_prompt_weights,
     "q91_bertnet_triples": q91_bertnet_triples,
     "q92_simhash_pairs": q92_simhash_pairs,
@@ -1607,6 +1657,7 @@ ORACLES = {
     "q39_entity_mentions_punct": Q39_SQL,
     "q40_minhash_exact_clusters": Q40_SQL,
     "q41_support_rerank": Q41_SQL,
+    "q42_window_cooccurrence": Q42_SQL,
     "q92_simhash_pairs": Q92_SQL,
     "q95_extract_text_manifest": Q95_SQL,
     "q94_embedding_near_dup": Q94_SQL,

@@ -229,3 +229,43 @@ def test_per_relation_punct_mode_matches_punctuated_seeds(spark):
     assert space.get("AtLocation") is None
     words = {lm.token_text(i).lower() for i in punct["AtLocation"]}
     assert {"bird", "africa", "bread"} <= words
+
+
+def test_windowed_cooccurrence_scopes_vocab_to_local_context(spark):
+    """cooccur_window=k keeps only words within ±k raw token positions
+    of a seed occurrence: a word on the same page but outside every
+    seed window is excluded; window mode is always a subset of page
+    mode; the seed word itself is always attested (distance 0)."""
+    from knowledge_harvest_from_lms_spark.operators.corpus_grounding import (
+        corpus_token_ids_per_relation,
+        relation_word_cooccurrence,
+    )
+
+    # seed "bird" at pos 0: ±2 covers {bird, africa, airport};
+    # "bread" (pos 3) and "boat" (pos 4) are on-page but out of window
+    pages = spark.createDataFrame(
+        [("u1", "bird africa airport bread boat")],
+        "url string, text string",
+    )
+    rels = spark.createDataFrame(
+        [("AtLocation", [["bird"]])],
+        "rel string, seed_ent_tuples array<array<string>>",
+    )
+    lm = build_stub_lm()
+    win = corpus_token_ids_per_relation(pages, rels, lm, cooccur_window=2)
+    page = corpus_token_ids_per_relation(pages, rels, lm)
+    win_words = {lm.token_text(i).lower() for i in win["AtLocation"]}
+    page_words = {lm.token_text(i).lower() for i in page["AtLocation"]}
+    assert win_words == {"bird", "africa", "airport"}
+    assert page_words == {"bird", "africa", "airport", "bread", "boat"}
+    assert win_words <= page_words
+
+    # positions are RAW array indices: a double space shifts later
+    # words' positions, and the window honours the raw offsets
+    pages2 = spark.createDataFrame(
+        [("u1", "bird  africa airport")],  # africa at RAW pos 2
+        "url string, text string",
+    )
+    rw = relation_word_cooccurrence(pages2, rels, cooccur_window=1)
+    words = {r.word for r in rw.collect()}
+    assert words == {"bird"}, words  # africa now at distance 2
