@@ -269,3 +269,41 @@ def test_windowed_cooccurrence_scopes_vocab_to_local_context(spark):
     rw = relation_word_cooccurrence(pages2, rels, cooccur_window=1)
     words = {r.word for r in rw.collect()}
     assert words == {"bird"}, words  # africa now at distance 2
+
+
+def test_window_vocab_monotone_and_converges_to_page_mode(spark):
+    """Vocabulary grows monotonically with the window and equals page
+    mode once the window covers the longest page (window mode can
+    never see words page mode doesn't — both are restricted to hit
+    pages)."""
+    from knowledge_harvest_from_lms_spark.operators.corpus_grounding import (
+        relation_word_cooccurrence,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", "bird africa airport bread boat bridge bottle"),
+            ("u2", "artist answer bird"),
+            ("u3", "doctor engine garden"),  # no seed: never contributes
+        ],
+        "url string, text string",
+    )
+    rels = spark.createDataFrame(
+        [("AtLocation", [["bird"]])],
+        "rel string, seed_ent_tuples array<array<string>>",
+    )
+
+    def vocab(window):
+        df = relation_word_cooccurrence(pages, rels, cooccur_window=window)
+        return {r.word for r in df.collect()}
+
+    page = vocab(None)
+    prev = set()
+    for k in (0, 1, 2, 100):
+        cur = vocab(k)
+        assert prev <= cur, (prev, cur)
+        assert cur <= page, (k, cur - page)
+        prev = cur
+    assert vocab(0) == {"bird"}
+    assert vocab(100) == page
+    assert "doctor" not in page
