@@ -166,8 +166,10 @@ def main() -> None:
         results[cpus] = json.loads(line[0][len("RESULT "):])
 
     r_lo, r_hi = results[LEVELS[0]], results[LEVELS[1]]
-    pll_eff = (r_hi["pll_rows_per_sec"] / r_lo["pll_rows_per_sec"]) / 4.0
-    corpus_eff = (r_hi["corpus_pages_per_sec"] / r_lo["corpus_pages_per_sec"]) / 4.0
+    ratio = LEVELS[1] / LEVELS[0]  # derive — a hard-coded 4.0 would
+    # silently misreport efficiency if LEVELS ever changes shape
+    pll_eff = (r_hi["pll_rows_per_sec"] / r_lo["pll_rows_per_sec"]) / ratio
+    corpus_eff = (r_hi["corpus_pages_per_sec"] / r_lo["corpus_pages_per_sec"]) / ratio
     calibs = [r_lo["host_calib_sha256_per_sec"], r_hi["host_calib_sha256_per_sec"]]
     calib_drift = round(max(calibs) / max(1, min(calibs)) - 1.0, 3)
     if calib_drift > 0.15:

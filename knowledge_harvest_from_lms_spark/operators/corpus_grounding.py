@@ -115,6 +115,7 @@ def relation_word_cooccurrence(
     text_col: str = "text",
     word_mode: str = "space",
     cooccur_window: int | None = None,
+    restrict_words: DataFrame | None = None,
 ) -> DataFrame:
     """(rel, word) distinct corpus words attested NEAR a seed-entity
     word of the relation. ``cooccur_window=None`` → page-level
@@ -128,19 +129,28 @@ def relation_word_cooccurrence(
     across both joins; seed words broadcast. In window mode the
     position filter runs only over HIT pages (pages carrying a seed
     word), and the per-page pair volume is |seed hits| × |page words|
-    — bounded by page length, never corpus-quadratic."""
+    — bounded by page length, never corpus-quadratic. The result is
+    eager-checkpointed so the stream cache can be released without the
+    caller recomputing it; callers that only need a bounded subset of
+    the vocabulary (e.g. LM-vocab grounding) pass ``restrict_words``
+    (a small (word) table, broadcast-joined BEFORE the checkpoint) so
+    the materialized set is restriction-bounded, not corpus-bounded."""
     seeds = _seed_words(relations, word_mode)
+
+    def _bounded(out: DataFrame) -> DataFrame:
+        if restrict_words is not None:
+            out = out.join(
+                F.broadcast(restrict_words.select("word").distinct()), "word"
+            )
+        return out.select("rel", "word").distinct().localCheckpoint(eager=True)
+
     if cooccur_window is None:
         toks = tokenize_corpus(web_pages, text_col, word_mode).cache()
         try:
             hit_pages = toks.join(F.broadcast(seeds), "word").select(
                 "rel", "url"
             ).distinct()
-            out = toks.join(hit_pages, "url").select("rel", "word").distinct()
-            # the result is bounded (≤ |rels| × distinct corpus words on
-            # hit pages) — eager-checkpoint it so the big token stream
-            # can be unpersisted without the caller recomputing it
-            return out.localCheckpoint(eager=True)
+            return _bounded(toks.join(hit_pages, "url"))
         finally:
             toks.unpersist()
     w = int(cooccur_window)
@@ -149,16 +159,12 @@ def relation_word_cooccurrence(
         hits = ptoks.join(F.broadcast(seeds), "word").select(
             "rel", "url", F.col("pos").alias("seed_pos")
         ).distinct()
-        out = (
-            ptoks.join(hits, "url")
-            .filter(
+        return _bounded(
+            ptoks.join(hits, "url").filter(
                 (F.col("pos") >= F.col("seed_pos") - w)
                 & (F.col("pos") <= F.col("seed_pos") + w)
             )
-            .select("rel", "word")
-            .distinct()
         )
-        return out.localCheckpoint(eager=True)
     finally:
         ptoks.unpersist()
 
@@ -191,11 +197,16 @@ def corpus_token_ids_per_relation(
     seed-word occurrence (default: whole hit page) — see
     :func:`relation_word_cooccurrence`."""
     spark = web_pages.sparkSession
+    vdf = _vocab_df(spark, lm)
+    # restrict to LM-vocab words BEFORE the checkpoint inside the
+    # helper: the materialized set stays ≤ |rels| × vocab, not
+    # |rels| × corpus vocabulary (review r3 finding)
     rel_words = relation_word_cooccurrence(
-        web_pages, relations, text_col, word_mode, cooccur_window
+        web_pages, relations, text_col, word_mode, cooccur_window,
+        restrict_words=vdf,
     )
     rows = (
-        rel_words.join(F.broadcast(_vocab_df(spark, lm)), "word")
+        rel_words.join(F.broadcast(vdf), "word")
         .select("rel", "token_id")
         .collect()
     )

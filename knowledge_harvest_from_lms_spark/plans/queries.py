@@ -1012,17 +1012,27 @@ FROM t GROUP BY lang
 # proves the salted shuffle join preserves the broadcast join's results.
 # ---------------------------------------------------------------------------
 
+def _top_unigrams(docs, n, word_mode="space"):
+    """Top-n corpus unigrams (len>=4) by (count desc, phrase asc) —
+    the one deterministic derivation shared by every corpus-derived
+    seed/entity set (q34/q35/q39/q42), so the Spark pipelines and
+    their DuckDB oracle CTEs cannot drift apart independently."""
+    from ..operators.corpus_grounding import phrase_stream
+
+    return (
+        phrase_stream(docs, [1], word_mode=word_mode)
+        .filter(F.length("phrase") >= 4)
+        .groupBy("phrase").count()
+        .orderBy(F.desc("count"), "phrase").limit(n)
+    )
+
+
 def _mention_entities(docs, word_mode="space"):
     """Deterministic entity set derived from the corpus itself: top-6
     unigrams (len>=4) + top-3 bigrams, by (count desc, phrase asc)."""
     from ..operators.corpus_grounding import phrase_stream
 
-    uni = (
-        phrase_stream(docs, [1], word_mode=word_mode)
-        .filter(F.length("phrase") >= 4)
-        .groupBy("phrase").count()
-        .orderBy(F.desc("count"), "phrase").limit(6)
-    )
+    uni = _top_unigrams(docs, 6, word_mode)
     bi = (
         phrase_stream(docs, [2], word_mode=word_mode)
         .groupBy("phrase").count()
@@ -1122,23 +1132,20 @@ Q39_SQL = Q34_SQL.replace(
 def q42_window_cooccurrence(spark, sf_dir):
     """Windowed per-relation co-occurrence vocabulary (ROADMAP r3
     refinement of per-relation grounding): for a deterministic
-    corpus-derived seed set (top-3 unigrams len>=4 by count desc,
-    word asc), every corpus word within ±3 RAW token positions of a
-    seed occurrence. Runs the real relation_word_cooccurrence window
-    path (posexplode positions, hit-page-restricted position join);
-    the oracle recomputes it with zipped parallel UNNESTs."""
-    from ..operators.corpus_grounding import (
-        phrase_stream,
-        relation_word_cooccurrence,
-    )
+    corpus-derived seed set (top-3 underscore-free unigrams len>=4 by
+    count desc, word asc), every corpus word within ±3 RAW token
+    positions of a seed occurrence. Runs the real
+    relation_word_cooccurrence window path (posexplode positions,
+    hit-page-restricted position join); the oracle recomputes it with
+    zipped parallel UNNESTs. Seeds are filtered to underscore-free
+    tokens in BOTH engines because _seed_words rewrites '_'→' ' for
+    reference-style entity names (new_york) — a semantics the flat
+    SQL seed match deliberately does not model (covered instead by
+    the grounded-beam pytests)."""
+    from ..operators.corpus_grounding import relation_word_cooccurrence
 
     docs = _docs_as_pages(spark, sf_dir)
-    seeds = (
-        phrase_stream(docs, [1])
-        .filter(F.length("phrase") >= 4)
-        .groupBy("phrase").count()
-        .orderBy(F.desc("count"), "phrase").limit(3)
-    )
+    seeds = _top_unigrams(docs, 3).filter(~F.col("phrase").contains("_"))
     rels = seeds.select(
         F.col("phrase").alias("rel"),
         F.array(F.array(F.col("phrase"))).alias("seed_ent_tuples"),
@@ -1157,8 +1164,10 @@ WITH tok AS (
     FROM documents)
   WHERE word <> ''),
 seeds AS (
-  SELECT word AS seed FROM tok WHERE LENGTH(word) >= 4
-  GROUP BY word ORDER BY COUNT(*) DESC, word LIMIT 3),
+  SELECT seed FROM (
+    SELECT word AS seed FROM tok WHERE LENGTH(word) >= 4
+    GROUP BY word ORDER BY COUNT(*) DESC, word LIMIT 3)
+  WHERE NOT CONTAINS(seed, '_')),
 hits AS (
   SELECT DISTINCT s.seed, t.url, t.pos
   FROM tok t JOIN seeds s ON t.word = s.seed)
