@@ -1264,6 +1264,71 @@ FROM scored
 """
 
 
+def q43_canonical_components(spark, sf_dir):
+    """Connected components over a deterministic levenshtein<=1
+    similarity graph, computed by the REAL pointer-doubled
+    label-propagation operator (canonical_map, operators/graph.py:128)
+    — the iterative kernel behind the q37/q38 keep/drop clusters and
+    q98's entity canonicalization. Late-r3: the iterative operator
+    itself gets a direct hash oracle — DuckDB recomputes
+    min-reachable-id per node with a recursive CTE over the same edge
+    set — instead of being checked only through its exact-duplicate
+    slices (q37/q40). Entity set: the first 200 lowercased customer
+    names (digit-substitution edges form a genuinely multi-hop
+    component graph — "…091" ~ "…191" ~ "…190" chains the min label
+    across hops) unioned with the corpus token vocabulary (no
+    edit-distance-1 neighbors → must all stay self-canonical).
+    Pair generation is a broadcast nested-loop over a ~230-row dim."""
+    from ..operators.graph import canonical_map
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("ent"))
+        .filter(F.length("ent") >= 2)
+        .distinct()
+    )
+    names = (
+        _t(spark, sf_dir, "customer")
+        .select(F.lower("c_name").alias("ent"))
+        .orderBy("ent").limit(200)
+    )
+    ents = names.unionAll(toks).distinct()
+    pairs = (
+        ents.select(F.col("ent").alias("ent_a"))
+        .join(
+            F.broadcast(ents.select(F.col("ent").alias("ent_b"))),
+            (F.col("ent_a") < F.col("ent_b"))
+            & (F.levenshtein("ent_a", "ent_b") <= 1),
+        )
+    )
+    return canonical_map(ents, pairs).select("ent", "canonical")
+
+
+# min-reachable-id via recursive CTE == min-label propagation's fixpoint
+Q43_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT DISTINCT t AS ent FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+    FROM documents)
+  WHERE len(t) >= 2),
+names AS (
+  SELECT ent FROM (
+    SELECT lower(c_name) AS ent FROM customer ORDER BY ent LIMIT 200)),
+ents AS (SELECT ent FROM names UNION SELECT ent FROM toks),
+pairs AS (
+  SELECT a.ent AS x, b.ent AS y
+  FROM ents a JOIN ents b
+    ON a.ent < b.ent AND levenshtein(a.ent, b.ent) <= 1),
+edges AS (SELECT x, y FROM pairs UNION ALL SELECT y AS x, x AS y FROM pairs),
+reach AS (
+  SELECT ent, ent AS lbl FROM ents
+  UNION
+  SELECT r.ent, e.y AS lbl FROM reach r JOIN edges e ON e.x = r.lbl
+)
+SELECT ent, MIN(lbl) AS canonical FROM reach GROUP BY ent
+"""
+
+
 # ---------------------------------------------------------------------------
 # Salted two-phase aggregation (J7 skew pattern) — must equal the plain
 # group-by, which IS the oracle: proves salting preserves semantics.
@@ -1613,6 +1678,7 @@ QUERIES = {
     "q40_minhash_exact_clusters": q40_minhash_exact_clusters,
     "q41_support_rerank": q41_support_rerank,
     "q42_window_cooccurrence": q42_window_cooccurrence,
+    "q43_canonical_components": q43_canonical_components,
     "q90_bertnet_prompt_weights": q90_bertnet_prompt_weights,
     "q91_bertnet_triples": q91_bertnet_triples,
     "q92_simhash_pairs": q92_simhash_pairs,
@@ -1667,6 +1733,7 @@ ORACLES = {
     "q40_minhash_exact_clusters": Q40_SQL,
     "q41_support_rerank": Q41_SQL,
     "q42_window_cooccurrence": Q42_SQL,
+    "q43_canonical_components": Q43_SQL,
     "q92_simhash_pairs": Q92_SQL,
     "q95_extract_text_manifest": Q95_SQL,
     "q94_embedding_near_dup": Q94_SQL,

@@ -1,0 +1,137 @@
+"""Streaming relation harvest: relation_info records arriving as a
+stream → beam-harvest ONLY the not-yet-harvested relations, append
+their triples.
+
+Closes the last sliver of ROADMAP item 5 ("streaming the BEAM
+itself"). The beam is an iterative batch algorithm (per-depth
+DataFrame joins + an eager checkpoint per level) and cannot run
+inside a single streaming query plan, so the stream wraps it with
+``foreachBatch`` — the standard Structured Streaming pattern for
+batch-only algorithms — and gets exactly-once *effects* from two
+pieces:
+
+  * the checkpointLocation gives at-least-once micro-batch replay;
+  * a driver-side ledger (``<out>/harvested_rels`` parquet) makes the
+    replay idempotent: every relation that already reached the ledger
+    is anti-joined out of the batch before the harvest runs, so a
+    crashed-and-replayed batch re-harvests only relations whose
+    triples never committed. Triples commit BEFORE the ledger row, so
+    a crash between the two writes re-runs that relation's harvest
+    and overwrites its partition (idempotent per-rel dynamic
+    partition overwrite), never duplicates it.
+
+Relation drops are tiny dimension records (tens of rows); collecting
+a micro-batch to the driver mirrors ``relations_from_records``'s
+deliberate tiny-dim design (sources/relations.py:44-55) and is not a
+scale concern — the heavy work (the beam) stays fully distributed.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..config import HarvestConfig
+
+# relation_info drop schema = RELATION_SCHEMA minus the derived n_ents
+RELATION_DROP_SCHEMA = T.StructType(
+    [
+        T.StructField("rel", T.StringType(), False),
+        T.StructField("init_prompts", T.ArrayType(T.StringType()), False),
+        T.StructField("prompts", T.ArrayType(T.StringType()), True),
+        T.StructField(
+            "seed_ent_tuples", T.ArrayType(T.ArrayType(T.StringType())), False
+        ),
+    ]
+)
+
+
+def read_relation_stream(spark: SparkSession, drop_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(RELATION_DROP_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(drop_dir)
+    )
+
+
+def _hadoop_exists(sess: SparkSession, path: str) -> bool:
+    # driver-local os.path would break on s3a:// / hdfs:// tables
+    jvm = sess._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(sess._jsc.hadoopConfiguration()).exists(p)
+
+
+def _ledger_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "harvested_rels")
+
+
+def _triples_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "triples")
+
+
+def harvested_rels(sess: SparkSession, out_dir: str) -> set[str]:
+    path = _ledger_path(out_dir)
+    if not _hadoop_exists(sess, path):
+        return set()
+    return {r.rel for r in sess.read.parquet(path).select("rel").collect()}
+
+
+def harvest_relation_stream(
+    spark: SparkSession,
+    drop_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    cfg: HarvestConfig | None = None,
+    available_now: bool = True,
+):
+    """Start (and with available_now=True, drain) the relation-harvest
+    stream; returns the StreamingQuery. Works as a cron'd batch
+    (availableNow) or a long-running stream."""
+    cfg = cfg or HarvestConfig()
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        from ..plans.harvest import harvest
+        from ..sources.relations import relations_from_records
+
+        sess = batch_df.sparkSession
+        recs = batch_df.dropDuplicates(["rel"]).collect()
+        done = harvested_rels(sess, out_dir)
+        new = [r for r in recs if r["rel"] not in done]
+        if not new:
+            return
+        rels = relations_from_records(
+            sess,
+            [
+                {
+                    "rel": r["rel"],
+                    "init_prompts": list(r["init_prompts"]),
+                    "prompts": list(r["prompts"] or []),
+                    "seed_ent_tuples": [list(t) for t in r["seed_ent_tuples"]],
+                }
+                for r in new
+            ],
+        )
+        triples = harvest(sess, rels, cfg)["triples"]
+        # per-rel dynamic partition overwrite: a replayed batch that
+        # crashed after this write but before the ledger append simply
+        # rewrites the same relations' partitions — no duplicates
+        (
+            triples.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("rel")
+            .parquet(_triples_path(out_dir))
+        )
+        sess.createDataFrame(
+            [(r["rel"], int(batch_id)) for r in new], "rel string, batch_id long"
+        ).coalesce(1).write.mode("append").parquet(_ledger_path(out_dir))
+
+    writer = (
+        read_relation_stream(spark, drop_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,94 @@
+"""Streaming relation harvest (streaming/relations.py): relation_info
+drops → availableNow drain → per-relation triples, idempotent on
+replay, batch-parity with the plain harvest()."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from knowledge_harvest_from_lms_spark.config import HarvestConfig
+from knowledge_harvest_from_lms_spark.sources.fixtures import FIXTURE_RELATIONS
+from knowledge_harvest_from_lms_spark.streaming.relations import (
+    RELATION_DROP_SCHEMA,
+    harvest_relation_stream,
+    harvested_rels,
+)
+
+CFG = HarvestConfig(
+    max_n_ent_tuples=8, token_beam_width=6, max_ent_subwords=1,
+    shuffle_partitions=8,
+)
+
+
+def _drop_df(spark, records):
+    rows = [
+        Row(
+            rel=r["rel"],
+            init_prompts=list(r["init_prompts"]),
+            prompts=list(r.get("prompts", [])),
+            seed_ent_tuples=[list(t) for t in r["seed_ent_tuples"]],
+        )
+        for r in records
+    ]
+    return spark.createDataFrame(rows, RELATION_DROP_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def stream_out(spark, tmp_path_factory):
+    """One drained stream over two relation drops: first CapableOf,
+    then a replayed CapableOf + new AtLocation."""
+    base = tmp_path_factory.mktemp("relstream")
+    drop, out, ckpt = str(base / "drop"), str(base / "out"), str(base / "ckpt")
+
+    _drop_df(spark, FIXTURE_RELATIONS[:1]).write.mode("append").parquet(drop)
+    q = harvest_relation_stream(spark, drop, out, ckpt, CFG)
+    q.awaitTermination(300)
+    first = spark.read.parquet(out + "/triples")
+    n_first = first.count()
+
+    # second drop: same CapableOf again (must be a no-op) + AtLocation
+    _drop_df(spark, FIXTURE_RELATIONS[:2]).write.mode("append").parquet(drop)
+    q2 = harvest_relation_stream(spark, drop, out, ckpt, CFG)
+    q2.awaitTermination(300)
+    return {"out": out, "n_first": n_first}
+
+
+def test_stream_harvests_new_relations_only(spark, stream_out):
+    out = stream_out["out"]
+    triples = spark.read.parquet(out + "/triples")
+    rels = {r.rel for r in triples.select("rel").distinct().collect()}
+    assert rels == {"CapableOf", "AtLocation"}
+    assert harvested_rels(spark, out) == {"CapableOf", "AtLocation"}
+    # the replayed CapableOf drop added no rows
+    n_cap = triples.filter(F.col("rel") == "CapableOf").count()
+    assert n_cap == stream_out["n_first"]
+
+
+def test_stream_matches_batch_harvest(spark, stream_out):
+    """Parity: streamed triples == one batch harvest() of the same
+    relations (same config ⇒ same deterministic stub-LM beam)."""
+    from knowledge_harvest_from_lms_spark.plans.harvest import harvest
+    from knowledge_harvest_from_lms_spark.sources.relations import (
+        relations_from_records,
+    )
+
+    rels = relations_from_records(spark, FIXTURE_RELATIONS[:2])
+    batch = harvest(spark, rels, CFG)["triples"]
+    streamed = spark.read.parquet(stream_out["out"] + "/triples")
+    cols = ["rel", "ents", "score", "rank"]
+    missing = [c for c in cols if c not in streamed.columns]
+    assert not missing, (missing, streamed.columns)
+    a = sorted(map(tuple, batch.select(*cols).collect()))
+    b = sorted(map(tuple, streamed.select(*cols).collect()))
+    assert a == b
+
+
+def test_restart_on_drained_checkpoint_is_noop(spark, stream_out):
+    out = stream_out["out"]
+    before = spark.read.parquet(out + "/triples").count()
+    ckpt = out.replace("/out", "/ckpt")
+    q = harvest_relation_stream(
+        spark, out.replace("/out", "/drop"), out, ckpt, CFG
+    )
+    q.awaitTermination(300)
+    assert spark.read.parquet(out + "/triples").count() == before
