@@ -1,0 +1,135 @@
+"""Entity linking: surface forms → canonical KB vertices.
+
+The north rule names four graph components — "triple extraction,
+entity linking, canonicalization, graph materialize". Canonicalization
+(operators/graph.py) clusters surface forms *within* a harvest;
+linking attaches them to an EXISTING vertex table, which at 100 TB is
+the common path: every incremental drop (streaming/relations.py,
+streaming/incremental.py) must resolve its entities against billions
+of already-materialized vertices without an all-pairs fuzzy product.
+
+Plan shape (both stages fully distributed, no driver loops):
+
+  1. **exact** — equi-join on the normalized name (lower / trim /
+     collapse internal whitespace). No broadcast assumption: at scale
+     the vertex table is the big side, so this is a plain shuffle
+     equi-join that AQE plans (broadcast kicks in automatically when
+     one side is genuinely small).
+  2. **fuzzy fallback** (only mentions the exact stage left unlinked)
+     — SymSpell-style deletion-neighborhood blocking for edit
+     distance <= 1: each side explodes {s} ∪ {s with one char
+     deleted}. Any edit-1 pair shares a variant — identity covers
+     insert/delete (the longer string's deletion set contains the
+     shorter string), and deleting the substituted position covers
+     substitutions — so the blocking is recall-LOSSLESS for the
+     distance bound, unlike LSH banding. ~(len+1) variants per
+     string; the join is an equi-join on the variant, verified with
+     `levenshtein` and ranked deterministically (dist asc, vertex
+     name asc, vertex_id asc).
+
+Unlinked mentions are kept with method='none' — at scale they feed
+back into canonicalization as candidate NEW vertices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def _norm(col):
+    return F.trim(F.lower(F.regexp_replace(col, r"\s+", " ")))
+
+
+def _deletion_variants(col):
+    """array: {s} ∪ {s minus the char at each position}."""
+    return F.array_union(
+        F.array(col),
+        F.transform(
+            F.sequence(F.lit(1), F.length(col)),
+            lambda i: F.concat(
+                F.substring(col, 1, i - 1),
+                col.substr(i + 1, F.length(col) - i),
+            ),
+        ),
+    )
+
+
+def link_entities(
+    mentions: DataFrame,
+    vertices: DataFrame,
+    max_edit: int = 1,
+) -> DataFrame:
+    """mentions(ent) × vertices(vertex_id, name) →
+    (ent, vertex_id, vertex_name, dist, method) with exactly one row
+    per distinct mention; method ∈ {exact, fuzzy, none}.
+
+    ``max_edit`` must be 1 (the deletion-neighborhood block is built
+    for the edit-1 bound; higher bounds need chained deletions)."""
+    if max_edit != 1:
+        raise ValueError("link_entities supports max_edit=1")
+
+    m = mentions.select("ent", _norm(F.col("ent")).alias("m_norm")).distinct()
+    v = vertices.select(
+        "vertex_id",
+        F.col("name").alias("vertex_name"),
+        _norm(F.col("name")).alias("v_norm"),
+    )
+
+    # stage 1: exact normalized match (best vertex on ties)
+    exact = (
+        m.join(v, m.m_norm == v.v_norm)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("ent").orderBy("vertex_name", "vertex_id")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            "ent", "vertex_id", "vertex_name",
+            F.lit(0).alias("dist"), F.lit("exact").alias("method"),
+        )
+    )
+
+    # stage 2: deletion-neighborhood block over the still-unlinked
+    rest = m.join(exact.select("ent"), "ent", "left_anti")
+    mv = rest.select(
+        "ent", "m_norm", F.explode(_deletion_variants(F.col("m_norm"))).alias("k")
+    )
+    vv = v.select(
+        "vertex_id", "vertex_name", "v_norm",
+        F.explode(_deletion_variants(F.col("v_norm"))).alias("k"),
+    )
+    cand = (
+        mv.join(vv, "k")
+        .drop("k")
+        .distinct()  # a pair can share several variants
+        .withColumn("dist", F.levenshtein("m_norm", "v_norm"))
+        .filter(F.col("dist") <= max_edit)
+    )
+    fuzzy = (
+        cand.withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("ent").orderBy("dist", "vertex_name", "vertex_id")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("ent", "vertex_id", "vertex_name", "dist",
+                F.lit("fuzzy").alias("method"))
+    )
+
+    linked = exact.unionByName(fuzzy)
+    unlinked = m.join(linked.select("ent"), "ent", "left_anti").select(
+        "ent",
+        F.lit(None).cast("long").alias("vertex_id"),
+        F.lit(None).cast("string").alias("vertex_name"),
+        F.lit(None).cast("int").alias("dist"),
+        F.lit("none").alias("method"),
+    )
+    return linked.select(
+        "ent", F.col("vertex_id").cast("long").alias("vertex_id"),
+        "vertex_name", F.col("dist").cast("int").alias("dist"), "method",
+    ).unionByName(unlinked)

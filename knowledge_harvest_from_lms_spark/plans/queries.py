@@ -1329,6 +1329,102 @@ SELECT ent, MIN(lbl) AS canonical FROM reach GROUP BY ent
 """
 
 
+def q44_entity_linking(spark, sf_dir):
+    """Entity linking (north-rule component distinct from
+    canonicalization): surface forms → existing KB vertices via exact
+    normalized equi-join + SymSpell deletion-neighborhood blocked
+    fuzzy fallback (operators/entity_linking.py — recall-LOSSLESS for
+    the edit-1 bound, no all-pairs product). Mentions: nation names
+    (exact hits), nation/customer names with the first char dropped
+    (planted edit-1 typos → fuzzy path), low customer keys (exact),
+    corpus tokens (mostly unlinked → method 'none'). The DuckDB
+    oracle brute-forces best-match levenshtein over the full cross
+    product — equality proves the deletion blocking loses nothing."""
+    from ..operators.entity_linking import link_entities
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("ent"))
+        .filter(F.length("ent") >= 2)
+        .distinct()
+    )
+    nat = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    reg = _t(spark, sf_dir, "region")
+    mentions = (
+        nat.select(F.lower("n_name").alias("ent"))
+        .unionAll(nat.select(F.expr("substring(lower(n_name), 2)").alias("ent")))
+        .unionAll(
+            cust.filter(F.col("c_custkey") <= 20)
+            .select(F.lower("c_name").alias("ent"))
+        )
+        .unionAll(
+            cust.filter((F.col("c_custkey") > 20) & (F.col("c_custkey") <= 40))
+            .select(F.expr("substring(lower(c_name), 2)").alias("ent"))
+        )
+        .unionAll(toks)
+    )
+    vertices = (
+        cust.select(F.col("c_custkey").cast("long").alias("vertex_id"),
+                    F.col("c_name").alias("name"))
+        .unionAll(
+            nat.select((F.col("n_nationkey") + 10_000_000).cast("long").alias("vertex_id"),
+                       F.col("n_name").alias("name"))
+        )
+        .unionAll(
+            reg.select((F.col("r_regionkey") + 20_000_000).cast("long").alias("vertex_id"),
+                       F.col("r_name").alias("name"))
+        )
+    )
+    return link_entities(mentions, vertices)
+
+
+# brute-force best-match over the cross product == blocked two-stage link
+Q44_SQL = """
+WITH toks AS (
+  SELECT DISTINCT t AS ent FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+    FROM documents)
+  WHERE len(t) >= 2),
+mentions AS (
+  SELECT DISTINCT ent FROM (
+    SELECT lower(n_name) AS ent FROM nation
+    UNION ALL SELECT substr(lower(n_name), 2) FROM nation
+    UNION ALL SELECT lower(c_name) FROM customer WHERE c_custkey <= 20
+    UNION ALL SELECT substr(lower(c_name), 2) FROM customer
+      WHERE c_custkey > 20 AND c_custkey <= 40
+    UNION ALL SELECT ent FROM toks)),
+vertices AS (
+  SELECT CAST(c_custkey AS BIGINT) AS vertex_id, c_name AS name FROM customer
+  UNION ALL
+  SELECT CAST(n_nationkey + 10000000 AS BIGINT), n_name FROM nation
+  UNION ALL
+  SELECT CAST(r_regionkey + 20000000 AS BIGINT), r_name FROM region),
+vn AS (SELECT vertex_id, name,
+              trim(lower(regexp_replace(name, '\\s+', ' ', 'g'))) AS v_norm
+       FROM vertices),
+mn AS (SELECT ent,
+              trim(lower(regexp_replace(ent, '\\s+', ' ', 'g'))) AS m_norm
+       FROM mentions),
+best AS (
+  SELECT ent, vertex_id, name, dist,
+         ROW_NUMBER() OVER (PARTITION BY ent
+                            ORDER BY dist, name, vertex_id) AS rn
+  FROM (SELECT mn.ent, vn.vertex_id, vn.name,
+               levenshtein(m_norm, v_norm) AS dist
+        FROM mn CROSS JOIN vn
+        WHERE levenshtein(m_norm, v_norm) <= 1))
+SELECT m.ent,
+       b.vertex_id,
+       b.name AS vertex_name,
+       CAST(b.dist AS INT) AS dist,
+       CASE WHEN b.vertex_id IS NULL THEN 'none'
+            WHEN b.dist = 0 THEN 'exact'
+            ELSE 'fuzzy' END AS method
+FROM mn m LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.ent = m.ent
+"""
+
+
 # ---------------------------------------------------------------------------
 # Salted two-phase aggregation (J7 skew pattern) — must equal the plain
 # group-by, which IS the oracle: proves salting preserves semantics.
@@ -1679,6 +1775,7 @@ QUERIES = {
     "q41_support_rerank": q41_support_rerank,
     "q42_window_cooccurrence": q42_window_cooccurrence,
     "q43_canonical_components": q43_canonical_components,
+    "q44_entity_linking": q44_entity_linking,
     "q90_bertnet_prompt_weights": q90_bertnet_prompt_weights,
     "q91_bertnet_triples": q91_bertnet_triples,
     "q92_simhash_pairs": q92_simhash_pairs,
@@ -1734,6 +1831,7 @@ ORACLES = {
     "q41_support_rerank": Q41_SQL,
     "q42_window_cooccurrence": Q42_SQL,
     "q43_canonical_components": Q43_SQL,
+    "q44_entity_linking": Q44_SQL,
     "q92_simhash_pairs": Q92_SQL,
     "q95_extract_text_manifest": Q95_SQL,
     "q94_embedding_near_dup": Q94_SQL,
