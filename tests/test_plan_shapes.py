@@ -254,3 +254,17 @@ def test_q14_join_condition_cheap_first(spark):
     # the predicate is fully inside the join: no Filter node above it
     above = plan[: plan.index("BroadcastHashJoin")]
     assert "Filter" not in above, plan
+
+
+def test_q44_linking_no_fuzzy_product(spark):
+    """Entity linking must never degrade to an all-pairs fuzzy
+    product: both the exact stage and the deletion-variant block are
+    equi-joins (hash/sort-merge), best-match ranks compile to
+    WindowGroupLimit, and no nested-loop/cartesian node appears."""
+    plan = plan_of(QUERIES["q44_entity_linking"](spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "WindowGroupLimit" in plan
+    assert "levenshtein" in plan.lower()  # verify stays JVM-side
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
