@@ -193,21 +193,11 @@ def canonical_map(ents: DataFrame, pairs: DataFrame, max_iters: int = 16) -> Dat
     return labels
 
 
-def materialize_graph(
-    triples: DataFrame, sim_threshold: float = 0.7
-) -> dict[str, DataFrame]:
-    """triples(rel, ents[2+], weight) → {vertices, edges, ent_map}.
-
-    Binary relations become edges (src=ents[0], dst=ents[1]); higher
-    arity contributes consecutive-slot edges. Edge aggregation is a
-    single hash groupBy: Spark's map-side partial aggregation already
-    combines hot (src, rel, dst) keys per task, so an explicit salt
-    would only add a second shuffle (r2 verdict flagged the salted
-    variant here as redundant — the genuinely skew-bound path is the
-    mention-count JOIN, covered by entity_mentions_salted_join, J7)."""
-    # every consecutive slot pair contributes an edge: binary relations
-    # give (ents[0] → ents[1]); ternary (e.g. somebody_do_something_at,
-    # reference relation_info) additionally give (ents[1] → ents[2])
+def _raw_edges(triples: DataFrame) -> DataFrame:
+    """(rel, src_ent, dst_ent, weight) rows: every consecutive slot
+    pair contributes an edge — binary relations give
+    (ents[0] → ents[1]); ternary (e.g. somebody_do_something_at,
+    reference relation_info) additionally give (ents[1] → ents[2])."""
     slot_pairs = F.transform(
         F.sequence(F.lit(0), F.size("ents") - 2),
         lambda i: F.struct(
@@ -215,17 +205,35 @@ def materialize_graph(
             F.lower(F.get("ents", i + 1)).alias("dst_ent"),
         ),
     )
-    raw_edges = (
+    return (
         triples.filter(F.size("ents") >= 2)
         .select("rel", "weight", F.explode(slot_pairs).alias("_sp"))
         .select("rel", F.col("_sp.src_ent").alias("src_ent"),
                 F.col("_sp.dst_ent").alias("dst_ent"), "weight")
     )
-    ents = (
+
+
+def _edge_endpoints(raw_edges: DataFrame) -> DataFrame:
+    return (
         raw_edges.select(F.col("src_ent").alias("ent"))
         .union(raw_edges.select(F.col("dst_ent").alias("ent")))
         .distinct()
     )
+
+
+def materialize_graph(
+    triples: DataFrame, sim_threshold: float = 0.7
+) -> dict[str, DataFrame]:
+    """triples(rel, ents[2+], weight) → {vertices, edges, ent_map}.
+
+    Edge aggregation is a single hash groupBy: Spark's map-side
+    partial aggregation already combines hot (src, rel, dst) keys per
+    task, so an explicit salt would only add a second shuffle (r2
+    verdict flagged the salted variant here as redundant — the
+    genuinely skew-bound path is the mention-count JOIN, covered by
+    entity_mentions_salted_join, J7)."""
+    raw_edges = _raw_edges(triples)
+    ents = _edge_endpoints(raw_edges)
     pairs = lsh_candidate_pairs(ents, sim_threshold)
     cmap = canonical_map(ents, pairs)
 
@@ -249,4 +257,90 @@ def materialize_graph(
         cmap.select("canonical").distinct()
         .select(F.xxhash64("canonical").alias("ent_id"), F.col("canonical").alias("ent"))
     )
+    return {"vertices": vertices, "edges": edges, "ent_map": cmap}
+
+
+def merge_into_graph(
+    existing_vertices: DataFrame,
+    existing_edges: DataFrame,
+    triples: DataFrame,
+    sim_threshold: float = 0.7,
+) -> dict[str, DataFrame]:
+    """Incremental graph update: merge newly harvested triples into an
+    already-materialized vertex/edge graph (north-rule "entity
+    linking" wired into the graph lifecycle).
+
+    1. Surface forms in the new triples LINK against the existing
+       vertex table (operators/entity_linking.py: exact normalized
+       equi-join + deletion-blocked fuzzy at edit 1) — linked forms
+       adopt the existing vertex's canonical string and ent_id, so
+       vertex ids stay STABLE across drops (no re-clustering of the
+       whole graph per increment, which at 10^12 docs would be a full
+       recompute).
+    2. Only the UNLINKED remainder is clustered among itself
+       (MinHash-LSH candidate pairs + pointer-doubled label
+       propagation — same kernel as materialize_graph).
+    3. Edges aggregate on the resolved endpoints and merge with the
+       existing edge table by key: weights and mention counts sum.
+
+    Inputs follow materialize_graph's output schemas:
+    vertices(ent_id, ent), edges(src, rel, dst, weight, n_mentions,
+    src_id, dst_id). Returns the same {vertices, edges, ent_map}
+    shape, where ent_map covers the NEW surface forms only.
+    """
+    from .entity_linking import link_entities
+
+    raw_edges = _raw_edges(triples)
+    ents = _edge_endpoints(raw_edges)
+
+    link = link_entities(
+        ents,
+        existing_vertices.select(
+            F.col("ent_id").alias("vertex_id"), F.col("ent").alias("name")
+        ),
+    )
+    linked = link.filter(F.col("method") != "none").select(
+        "ent",
+        F.col("vertex_name").alias("canonical"),
+        F.col("vertex_id").alias("ent_id"),
+    )
+    fresh = ents.join(linked.select("ent"), "ent", "left_anti")
+    fresh_map = canonical_map(fresh, lsh_candidate_pairs(fresh, sim_threshold))
+    cmap = linked.unionByName(
+        fresh_map.select("ent", "canonical", F.xxhash64("canonical").alias("ent_id"))
+    )
+
+    resolved = (
+        raw_edges.join(
+            cmap.select(F.col("ent").alias("src_ent"),
+                        F.col("canonical").alias("src"),
+                        F.col("ent_id").alias("src_id")),
+            "src_ent",
+        )
+        .join(
+            cmap.select(F.col("ent").alias("dst_ent"),
+                        F.col("canonical").alias("dst"),
+                        F.col("ent_id").alias("dst_id")),
+            "dst_ent",
+        )
+        .groupBy("src", "rel", "dst", "src_id", "dst_id")
+        .agg(F.sum("weight").alias("weight"), F.count(F.lit(1)).alias("n_mentions"))
+    )
+    edges = (
+        existing_edges.select(
+            "src", "rel", "dst", "src_id", "dst_id", "weight", "n_mentions"
+        )
+        .unionByName(resolved.select(
+            "src", "rel", "dst", "src_id", "dst_id", "weight", "n_mentions"
+        ))
+        .groupBy("src", "rel", "dst", "src_id", "dst_id")
+        .agg(F.sum("weight").alias("weight"),
+             F.sum("n_mentions").alias("n_mentions"))
+        .select("src", "rel", "dst", "weight", "n_mentions", "src_id", "dst_id")
+    )
+    new_vertices = (
+        cmap.select("ent_id", F.col("canonical").alias("ent")).distinct()
+        .join(existing_vertices.select("ent_id"), "ent_id", "left_anti")
+    )
+    vertices = existing_vertices.unionByName(new_vertices)
     return {"vertices": vertices, "edges": edges, "ent_map": cmap}

@@ -1,0 +1,73 @@
+"""Incremental graph merge (merge_into_graph): new triples link to
+existing vertices (stable ids), only the unlinked remainder clusters,
+edge weights/mention counts merge by key."""
+
+from pyspark.sql import functions as F
+
+from knowledge_harvest_from_lms_spark.operators.graph import (
+    materialize_graph,
+    merge_into_graph,
+)
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(
+        [("r", list(ents), float(w)) for ents, w in rows],
+        "rel string, ents array<string>, weight double",
+    )
+
+
+def test_merge_links_and_accumulates(spark):
+    a = _triples(spark, [(("giraffe", "africa"), 1.0), (("table", "kitchen"), 2.0)])
+    g = materialize_graph(a, sim_threshold=0.9)
+    ev, ee = g["vertices"].localCheckpoint(), g["edges"].localCheckpoint()
+    id_of = {r.ent: r.ent_id for r in ev.collect()}
+
+    b = _triples(
+        spark,
+        [
+            (("giraffe", "africa"), 3.0),    # exact link → same edge, weights sum
+            (("giraffes", "africa"), 5.0),   # edit-1 typo → fuzzy-links to giraffe
+            (("zebra", "savanna"), 7.0),     # brand-new vertices
+        ],
+    )
+    m = merge_into_graph(ev, ee, b, sim_threshold=0.9)
+    verts = {r.ent: r.ent_id for r in m["vertices"].collect()}
+    edges = {(r.src, r.rel, r.dst): r for r in m["edges"].collect()}
+    cmap = {r.ent: (r.canonical, r.ent_id) for r in m["ent_map"].collect()}
+
+    # linked surface forms adopt the EXISTING vertex id
+    assert cmap["giraffe"] == ("giraffe", id_of["giraffe"])
+    assert cmap["giraffes"] == ("giraffe", id_of["giraffe"])
+    assert verts["giraffe"] == id_of["giraffe"]
+    assert verts["table"] == id_of["table"]
+    assert "giraffes" not in verts  # typo resolved, not a new vertex
+
+    # merged edge accumulates: 1.0 (existing) + 3.0 + 5.0 (typo row)
+    e = edges[("giraffe", "r", "africa")]
+    assert e.weight == 9.0 and e.n_mentions == 3
+    assert e.src_id == id_of["giraffe"] and e.dst_id == id_of["africa"]
+    # untouched existing edge carries over verbatim
+    t = edges[("table", "r", "kitchen")]
+    assert t.weight == 2.0 and t.n_mentions == 1
+
+    # new component got fresh deterministic ids
+    z = edges[("zebra", "r", "savanna")]
+    assert z.weight == 7.0 and verts["zebra"] == z.src_id
+    assert set(verts) == {"giraffe", "africa", "table", "kitchen", "zebra", "savanna"}
+
+
+def test_merge_is_idempotent_for_replayed_batch(spark):
+    """Merging the same batch twice doubles weights (append semantics,
+    matching edge-aggregation), but never duplicates vertices or
+    splits ids."""
+    a = _triples(spark, [(("dog", "park"), 1.0)])
+    g = materialize_graph(a, sim_threshold=0.9)
+    ev, ee = g["vertices"].localCheckpoint(), g["edges"].localCheckpoint()
+    b = _triples(spark, [(("dog", "park"), 2.0)])
+    m1 = merge_into_graph(ev, ee, b, sim_threshold=0.9)
+    v1, e1 = m1["vertices"].localCheckpoint(), m1["edges"].localCheckpoint()
+    m2 = merge_into_graph(v1, e1, b, sim_threshold=0.9)
+    assert m2["vertices"].count() == 2
+    e = m2["edges"].collect()
+    assert len(e) == 1 and e[0].weight == 5.0 and e[0].n_mentions == 3
