@@ -33,6 +33,8 @@ def main() -> None:
     p.add_argument("--drops", required=True, help="relation_info parquet drop dir (streamed)")
     p.add_argument("--out", required=True, help="output dir (triples/ + harvested_rels/)")
     p.add_argument("--checkpoints", required=True)
+    p.add_argument("--graph", default=None,
+                   help="optional graph dir: maintain vertices/ + edges/ incrementally")
     p.add_argument("--max-n-ent-tuples", type=int, default=100)
     p.add_argument("--token-beam-width", type=int, default=12)
     p.add_argument("--max-ent-subwords", type=int, default=1)
@@ -78,11 +80,18 @@ def main() -> None:
         lm=args.lm,
         shuffle_partitions=max(2 * args.cpus, 8),
     )
-    q = harvest_relation_stream(spark, args.drops, args.out, args.checkpoints, cfg)
+    q = harvest_relation_stream(
+        spark, args.drops, args.out, args.checkpoints, cfg, graph_dir=args.graph
+    )
     q.awaitTermination()
     done = sorted(harvested_rels(spark, args.out))
     n = spark.read.parquet(os.path.join(args.out, "triples")).count()
-    print(f"harvested_rels={done}; triples={n} rows at {args.out}/triples")
+    msg = f"harvested_rels={done}; triples={n} rows at {args.out}/triples"
+    if args.graph:
+        nv = spark.read.parquet(os.path.join(args.graph, "vertices")).count()
+        ne = spark.read.parquet(os.path.join(args.graph, "edges")).count()
+        msg += f"; graph: {nv} vertices, {ne} edges at {args.graph}"
+    print(msg)
     spark.stop()
 
 

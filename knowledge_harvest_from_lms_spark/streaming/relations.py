@@ -78,6 +78,30 @@ def harvested_rels(sess: SparkSession, out_dir: str) -> set[str]:
     return {r.rel for r in sess.read.parquet(path).select("rel").collect()}
 
 
+def _stage_write_all(named: list[tuple]) -> None:
+    """overwrite each (df, path) even when the dfs' plans READ the
+    paths — including each OTHER's (merge_into_graph's edge plan joins
+    the existing vertex table, so promoting vertices first would pull
+    files out from under the still-lazy edge plan). All dfs
+    materialize to tmp dirs FIRST, then every path is promoted, then
+    tmps are removed (same pattern as streaming/incremental.py's
+    totals upsert, generalized to a write set; an Iceberg catalog
+    would make this a single transactional snapshot commit)."""
+    sess = named[0][0].sparkSession
+    tmps = []
+    for df, path in named:
+        tmp = path.rstrip("/") + ".tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        tmps.append((tmp, path))
+    jvm = sess._jvm
+    hconf = sess._jsc.hadoopConfiguration()
+    for tmp, path in tmps:
+        sess.read.parquet(tmp).write.mode("overwrite").parquet(path)
+    for tmp, _ in tmps:
+        p = jvm.org.apache.hadoop.fs.Path(tmp)
+        p.getFileSystem(hconf).delete(p, True)
+
+
 def harvest_relation_stream(
     spark: SparkSession,
     drop_dir: str,
@@ -85,10 +109,22 @@ def harvest_relation_stream(
     checkpoint_dir: str,
     cfg: HarvestConfig | None = None,
     available_now: bool = True,
+    graph_dir: str | None = None,
+    sim_threshold: float = 0.7,
 ):
     """Start (and with available_now=True, drain) the relation-harvest
     stream; returns the StreamingQuery. Works as a cron'd batch
-    (availableNow) or a long-running stream."""
+    (availableNow) or a long-running stream.
+
+    With ``graph_dir`` set, each drained batch also maintains the
+    materialized vertex/edge graph incrementally: the new relations'
+    triples merge via ``merge_into_graph`` (surface forms link to
+    existing vertices — ids stay stable; only unlinked forms
+    cluster). Replay safety piggybacks on per-relation edge
+    ownership: an edge's ``rel`` column names the relation that
+    produced it, so a replayed relation REPLACES its own edges
+    (anti-join on rel before the merge) instead of double-counting
+    them."""
     cfg = cfg or HarvestConfig()
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -123,6 +159,26 @@ def harvest_relation_stream(
             .partitionBy("rel")
             .parquet(_triples_path(out_dir))
         )
+        if graph_dir is not None:
+            from pyspark.sql import functions as F
+
+            from ..operators.graph import materialize_graph, merge_into_graph
+
+            triples = sess.read.parquet(_triples_path(out_dir)).filter(
+                F.col("rel").isin([r["rel"] for r in new])
+            )
+            vpath = os.path.join(graph_dir, "vertices")
+            epath = os.path.join(graph_dir, "edges")
+            if _hadoop_exists(sess, vpath):
+                ev = sess.read.parquet(vpath)
+                # replay safety: this batch's relations own their edges
+                ee = sess.read.parquet(epath).filter(
+                    ~F.col("rel").isin([r["rel"] for r in new])
+                )
+                g = merge_into_graph(ev, ee, triples, sim_threshold)
+            else:
+                g = materialize_graph(triples, sim_threshold)
+            _stage_write_all([(g["vertices"], vpath), (g["edges"], epath)])
         sess.createDataFrame(
             [(r["rel"], int(batch_id)) for r in new], "rel string, batch_id long"
         ).coalesce(1).write.mode("append").parquet(_ledger_path(out_dir))

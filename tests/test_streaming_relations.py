@@ -39,18 +39,21 @@ def stream_out(spark, tmp_path_factory):
     then a replayed CapableOf + new AtLocation."""
     base = tmp_path_factory.mktemp("relstream")
     drop, out, ckpt = str(base / "drop"), str(base / "out"), str(base / "ckpt")
+    graph = str(base / "graph")
 
     _drop_df(spark, FIXTURE_RELATIONS[:1]).write.mode("append").parquet(drop)
-    q = harvest_relation_stream(spark, drop, out, ckpt, CFG)
+    q = harvest_relation_stream(spark, drop, out, ckpt, CFG, graph_dir=graph)
     q.awaitTermination(300)
     first = spark.read.parquet(out + "/triples")
     n_first = first.count()
+    verts_first = {r.ent: r.ent_id for r in spark.read.parquet(graph + "/vertices").collect()}
 
     # second drop: same CapableOf again (must be a no-op) + AtLocation
     _drop_df(spark, FIXTURE_RELATIONS[:2]).write.mode("append").parquet(drop)
-    q2 = harvest_relation_stream(spark, drop, out, ckpt, CFG)
+    q2 = harvest_relation_stream(spark, drop, out, ckpt, CFG, graph_dir=graph)
     q2.awaitTermination(300)
-    return {"out": out, "n_first": n_first}
+    return {"out": out, "graph": graph, "n_first": n_first,
+            "verts_first": verts_first}
 
 
 def test_stream_harvests_new_relations_only(spark, stream_out):
@@ -81,6 +84,23 @@ def test_stream_matches_batch_harvest(spark, stream_out):
     a = sorted(map(tuple, batch.select(*cols).collect()))
     b = sorted(map(tuple, streamed.select(*cols).collect()))
     assert a == b
+
+
+def test_stream_maintains_incremental_graph(spark, stream_out):
+    """graph_dir: batch 1 materializes, batch 2 MERGES — ids of
+    batch-1 vertices stay stable and both relations' edges land."""
+    graph = stream_out["graph"]
+    verts = {r.ent: r.ent_id for r in spark.read.parquet(graph + "/vertices").collect()}
+    edges = spark.read.parquet(graph + "/edges")
+    rels = {r.rel for r in edges.select("rel").distinct().collect()}
+    assert rels == {"CapableOf", "AtLocation"}
+    # vertex ids from the first drained batch never changed
+    for ent, vid in stream_out["verts_first"].items():
+        assert verts[ent] == vid, ent
+    # every edge endpoint id resolves to a vertex row
+    ids = set(verts.values())
+    for r in edges.collect():
+        assert r.src_id in ids and r.dst_id in ids
 
 
 def test_restart_on_drained_checkpoint_is_noop(spark, stream_out):
