@@ -84,13 +84,22 @@ def main() -> None:
         spark, args.drops, args.out, args.checkpoints, cfg, graph_dir=args.graph
     )
     q.awaitTermination()
+    from knowledge_harvest_from_lms_spark.fsutil import hadoop_exists
+
     done = sorted(harvested_rels(spark, args.out))
-    n = spark.read.parquet(os.path.join(args.out, "triples")).count()
-    msg = f"harvested_rels={done}; triples={n} rows at {args.out}/triples"
+    # a drain that found no new drops is a normal cron outcome: the
+    # triples table may not exist yet — report 0, don't crash
+    tpath = os.path.join(args.out, "triples")
+    n = spark.read.parquet(tpath).count() if hadoop_exists(spark, tpath) else 0
+    msg = f"harvested_rels={done}; triples={n} rows at {tpath}"
     if args.graph:
-        nv = spark.read.parquet(os.path.join(args.graph, "vertices")).count()
-        ne = spark.read.parquet(os.path.join(args.graph, "edges")).count()
-        msg += f"; graph: {nv} vertices, {ne} edges at {args.graph}"
+        vpath = os.path.join(args.graph, "vertices")
+        if hadoop_exists(spark, vpath):
+            nv = spark.read.parquet(vpath).count()
+            ne = spark.read.parquet(os.path.join(args.graph, "edges")).count()
+            msg += f"; graph: {nv} vertices, {ne} edges at {args.graph}"
+        else:
+            msg += "; graph: not yet created"
     print(msg)
     spark.stop()
 

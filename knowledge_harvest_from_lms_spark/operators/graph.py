@@ -52,20 +52,12 @@ def minhash_signature(grams_col, n_hashes: int = N_MINHASH):
     return F.array(*[perm_min(i) for i in range(n_hashes)])
 
 
-def lsh_candidate_pairs(
-    ents: DataFrame, sim_threshold: float = 0.7, n_hashes: int = N_MINHASH,
-    n_bands: int | None = None,
+def _banded(
+    ents: DataFrame, sim_threshold: float, n_hashes: int, n_bands: int | None
 ) -> DataFrame:
-    """ents(ent) → (ent_a, ent_b, jaccard) for near-duplicates.
-
-    Banding: equal band-hash → candidate; candidates verified with
-    exact 3-gram Jaccard (JVM array ops). Rows-per-band derive from
-    the threshold: the LARGEST r (most selective buckets) whose
-    candidate recall for a pair AT the threshold,
-    1-(1-t^r)^(n_hashes//r), stays ≥ 0.9 — e.g. r=2/b=16 at t=0.5,
-    r=3/b=10 at t=0.7, r=7/b=4 at t=0.9 (a fixed 8×4 banding had only
-    ~0.89 recall at t=0.7 and ~0.4 at t=0.5; and deriving b first then
-    recomputing rows = n_hashes//b inflated r past the guarantee)."""
+    """(ent, grams, band, bucket) rows — the shared LSH banding of an
+    entity column (threshold-aware rows-per-band derivation documented
+    on lsh_candidate_pairs)."""
     if n_bands is None:
         rows = 1
         for r in range(min(n_hashes, 30), 0, -1):
@@ -81,7 +73,7 @@ def lsh_candidate_pairs(
         .withColumn("grams", char_shingles(F.col("ent")))
         .withColumn("sig", minhash_signature(F.col("grams"), n_hashes))
     )
-    banded = sig.select(
+    return sig.select(
         "ent",
         "grams",
         F.explode(
@@ -103,7 +95,27 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("ent", "grams", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(
+        "ent", "grams", F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+
+
+def lsh_candidate_pairs(
+    ents: DataFrame, sim_threshold: float = 0.7, n_hashes: int = N_MINHASH,
+    n_bands: int | None = None,
+) -> DataFrame:
+    """ents(ent) → (ent_a, ent_b, jaccard) for near-duplicates.
+
+    Banding: equal band-hash → candidate; candidates verified with
+    exact 3-gram Jaccard (JVM array ops). Rows-per-band derive from
+    the threshold: the LARGEST r (most selective buckets) whose
+    candidate recall for a pair AT the threshold,
+    1-(1-t^r)^(n_hashes//r), stays ≥ 0.9 — e.g. r=2/b=16 at t=0.5,
+    r=3/b=10 at t=0.7, r=7/b=4 at t=0.9 (a fixed 8×4 banding had only
+    ~0.89 recall at t=0.7 and ~0.4 at t=0.5; and deriving b first then
+    recomputing rows = n_hashes//b inflated r past the guarantee)."""
+    banded = _banded(ents, sim_threshold, n_hashes, n_bands)
 
     a = banded.select(
         "band", "bucket", F.col("ent").alias("ent_a"), F.col("grams").alias("ga")
@@ -123,6 +135,34 @@ def lsh_candidate_pairs(
     return pairs.withColumn("jaccard", jac).filter(
         F.col("jaccard") >= sim_threshold
     ).select("ent_a", "ent_b", "jaccard")
+
+
+def lsh_cross_pairs(
+    probe: DataFrame, build: DataFrame, sim_threshold: float = 0.7,
+    n_hashes: int = N_MINHASH, n_bands: int | None = None,
+) -> DataFrame:
+    """probe(ent) × build(ent) → (ent, other, jaccard) near-dup pairs
+    ACROSS the two sides only (no probe-probe or build-build pairs) —
+    the same banding/verification as lsh_candidate_pairs, but the
+    bucket join is probe-vs-build, so linking a small new-drop
+    entity set against a huge existing vertex table never pays the
+    vertex-table self-join."""
+    a = _banded(probe, sim_threshold, n_hashes, n_bands).select(
+        "band", "bucket", F.col("ent").alias("ent"), F.col("grams").alias("ga")
+    )
+    b = _banded(build, sim_threshold, n_hashes, n_bands).select(
+        "band", "bucket", F.col("ent").alias("other"), F.col("grams").alias("gb")
+    )
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("ent") != F.col("other"))
+        .dropDuplicates(["ent", "other"])
+    )
+    inter = F.size(F.array_intersect("ga", "gb"))
+    jac = inter / (F.size("ga") + F.size("gb") - inter)
+    return pairs.withColumn("jaccard", jac).filter(
+        F.col("jaccard") >= sim_threshold
+    ).select("ent", "other", "jaccard")
 
 
 def canonical_map(ents: DataFrame, pairs: DataFrame, max_iters: int = 16) -> DataFrame:
@@ -277,10 +317,20 @@ def merge_into_graph(
        vertex ids stay STABLE across drops (no re-clustering of the
        whole graph per increment, which at 10^12 docs would be a full
        recompute).
-    2. Only the UNLINKED remainder is clustered among itself
+    2. Forms still unlinked also JACCAR-link against existing vertex
+       strings through the SAME MinHash-LSH banding the clustering
+       uses (lsh_cross_pairs, best match by jaccard desc / name asc):
+       a near-dup of an existing vertex beyond the edit-1 bound (e.g.
+       "giraffe sp." vs "giraffe") attaches to it instead of minting a
+       duplicate vertex — which also makes a crash-replay after vertex
+       promotion converge to the same graph a crash-free run produces
+       for direct near-dups (review r3; multi-hop chains spanning the
+       crash boundary can still split — the full closure is an Iceberg
+       transactional commit of vertices+edges+ledger).
+    3. Only the remaining unlinked forms cluster among themselves
        (MinHash-LSH candidate pairs + pointer-doubled label
        propagation — same kernel as materialize_graph).
-    3. Edges aggregate on the resolved endpoints and merge with the
+    4. Edges aggregate on the resolved endpoints and merge with the
        existing edge table by key: weights and mention counts sum.
 
     Inputs follow materialize_graph's output schemas:
@@ -293,18 +343,36 @@ def merge_into_graph(
     raw_edges = _raw_edges(triples)
     ents = _edge_endpoints(raw_edges)
 
-    link = link_entities(
-        ents,
-        existing_vertices.select(
-            F.col("ent_id").alias("vertex_id"), F.col("ent").alias("name")
-        ),
+    vnames = existing_vertices.select(
+        F.col("ent_id").alias("vertex_id"), F.col("ent").alias("name")
     )
+    link = link_entities(ents, vnames)
+    # eager: this plan (exact + deletion-variant joins against the full
+    # vertex table) is referenced by the src join, the dst join and the
+    # vertices union below — without the checkpoint each downstream
+    # action re-pays the fuzzy-link shuffle (review r3)
     linked = link.filter(F.col("method") != "none").select(
         "ent",
         F.col("vertex_name").alias("canonical"),
         F.col("vertex_id").alias("ent_id"),
+    ).localCheckpoint(eager=True)
+    unlinked = ents.join(linked.select("ent"), "ent", "left_anti")
+    cross = lsh_cross_pairs(
+        unlinked, vnames.select(F.col("name").alias("ent")), sim_threshold
     )
-    fresh = ents.join(linked.select("ent"), "ent", "left_anti")
+    jac_best = W.partitionBy("ent").orderBy(F.desc("jaccard"), "other")
+    jac_linked = (
+        cross.withColumn("_rn", F.row_number().over(jac_best))
+        .filter(F.col("_rn") == 1)
+        .join(vnames, F.col("other") == vnames.name)
+        .select(
+            "ent", F.col("name").alias("canonical"),
+            F.col("vertex_id").alias("ent_id"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    linked = linked.unionByName(jac_linked)
+    fresh = unlinked.join(jac_linked.select("ent"), "ent", "left_anti")
     fresh_map = canonical_map(fresh, lsh_candidate_pairs(fresh, sim_threshold))
     cmap = linked.unionByName(
         fresh_map.select("ent", "canonical", F.xxhash64("canonical").alias("ent_id"))

@@ -23,6 +23,14 @@ def harvest(
     spark: SparkSession, relations: DataFrame, cfg: HarvestConfig | None = None
 ) -> dict[str, DataFrame]:
     cfg = cfg or HarvestConfig()
+    # cfg.shuffle_partitions configures the session's shuffle
+    # parallelism for this harvest (AQE coalesces below it at
+    # runtime). Every constructor in the repo already set the field;
+    # until r3-late nothing READ it (review r3) — the determinism
+    # tests that vary it across harvests (test_harvest_pipeline) now
+    # genuinely exercise different partitionings. The setting stays on
+    # the session afterwards, as spark-submit --conf would.
+    spark.conf.set("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions))
     pw = compute_prompt_weights(relations, cfg)
     pw.persist()
     raw = search_ent_tuples(spark, pw, relations, cfg)

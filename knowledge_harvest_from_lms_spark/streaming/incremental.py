@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..fsutil import hadoop_delete, hadoop_exists, stage_overwrite
 from .stateful import streaming_mention_counts
 
 
@@ -56,30 +57,23 @@ def start_incremental_grounding(
     def upsert(batch_df, _bid):
         sess = batch_df.sparkSession
         batch_df = batch_df.coalesce(1)
-        # existence via the Hadoop FileSystem API, NOT driver-local
-        # os.path (totals_path may be s3a://... / hdfs://...) and NOT a
-        # bare try/except around the read: a transient read failure
-        # (storage hiccup, corrupt footer) must propagate so the
-        # streaming query retries the batch, instead of being mistaken
-        # for "table does not exist" and silently wiping the
-        # accumulated totals with only this batch's entities.
-        jvm = sess._jvm
-        hconf = sess._jsc.hadoopConfiguration()
-        totals_p = jvm.org.apache.hadoop.fs.Path(totals_path)
-        if totals_p.getFileSystem(hconf).exists(totals_p):
+        # existence via the Hadoop FileSystem API (fsutil), NOT
+        # driver-local os.path (totals_path may be s3a://... /
+        # hdfs://...) and NOT a bare try/except around the read: a
+        # transient read failure (storage hiccup, corrupt footer) must
+        # propagate so the streaming query retries the batch, instead
+        # of being mistaken for "table does not exist" and silently
+        # wiping the accumulated totals with only this batch's
+        # entities.
+        if hadoop_exists(sess, totals_path):
             old = sess.read.parquet(totals_path)
             merged = old.join(batch_df.select("ent"), "ent", "left_anti").unionByName(
                 batch_df
             )
         else:
             merged = batch_df
-        # stage through a tmp dir: merged READS totals_path, so it can't
-        # be overwritten in the same job
-        tmp = totals_path.rstrip("/") + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        sess.read.parquet(tmp).write.mode("overwrite").parquet(totals_path)
-        p = jvm.org.apache.hadoop.fs.Path(tmp)
-        p.getFileSystem(hconf).delete(p, True)
+        # staged overwrite: merged READS totals_path
+        stage_overwrite(merged, totals_path)
         if track_changes:
             batch_df.select("ent").write.mode("append").parquet(
                 _changed_path(totals_path)
@@ -140,12 +134,8 @@ def incremental_rerank(
     (unchanged relations' rows are carried over verbatim, never
     rescored). Clears the delta feed afterwards. Returns the refreshed
     table. First call (no reranked table yet) ranks everything."""
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-
     def _exists(path: str) -> bool:
-        p = jvm.org.apache.hadoop.fs.Path(path)
-        return p.getFileSystem(hconf).exists(p)
+        return hadoop_exists(spark, path)
 
     changed_path = _changed_path(totals_path)
     totals = (
@@ -197,14 +187,8 @@ def incremental_rerank(
         )
         out = kept.unionByName(fresh)
 
-    tmp = reranked_path.rstrip("/") + ".tmp"
-    out.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(reranked_path)
-    for path in (tmp, changed_path):
-        p = jvm.org.apache.hadoop.fs.Path(path)
-        fs = p.getFileSystem(hconf)
-        if fs.exists(p):
-            fs.delete(p, True)
+    stage_overwrite(out, reranked_path)
+    hadoop_delete(spark, changed_path)
     return spark.read.parquet(reranked_path)
 
 

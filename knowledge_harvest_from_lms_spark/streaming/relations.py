@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from ..config import HarvestConfig
+from ..fsutil import hadoop_exists, stage_overwrite_all
 
 # relation_info drop schema = RELATION_SCHEMA minus the derived n_ents
 RELATION_DROP_SCHEMA = T.StructType(
@@ -56,13 +57,6 @@ def read_relation_stream(spark: SparkSession, drop_dir: str) -> DataFrame:
     )
 
 
-def _hadoop_exists(sess: SparkSession, path: str) -> bool:
-    # driver-local os.path would break on s3a:// / hdfs:// tables
-    jvm = sess._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(sess._jsc.hadoopConfiguration()).exists(p)
-
-
 def _ledger_path(out_dir: str) -> str:
     return os.path.join(out_dir, "harvested_rels")
 
@@ -73,33 +67,9 @@ def _triples_path(out_dir: str) -> str:
 
 def harvested_rels(sess: SparkSession, out_dir: str) -> set[str]:
     path = _ledger_path(out_dir)
-    if not _hadoop_exists(sess, path):
+    if not hadoop_exists(sess, path):
         return set()
     return {r.rel for r in sess.read.parquet(path).select("rel").collect()}
-
-
-def _stage_write_all(named: list[tuple]) -> None:
-    """overwrite each (df, path) even when the dfs' plans READ the
-    paths — including each OTHER's (merge_into_graph's edge plan joins
-    the existing vertex table, so promoting vertices first would pull
-    files out from under the still-lazy edge plan). All dfs
-    materialize to tmp dirs FIRST, then every path is promoted, then
-    tmps are removed (same pattern as streaming/incremental.py's
-    totals upsert, generalized to a write set; an Iceberg catalog
-    would make this a single transactional snapshot commit)."""
-    sess = named[0][0].sparkSession
-    tmps = []
-    for df, path in named:
-        tmp = path.rstrip("/") + ".tmp"
-        df.write.mode("overwrite").parquet(tmp)
-        tmps.append((tmp, path))
-    jvm = sess._jvm
-    hconf = sess._jsc.hadoopConfiguration()
-    for tmp, path in tmps:
-        sess.read.parquet(tmp).write.mode("overwrite").parquet(path)
-    for tmp, _ in tmps:
-        p = jvm.org.apache.hadoop.fs.Path(tmp)
-        p.getFileSystem(hconf).delete(p, True)
 
 
 def harvest_relation_stream(
@@ -128,11 +98,29 @@ def harvest_relation_stream(
     cfg = cfg or HarvestConfig()
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window as W
+
         from ..plans.harvest import harvest
         from ..sources.relations import relations_from_records
 
         sess = batch_df.sparkSession
-        recs = batch_df.dropDuplicates(["rel"]).collect()
+        # one definition per rel, DETERMINISTICALLY: if one micro-batch
+        # carries two different definitions of the same relation (e.g.
+        # a corrected re-drop landing alongside the original), pick the
+        # greatest serialized record — arbitrary but stable, instead of
+        # whichever file Spark happened to list first (review r3)
+        pick = W.partitionBy("rel").orderBy(
+            F.to_json(
+                F.struct("init_prompts", "prompts", "seed_ent_tuples")
+            ).desc()
+        )
+        recs = (
+            batch_df.withColumn("_rn", F.row_number().over(pick))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .collect()
+        )
         done = harvested_rels(sess, out_dir)
         new = [r for r in recs if r["rel"] not in done]
         if not new:
@@ -160,25 +148,29 @@ def harvest_relation_stream(
             .parquet(_triples_path(out_dir))
         )
         if graph_dir is not None:
-            from pyspark.sql import functions as F
-
             from ..operators.graph import materialize_graph, merge_into_graph
 
-            triples = sess.read.parquet(_triples_path(out_dir)).filter(
-                F.col("rel").isin([r["rel"] for r in new])
-            )
+            all_triples = sess.read.parquet(_triples_path(out_dir))
             vpath = os.path.join(graph_dir, "vertices")
             epath = os.path.join(graph_dir, "edges")
-            if _hadoop_exists(sess, vpath):
+            if hadoop_exists(sess, vpath):
+                new_triples = all_triples.filter(
+                    F.col("rel").isin([r["rel"] for r in new])
+                )
                 ev = sess.read.parquet(vpath)
                 # replay safety: this batch's relations own their edges
                 ee = sess.read.parquet(epath).filter(
                     ~F.col("rel").isin([r["rel"] for r in new])
                 )
-                g = merge_into_graph(ev, ee, triples, sim_threshold)
+                g = merge_into_graph(ev, ee, new_triples, sim_threshold)
             else:
-                g = materialize_graph(triples, sim_threshold)
-            _stage_write_all([(g["vertices"], vpath), (g["edges"], epath)])
+                # first graph build BACKFILLS from the full triples
+                # table, not just this batch: graph_dir may be enabled
+                # after earlier relations were already harvested and
+                # ledgered — those would otherwise never reach the
+                # graph (review r3)
+                g = materialize_graph(all_triples, sim_threshold)
+            stage_overwrite_all([(g["vertices"], vpath), (g["edges"], epath)])
         sess.createDataFrame(
             [(r["rel"], int(batch_id)) for r in new], "rel string, batch_id long"
         ).coalesce(1).write.mode("append").parquet(_ledger_path(out_dir))
