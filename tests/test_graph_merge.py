@@ -71,3 +71,44 @@ def test_merge_is_idempotent_for_replayed_batch(spark):
     assert m2["vertices"].count() == 2
     e = m2["edges"].collect()
     assert len(e) == 1 and e[0].weight == 5.0 and e[0].n_mentions == 3
+
+
+def test_merge_jaccard_links_beyond_edit1(spark):
+    """A new surface form that is a near-dup of an existing vertex
+    under the CLUSTERING similarity but beyond the edit-1 linking
+    bound ("giraffe sp." vs "giraffe") must attach to the existing
+    vertex, not mint a duplicate — this is what makes a crash-replay
+    after vertex promotion converge (review r3)."""
+    a = _triples(spark, [(("giraffe", "africa"), 1.0)])
+    g = materialize_graph(a, sim_threshold=0.5)
+    ev, ee = g["vertices"].localCheckpoint(), g["edges"].localCheckpoint()
+    id_of = {r.ent: r.ent_id for r in ev.collect()}
+
+    b = _triples(spark, [(("giraffe sp.", "africa"), 2.0)])
+    m = merge_into_graph(ev, ee, b, sim_threshold=0.5)
+    cmap = {r.ent: (r.canonical, r.ent_id) for r in m["ent_map"].collect()}
+    assert cmap["giraffe sp."] == ("giraffe", id_of["giraffe"])
+    verts = {r.ent for r in m["vertices"].collect()}
+    assert "giraffe sp." not in verts
+    edges = {(r.src, r.dst): r for r in m["edges"].collect()}
+    e = edges[("giraffe", "africa")]
+    assert e.weight == 3.0 and e.n_mentions == 2
+
+
+def test_lsh_cross_pairs_no_within_side_pairs(spark):
+    """Probe-vs-build banding reports only CROSS pairs: two near-dups
+    inside the same side never pair, a planted cross near-dup does."""
+    from knowledge_harvest_from_lms_spark.operators.graph import lsh_cross_pairs
+
+    probe = spark.createDataFrame(
+        [("hello worlx",), ("hello worly",)], "ent string"
+    )
+    build = spark.createDataFrame(
+        [("hello world",), ("something else",)], "ent string"
+    )
+    got = lsh_cross_pairs(probe, build, sim_threshold=0.6).collect()
+    pairs = {(r.ent, r.other) for r in got}
+    assert ("hello worlx", "hello world") in pairs
+    assert ("hello worly", "hello world") in pairs
+    # no probe-probe pair despite "hello worlx" ~ "hello worly"
+    assert all(o == "hello world" for _, o in pairs)
