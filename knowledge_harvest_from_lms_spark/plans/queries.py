@@ -1532,15 +1532,40 @@ Q92_SQL = _q92_sql()
 
 
 def q93_minhash_dedup_pairs(spark, sf_dir):
-    """MinHash-LSH near-dup candidate pairs over documents (xxhash64
-    signatures; rows-only check). Threshold 0.8: the synthetic docs
-    are template-generated, so lower thresholds legitimately match
-    most of the corpus to itself (r2: minhash recall fix surfaced
-    this — the r1 numbers reflected a broken signature)."""
+    """MinHash-LSH near-dup pairs over documents (xxhash64
+    signatures). Threshold 0.8: the synthetic docs are
+    template-generated, so lower thresholds legitimately match most
+    of the corpus to itself (r2: minhash recall fix surfaced this —
+    the r1 numbers reflected a broken signature). r3-late: full hash
+    oracle (was rows-only) — DuckDB brute-forces true 3-gram jaccard
+    over all prefix pairs; equality holds iff the threshold-aware
+    banding reaches recall 1.0 on this deterministic dataset, which
+    it does (the real near-dups sit at jaccard 0.96-0.99, far above
+    the 0.8 banding design point) and which the driver now re-proves
+    every round — same argument as q94's embedding oracle; a recall
+    miss would surface as a hash mismatch, not silently."""
     from ..operators.dedup import minhash_near_dup_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_near_dup_pairs(docs, "text", "doc_id", sim_threshold=0.8)
+    return minhash_near_dup_pairs(docs, "text", "doc_id", sim_threshold=0.8).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+Q93_SQL = """
+WITH grams AS (
+  SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
+      RANGE(1, GREATEST(LENGTH(p) - 2, 1) + 1), i -> SUBSTR(p, i, 3))) AS g
+  FROM (SELECT doc_id, ' ' || SUBSTR(text, 1, 512) || ' ' AS p
+        FROM documents))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+             (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 4)
+           AS jaccard
+FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+      (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8
+"""
 
 
 def q37_dedup_documents(spark, sf_dir):
@@ -1566,13 +1591,42 @@ FROM documents
 
 
 def q38_dedup_documents_minhash(spark, sf_dir):
-    """Document keep/drop decisions over MinHash-LSH near-dup pairs
-    (rows-only: LSH banding is not SQL-expressible; cluster semantics
-    covered by q37's oracle + planted/property tests)."""
+    """Document keep/drop decisions over MinHash-LSH near-dup pairs.
+    r3-late: full hash oracle (was rows-only) — DuckDB recomputes the
+    pair set brute-force (q93's oracle, recall-1.0 argument documented
+    there) and resolves clusters with a recursive-CTE
+    min-reachable-id fixpoint, so the FULL near-dup keep/drop
+    pipeline (banding → pair verify → label propagation → min-id
+    keeper) is equality-checked, not just its exact-dup slice
+    (q37/q40)."""
     from ..operators.dedup import dedup_documents
 
     docs = _t(spark, sf_dir, "documents")
     return dedup_documents(docs, "text", "doc_id", sim_threshold=0.8)
+
+
+Q38_SQL = """
+WITH RECURSIVE grams AS (
+  SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
+      RANGE(1, GREATEST(LENGTH(p) - 2, 1) + 1), i -> SUBSTR(p, i, 3))) AS g
+  FROM (SELECT doc_id, ' ' || SUBSTR(text, 1, 512) || ' ' AS p
+        FROM documents)),
+pairs AS (
+  SELECT a.doc_id AS x, b.doc_id AS y
+  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+        (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8),
+edges AS (SELECT x, y FROM pairs UNION ALL SELECT y AS x, x AS y FROM pairs),
+reach AS (
+  SELECT doc_id, doc_id AS lbl FROM documents
+  UNION
+  SELECT r.doc_id, e.y AS lbl FROM reach r JOIN edges e ON e.x = r.lbl
+)
+SELECT doc_id,
+       MIN(lbl) AS canonical_id,
+       doc_id <> MIN(lbl) AS is_duplicate
+FROM reach GROUP BY doc_id
+"""
 
 
 def q40_minhash_exact_clusters(spark, sf_dir):
@@ -1688,6 +1742,81 @@ def q97_multimodal_features(spark, sf_dir):
     )
 
 
+def q45_graph_materialize_text(spark, sf_dir):
+    """The FULL graph-materialize path (q98's machinery: consecutive-
+    slot edges → MinHash-LSH candidate pairs → pointer-doubled label
+    propagation → canonical edge aggregation) equality-checked
+    end-to-end on its text keys. r3-late: the only reason q98 stayed
+    rows-only was its xxhash64 vertex ids (DuckDB has no matching
+    hash); projecting the text keys makes everything else
+    SQL-checkable — the oracle replays q23's triples, brute-forces
+    true 3-gram jaccard pairs over the entity strings, resolves
+    components with a recursive-CTE min-reachable-id fixpoint and
+    re-aggregates edges. Equality again rides the recall-1.0 argument
+    (q93/q94): a banding recall miss surfaces as a hash mismatch."""
+    from ..operators.graph import materialize_graph
+
+    triples = q23_cooccur_triples(spark, sf_dir).select(
+        F.lit("cooccur").alias("rel"),
+        F.array("subj", "obj").alias("ents"),
+        F.col("weight").cast("double").alias("weight"),
+    )
+    g = materialize_graph(triples, sim_threshold=0.7)
+    return g["edges"].select(
+        "src", "rel", "dst", F.round("weight", 2).alias("weight"), "n_mentions"
+    )
+
+
+Q45_SQL = f"""
+WITH RECURSIVE words AS (
+  SELECT doc_id,
+         UNNEST(STRING_SPLIT(text, ' ')) AS word,
+         UNNEST(RANGE(0, LEN(STRING_SPLIT(text, ' ')))) AS pos
+  FROM documents),
+fw AS (
+  SELECT * FROM words WHERE LENGTH(word) >= 4 AND word NOT IN {_STOP_SQL}),
+wpairs AS (
+  SELECT a.word AS subj, b.word AS obj
+  FROM fw a JOIN fw b
+    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 3
+   AND a.word != b.word),
+counted AS (
+  SELECT subj, obj, CAST(COUNT(*) AS BIGINT) AS weight
+  FROM wpairs GROUP BY subj, obj),
+triples AS (
+  SELECT LOWER(subj) AS subj, LOWER(obj) AS obj, CAST(weight AS DOUBLE) AS w
+  FROM (SELECT subj, obj, weight,
+               ROW_NUMBER() OVER (PARTITION BY subj
+                                  ORDER BY weight DESC, obj ASC) AS rnk
+        FROM counted) WHERE rnk <= 5 AND weight >= 2),
+ents AS (
+  SELECT subj AS ent FROM triples UNION SELECT obj FROM triples),
+grams AS (
+  SELECT ent, LIST_DISTINCT(LIST_TRANSFORM(
+      RANGE(1, GREATEST(LENGTH(p) - 2, 1) + 1), i -> SUBSTR(p, i, 3))) AS g
+  FROM (SELECT ent, ' ' || ent || ' ' AS p FROM ents)),
+jpairs AS (
+  SELECT a.ent AS x, b.ent AS y
+  FROM grams a JOIN grams b ON a.ent < b.ent
+  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+        (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.7),
+edges AS (SELECT x, y FROM jpairs UNION ALL SELECT y AS x, x AS y FROM jpairs),
+reach AS (
+  SELECT ent, ent AS lbl FROM ents
+  UNION
+  SELECT r.ent, e.y AS lbl FROM reach r JOIN edges e ON e.x = r.lbl
+),
+cmap AS (SELECT ent, MIN(lbl) AS canonical FROM reach GROUP BY ent)
+SELECT cs.canonical AS src, 'cooccur' AS rel, cd.canonical AS dst,
+       ROUND(SUM(t.w), 2) AS weight,
+       CAST(COUNT(*) AS BIGINT) AS n_mentions
+FROM triples t
+JOIN cmap cs ON cs.ent = t.subj
+JOIN cmap cd ON cd.ent = t.obj
+GROUP BY cs.canonical, cd.canonical
+"""
+
+
 def q98_graph_materialize(spark, sf_dir):
     """Entity canonicalization (MinHash-LSH + label propagation) +
     salted edge aggregation over the co-occurrence triples (rows-only)."""
@@ -1776,6 +1905,7 @@ QUERIES = {
     "q42_window_cooccurrence": q42_window_cooccurrence,
     "q43_canonical_components": q43_canonical_components,
     "q44_entity_linking": q44_entity_linking,
+    "q45_graph_materialize_text": q45_graph_materialize_text,
     "q90_bertnet_prompt_weights": q90_bertnet_prompt_weights,
     "q91_bertnet_triples": q91_bertnet_triples,
     "q92_simhash_pairs": q92_simhash_pairs,
@@ -1826,13 +1956,16 @@ ORACLES = {
     "q35_salted_skew_join": Q35_SQL,
     "q36_bpe_token_count": Q36_SQL,
     "q37_dedup_documents": Q37_SQL,
+    "q38_dedup_documents_minhash": Q38_SQL,
     "q39_entity_mentions_punct": Q39_SQL,
     "q40_minhash_exact_clusters": Q40_SQL,
     "q41_support_rerank": Q41_SQL,
     "q42_window_cooccurrence": Q42_SQL,
     "q43_canonical_components": Q43_SQL,
     "q44_entity_linking": Q44_SQL,
+    "q45_graph_materialize_text": Q45_SQL,
     "q92_simhash_pairs": Q92_SQL,
+    "q93_minhash_dedup_pairs": Q93_SQL,
     "q95_extract_text_manifest": Q95_SQL,
     "q94_embedding_near_dup": Q94_SQL,
 }
