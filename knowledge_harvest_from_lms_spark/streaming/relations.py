@@ -171,8 +171,20 @@ def harvest_relation_stream(
                 # graph (review r3)
                 g = materialize_graph(all_triples, sim_threshold)
             stage_overwrite_all([(g["vertices"], vpath), (g["edges"], epath)])
+        # ledger rows carry per-relation triple counts — the streaming
+        # analog of the batch pipeline's per-stage manifest metrics
+        # (operators/checkpoint.py), so lineage survives on this path
+        # too
+        counts = {
+            r["rel"]: r["n"]
+            for r in sess.read.parquet(_triples_path(out_dir))
+            .filter(F.col("rel").isin([r["rel"] for r in new]))
+            .groupBy("rel").agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
         sess.createDataFrame(
-            [(r["rel"], int(batch_id)) for r in new], "rel string, batch_id long"
+            [(r["rel"], int(batch_id), int(counts.get(r["rel"], 0))) for r in new],
+            "rel string, batch_id long, n_triples long",
         ).coalesce(1).write.mode("append").parquet(_ledger_path(out_dir))
 
     writer = (
