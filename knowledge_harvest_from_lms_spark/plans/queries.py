@@ -34,6 +34,36 @@ STOP_SUBSET = (
 _STOP_SQL = "(" + ", ".join(f"'{w}'" for w in STOP_SUBSET) + ")"
 
 
+def _jac_sql(a: str, b: str) -> str:
+    """DuckDB exact jaccard over two distinct-gram list columns — ONE
+    definition shared by every brute-force dedup oracle (q93/q38/q45),
+    so a shingle/formula change can't silently desync them
+    (review r3)."""
+    inter = f"len(list_intersect({a}, {b}))"
+    return f"CAST({inter} AS DOUBLE) / (len({a}) + len({b}) - {inter})"
+
+
+# space-padded char-3-gram distinct list of {p} — mirrors
+# operators/graph.py::char_shingles
+_GRAM_LIST = (
+    "LIST_DISTINCT(LIST_TRANSFORM("
+    "RANGE(1, GREATEST(LENGTH({p}) - 2, 1) + 1), i -> SUBSTR({p}, i, 3)))"
+)
+
+
+def _reach_cte(nodes_cte: str, key: str) -> str:
+    """Recursive min-reachable-id fixpoint over an ``edges(x, y)`` CTE
+    — the SQL twin of canonical_map's label propagation, shared by
+    q38/q43/q45."""
+    return (
+        f"reach AS (\n"
+        f"  SELECT {key}, {key} AS lbl FROM {nodes_cte}\n"
+        f"  UNION\n"
+        f"  SELECT r.{key}, e.y AS lbl FROM reach r JOIN edges e ON e.x = r.lbl\n"
+        f")"
+    )
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
@@ -1305,7 +1335,7 @@ def q43_canonical_components(spark, sf_dir):
 
 
 # min-reachable-id via recursive CTE == min-label propagation's fixpoint
-Q43_SQL = """
+Q43_SQL = f"""
 WITH RECURSIVE toks AS (
   SELECT DISTINCT t AS ent FROM (
     SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
@@ -1320,11 +1350,7 @@ pairs AS (
   FROM ents a JOIN ents b
     ON a.ent < b.ent AND levenshtein(a.ent, b.ent) <= 1),
 edges AS (SELECT x, y FROM pairs UNION ALL SELECT y AS x, x AS y FROM pairs),
-reach AS (
-  SELECT ent, ent AS lbl FROM ents
-  UNION
-  SELECT r.ent, e.y AS lbl FROM reach r JOIN edges e ON e.x = r.lbl
-)
+{_reach_cte("ents", "ent")}
 SELECT ent, MIN(lbl) AS canonical FROM reach GROUP BY ent
 """
 
@@ -1552,19 +1578,33 @@ def q93_minhash_dedup_pairs(spark, sf_dir):
     )
 
 
-Q93_SQL = """
-WITH grams AS (
-  SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
-      RANGE(1, GREATEST(LENGTH(p) - 2, 1) + 1), i -> SUBSTR(p, i, 3))) AS g
-  FROM (SELECT doc_id, ' ' || SUBSTR(text, 1, 512) || ' ' AS p
-        FROM documents))
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
-             (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 4)
-           AS jaccard
-FROM grams a JOIN grams b ON a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
-      (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8
+# mirrors minhash_near_dup_pairs EXACTLY, including its pair shape:
+# byte-identical prefixes pair as STAR edges to the group minimum at
+# jaccard 1.0 (not a clique — review r3: a 3+-member duplicate group
+# would have flipped a naive all-pairs oracle red), while DISTINCT
+# prefixes pair all-vs-all by true jaccard and expand bipartite to
+# every doc id carrying each prefix
+Q93_SQL = f"""
+WITH pref AS (
+  SELECT doc_id, ' ' || SUBSTR(text, 1, 512) || ' ' AS p FROM documents),
+gmin AS (SELECT p, MIN(doc_id) AS gm FROM pref GROUP BY p),
+star AS (
+  SELECT g.gm AS ia, d.doc_id AS ib, 1.0 AS jac
+  FROM pref d JOIN gmin g ON d.p = g.p AND d.doc_id <> g.gm),
+grams AS (
+  SELECT p, {_GRAM_LIST.format(p="p")} AS g FROM (SELECT DISTINCT p FROM pref)),
+cross_p AS (
+  SELECT a.p AS pa, b.p AS pb, {_jac_sql("a.g", "b.g")} AS jac
+  FROM grams a JOIN grams b ON a.p < b.p
+  WHERE {_jac_sql("a.g", "b.g")} >= 0.8),
+expanded AS (
+  SELECT da.doc_id AS ia, db.doc_id AS ib, c.jac
+  FROM cross_p c
+  JOIN pref da ON da.p = c.pa
+  JOIN pref db ON db.p = c.pb)
+SELECT LEAST(ia, ib) AS id_a, GREATEST(ia, ib) AS id_b,
+       ROUND(jac, 4) AS jaccard
+FROM (SELECT * FROM star UNION ALL SELECT * FROM expanded)
 """
 
 
@@ -1605,23 +1645,19 @@ def q38_dedup_documents_minhash(spark, sf_dir):
     return dedup_documents(docs, "text", "doc_id", sim_threshold=0.8)
 
 
-Q38_SQL = """
+# clusters are connectivity-only, so all-pairs edges are component-
+# equivalent to the operator's star edges (unlike q93's pair LIST)
+Q38_SQL = f"""
 WITH RECURSIVE grams AS (
-  SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
-      RANGE(1, GREATEST(LENGTH(p) - 2, 1) + 1), i -> SUBSTR(p, i, 3))) AS g
+  SELECT doc_id, {_GRAM_LIST.format(p="p")} AS g
   FROM (SELECT doc_id, ' ' || SUBSTR(text, 1, 512) || ' ' AS p
         FROM documents)),
 pairs AS (
   SELECT a.doc_id AS x, b.doc_id AS y
   FROM grams a JOIN grams b ON a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
-        (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8),
+  WHERE {_jac_sql("a.g", "b.g")} >= 0.8),
 edges AS (SELECT x, y FROM pairs UNION ALL SELECT y AS x, x AS y FROM pairs),
-reach AS (
-  SELECT doc_id, doc_id AS lbl FROM documents
-  UNION
-  SELECT r.doc_id, e.y AS lbl FROM reach r JOIN edges e ON e.x = r.lbl
-)
+{_reach_cte("documents", "doc_id")}
 SELECT doc_id,
        MIN(lbl) AS canonical_id,
        doc_id <> MIN(lbl) AS is_duplicate
@@ -1800,20 +1836,14 @@ triples AS (
 ents AS (
   SELECT subj AS ent FROM triples UNION SELECT obj FROM triples),
 grams AS (
-  SELECT ent, LIST_DISTINCT(LIST_TRANSFORM(
-      RANGE(1, GREATEST(LENGTH(p) - 2, 1) + 1), i -> SUBSTR(p, i, 3))) AS g
+  SELECT ent, {_GRAM_LIST.format(p="p")} AS g
   FROM (SELECT ent, ' ' || ent || ' ' AS p FROM ents)),
 jpairs AS (
   SELECT a.ent AS x, b.ent AS y
   FROM grams a JOIN grams b ON a.ent < b.ent
-  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
-        (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.7),
+  WHERE {_jac_sql("a.g", "b.g")} >= 0.7),
 edges AS (SELECT x, y FROM jpairs UNION ALL SELECT y AS x, x AS y FROM jpairs),
-reach AS (
-  SELECT ent, ent AS lbl FROM ents
-  UNION
-  SELECT r.ent, e.y AS lbl FROM reach r JOIN edges e ON e.x = r.lbl
-),
+{_reach_cte("ents", "ent")},
 cmap AS (SELECT ent, MIN(lbl) AS canonical FROM reach GROUP BY ent)
 SELECT cs.canonical AS src, 'cooccur' AS rel, cd.canonical AS dst,
        ROUND(SUM(t.w), 2) AS weight,

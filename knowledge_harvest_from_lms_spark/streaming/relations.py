@@ -69,7 +69,14 @@ def harvested_rels(sess: SparkSession, out_dir: str) -> set[str]:
     path = _ledger_path(out_dir)
     if not hadoop_exists(sess, path):
         return set()
-    return {r.rel for r in sess.read.parquet(path).select("rel").collect()}
+    # mergeSchema: ledgers written before r3-late lack the n_triples
+    # column; without merging, schema inference from one old file
+    # would hide it from metrics consumers on upgraded out_dirs
+    return {
+        r.rel
+        for r in sess.read.option("mergeSchema", "true")
+        .parquet(path).select("rel").collect()
+    }
 
 
 def harvest_relation_stream(
@@ -147,16 +154,25 @@ def harvest_relation_stream(
             .partitionBy("rel")
             .parquet(_triples_path(out_dir))
         )
+        # one read of the just-committed table, shared by the graph
+        # branch and the ledger counts. Explicit schema: (a) an
+        # all-empty first write leaves a parquet dir with no files,
+        # which schema inference cannot read (UNABLE_TO_INFER_SCHEMA —
+        # review r3); (b) it pins the rel partition column to string,
+        # so numeric-looking relation names don't get type-inferred
+        # into ints
+        all_triples = sess.read.schema(triples.schema).parquet(
+            _triples_path(out_dir)
+        )
+        new_triples = all_triples.filter(
+            F.col("rel").isin([r["rel"] for r in new])
+        )
         if graph_dir is not None:
             from ..operators.graph import materialize_graph, merge_into_graph
 
-            all_triples = sess.read.parquet(_triples_path(out_dir))
             vpath = os.path.join(graph_dir, "vertices")
             epath = os.path.join(graph_dir, "edges")
             if hadoop_exists(sess, vpath):
-                new_triples = all_triples.filter(
-                    F.col("rel").isin([r["rel"] for r in new])
-                )
                 ev = sess.read.parquet(vpath)
                 # replay safety: this batch's relations own their edges
                 ee = sess.read.parquet(epath).filter(
@@ -174,12 +190,12 @@ def harvest_relation_stream(
         # ledger rows carry per-relation triple counts — the streaming
         # analog of the batch pipeline's per-stage manifest metrics
         # (operators/checkpoint.py), so lineage survives on this path
-        # too
+        # too. Counted from the committed table (not the in-memory
+        # harvest plan, which would re-run the beam)
         counts = {
             r["rel"]: r["n"]
-            for r in sess.read.parquet(_triples_path(out_dir))
-            .filter(F.col("rel").isin([r["rel"] for r in new]))
-            .groupBy("rel").agg(F.count(F.lit(1)).alias("n"))
+            for r in new_triples.groupBy("rel")
+            .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
         sess.createDataFrame(

@@ -112,3 +112,35 @@ def test_restart_on_drained_checkpoint_is_noop(spark, stream_out):
     )
     q.awaitTermination(300)
     assert spark.read.parquet(out + "/triples").count() == before
+
+
+def test_empty_partitioned_table_reads_with_explicit_schema(spark, tmp_path):
+    """The regression mechanics behind review r3's empty-first-batch
+    finding: a partitioned overwrite of ZERO rows leaves a dir that
+    schema inference cannot read, but the explicit-schema read the
+    stream uses returns an empty frame instead of raising."""
+    import pytest
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("rel", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ])
+    path = str(tmp_path / "triples")
+    empty = spark.createDataFrame([], schema)
+    (empty.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("rel").parquet(path))
+    from pyspark.errors import AnalysisException
+    with pytest.raises(AnalysisException):
+        spark.read.parquet(path).count()  # inference fails
+    assert spark.read.schema(schema).parquet(path).count() == 0
+
+
+def test_ledger_records_triple_counts(spark, stream_out):
+    led = spark.read.parquet(stream_out["out"] + "/harvested_rels")
+    rows = {r.rel: r.n_triples for r in led.collect()}
+    triples = spark.read.parquet(stream_out["out"] + "/triples")
+    want = {r.rel: r.n for r in triples.groupBy("rel")
+            .agg(F.count("*").alias("n")).collect()}
+    assert rows == want and all(n > 0 for n in rows.values())
