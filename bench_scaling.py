@@ -132,7 +132,11 @@ def run_level(cpus: int) -> dict:
         link_entities,
     )
 
-    n_verts, n_ment = 1_000_000, 300_000
+    # sized so per-pass work dominates fixed stage/scheduling
+    # overheads: at 300k/1M a local[8] pass finished in ~13 s and
+    # measured overhead amortization (apparent eff 0.705), not
+    # throughput
+    n_verts, n_ment = 2_000_000, 1_000_000
     verts = spark.range(n_verts).select(
         F.col("id").alias("vertex_id"),
         F.concat(

@@ -93,24 +93,31 @@ def link_entities(
         )
     )
 
-    # stage 2: deletion-neighborhood block over the still-unlinked
+    # stage 2: deletion-neighborhood block over the still-unlinked.
+    # The exploded build side is the expensive shuffle (|vertices| ×
+    # ~len+1 variant rows), so it carries ONLY (variant, v_norm) —
+    # vertex ids/names rejoin on v_norm after the candidate set has
+    # been deduped and distance-verified down to a few rows per
+    # mention. Same final semantics (candidates are determined by the
+    # norm string; the rank below still breaks ties by vertex_name,
+    # vertex_id), ~2x less shuffled data per vertex.
     rest = m.join(exact.select("ent"), "ent", "left_anti")
     mv = rest.select(
         "ent", "m_norm", F.explode(_deletion_variants(F.col("m_norm"))).alias("k")
     )
     vv = v.select(
-        "vertex_id", "vertex_name", "v_norm",
-        F.explode(_deletion_variants(F.col("v_norm"))).alias("k"),
-    )
+        "v_norm", F.explode(_deletion_variants(F.col("v_norm"))).alias("k")
+    ).distinct()
     cand = (
         mv.join(vv, "k")
-        .drop("k")
+        .select("ent", "m_norm", "v_norm")
         .distinct()  # a pair can share several variants
         .withColumn("dist", F.levenshtein("m_norm", "v_norm"))
         .filter(F.col("dist") <= max_edit)
     )
     fuzzy = (
-        cand.withColumn(
+        cand.join(v, "v_norm")
+        .withColumn(
             "_rn",
             F.row_number().over(
                 W.partitionBy("ent").orderBy("dist", "vertex_name", "vertex_id")
