@@ -198,7 +198,31 @@ def main() -> None:
         print("RESULT " + json.dumps(run_level(int(sys.argv[2]))))
         return
 
-    from bench import wait_for_idle
+    from bench import calibrate_host, wait_for_idle
+
+    def wait_for_healthy_host(min_calib: float = 1.25e6,
+                              max_spread: float = 0.12,
+                              timeout_s: float = 900.0) -> None:
+        """Block until 3 consecutive single-core calibrations are fast
+        (near the ~1.3-1.7M/s idle band) AND mutually stable. loadavg
+        cannot see a hypervisor co-tenant (r3-late: a co-tenant active
+        at ONE level produced apparent efficiencies of 0.65-1.09 for
+        the same engine within two hours, calib drift 0.22-0.41), so
+        the gate watches the thing that actually moves: host speed."""
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            vals = []
+            for _ in range(3):
+                vals.append(calibrate_host())
+                time.sleep(2)
+            spread = max(vals) / max(1.0, min(vals)) - 1.0
+            if min(vals) >= min_calib and spread <= max_spread:
+                return
+            time.sleep(15)
+        sys.stderr.write(
+            "WARNING: host never settled within the calibration gate; "
+            "proceeding — treat this run's efficiencies as provisional\n"
+        )
 
     results = {}
     for cpus in LEVELS:
@@ -206,6 +230,7 @@ def main() -> None:
         # the next level's numbers (observed r3: a loadavg of ~4 at
         # level start cost local[16] ~35%); 2.0 ≈ truly settled
         wait_for_idle(max_load=2.0, timeout_s=300.0)
+        wait_for_healthy_host()
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
             capture_output=True, text=True, timeout=1800,
