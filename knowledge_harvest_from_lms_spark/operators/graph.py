@@ -412,3 +412,69 @@ def merge_into_graph(
     )
     vertices = existing_vertices.unionByName(new_vertices)
     return {"vertices": vertices, "edges": edges, "ent_map": cmap}
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Weighted PageRank over a directed edge list (src, dst, weight)
+    — entity-importance ranking for the materialized KG (a
+    training-data pipeline uses it to prioritize high-centrality
+    entities/triples for review or retention).
+
+    Iterative DataFrame joins, same execution shape as canonical_map:
+    per iteration one (edges ⋈ ranks) shuffle on dst plus a scalar
+    dangling-mass aggregate, with an eager localCheckpoint cutting the
+    lineage so plan depth stays O(1) per iteration. Rank mass from a
+    node follows its outgoing edges proportionally to weight; nodes
+    with no outgoing edges (dangling) redistribute uniformly —
+    standard damped PageRank, Σ rank = 1 at every iteration.
+
+    Fixed ``iters`` (not convergence detection): the q46 DuckDB oracle
+    replays the exact same number of unrolled iterations, making the
+    iterative operator equality-checkable without recursive-CTE
+    aggregation (which SQL recursion disallows)."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    outw = edges.groupBy("src").agg(F.sum(weight_col).alias("out_w"))
+    e = (
+        edges.join(outw, "src")
+        .select("src", "dst", (F.col(weight_col) / F.col("out_w")).alias("p"))
+        .localCheckpoint(eager=True)
+    )
+    dangling_nodes = nodes.join(
+        outw.select(F.col("src").alias("node")), "node", "left_anti"
+    ).localCheckpoint(eager=True)
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        dangling = (
+            dangling_nodes.join(ranks, "node").agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        )
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("rank")).alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce("in_sum", F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -1855,6 +1855,83 @@ GROUP BY cs.canonical, cd.canonical
 """
 
 
+def q46_pagerank(spark, sf_dir):
+    """Weighted PageRank over the co-occurrence edge list — entity
+    importance for the materialized KG, as iterative DataFrame joins
+    (operators/graph.py::pagerank; one edges⋈ranks shuffle + a scalar
+    dangling aggregate per iteration, eager-localCheckpointed like
+    canonical_map). r3-late: hash-oracle-checked — the operator runs
+    a FIXED iteration count, so the DuckDB oracle unrolls the same 5
+    damped iterations as chained CTEs (recursive CTEs cannot
+    aggregate, unrolling sidesteps that) over q23's replayed triples;
+    ranks rounded to 6 decimals on both sides."""
+    from ..operators.graph import pagerank
+
+    t = q23_cooccur_triples(spark, sf_dir)
+    edges = t.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst"),
+        F.col("weight").cast("double").alias("weight"),
+    )
+    pr = pagerank(edges, iters=5, damping=0.85)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_oracle_sql(iters: int, damping: float) -> str:
+    parts = [
+        f"""words AS (
+  SELECT doc_id,
+         UNNEST(STRING_SPLIT(text, ' ')) AS word,
+         UNNEST(RANGE(0, LEN(STRING_SPLIT(text, ' ')))) AS pos
+  FROM documents),
+fw AS (
+  SELECT * FROM words WHERE LENGTH(word) >= 4 AND word NOT IN {_STOP_SQL}),
+wpairs AS (
+  SELECT a.word AS subj, b.word AS obj
+  FROM fw a JOIN fw b
+    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 3
+   AND a.word != b.word),
+counted AS (
+  SELECT subj, obj, CAST(COUNT(*) AS BIGINT) AS weight
+  FROM wpairs GROUP BY subj, obj),
+edges AS (
+  SELECT subj AS src, obj AS dst, CAST(weight AS DOUBLE) AS weight
+  FROM (SELECT subj, obj, weight,
+               ROW_NUMBER() OVER (PARTITION BY subj
+                                  ORDER BY weight DESC, obj ASC) AS rnk
+        FROM counted) WHERE rnk <= 5 AND weight >= 2),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+ow AS (SELECT src, SUM(weight) AS out_w FROM edges GROUP BY src),
+e AS (SELECT edges.src, edges.dst, edges.weight / ow.out_w AS p
+      FROM edges JOIN ow ON ow.src = edges.src),
+it0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)"""
+    ]
+    d = damping
+    for i in range(1, iters + 1):
+        prev = f"it{i - 1}"
+        parts.append(
+            f"""it{i} AS (
+  SELECT nd.node,
+         (1.0 - {d}) / nn.n
+           + {d} * (COALESCE(c.in_sum, 0.0) + dm.dangling / nn.n) AS rank
+  FROM nodes nd
+  CROSS JOIN nn
+  CROSS JOIN (SELECT COALESCE(SUM(r.rank), 0.0) AS dangling
+              FROM {prev} r LEFT JOIN ow ON ow.src = r.node
+              WHERE ow.src IS NULL) dm
+  LEFT JOIN (SELECT e.dst AS node, SUM(e.p * r.rank) AS in_sum
+             FROM e JOIN {prev} r ON r.node = e.src
+             GROUP BY e.dst) c ON c.node = nd.node)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, ROUND(rank, 6) AS rank FROM it{iters}"
+    )
+
+
+Q46_SQL = _pagerank_oracle_sql(iters=5, damping=0.85)
+
+
 def q98_graph_materialize(spark, sf_dir):
     """Entity canonicalization (MinHash-LSH + label propagation) +
     salted edge aggregation over the co-occurrence triples (rows-only)."""
@@ -1944,6 +2021,7 @@ QUERIES = {
     "q43_canonical_components": q43_canonical_components,
     "q44_entity_linking": q44_entity_linking,
     "q45_graph_materialize_text": q45_graph_materialize_text,
+    "q46_pagerank": q46_pagerank,
     "q90_bertnet_prompt_weights": q90_bertnet_prompt_weights,
     "q91_bertnet_triples": q91_bertnet_triples,
     "q92_simhash_pairs": q92_simhash_pairs,
@@ -2002,6 +2080,7 @@ ORACLES = {
     "q43_canonical_components": Q43_SQL,
     "q44_entity_linking": Q44_SQL,
     "q45_graph_materialize_text": Q45_SQL,
+    "q46_pagerank": Q46_SQL,
     "q92_simhash_pairs": Q92_SQL,
     "q93_minhash_dedup_pairs": Q93_SQL,
     "q95_extract_text_manifest": Q95_SQL,
