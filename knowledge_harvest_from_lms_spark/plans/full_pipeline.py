@@ -22,7 +22,7 @@ from ..operators.beam_search import finalize_candidates, search_ent_tuples
 from ..operators.checkpoint import run_stage
 from ..operators.corpus_grounding import ground_triples
 from ..operators.extract_text import extract_text
-from ..operators.graph import materialize_graph
+from ..operators.graph import materialize_graph, pagerank
 from ..operators.prompt_weights import compute_prompt_weights
 from ..operators.rescoring import rescore_and_rank
 
@@ -138,6 +138,17 @@ def run_full_pipeline(
         .distinct(),
         fingerprint=_fp(cfg_fp, "vertices"),
     )
+
+    ranks = run_stage(
+        spark, base_dir, "62_ranks",
+        lambda: pagerank(
+            edges.select("src", "dst", "weight"), iters=5, damping=0.85
+        ),
+        fingerprint=_fp(cfg_fp, "pagerank5"),
+    )
+    vertices = vertices.join(
+        ranks.select(F.col("node").alias("ent"), "rank"), "ent", "left"
+    ).select("ent_id", "ent", F.coalesce("rank", F.lit(0.0)).alias("rank"))
 
     return {
         "corpus": corpus,

@@ -35,6 +35,12 @@ def test_stages_produce_output(outputs):
     # grounded triples have corpus support counts
     g = out["grounded"].collect()
     assert all(hasattr(r, "total_mentions") for r in g)
+    # r3-late: vertices carry PageRank importance; edge-connected
+    # vertices got real (checkpointed 62_ranks stage) mass
+    verts = out["vertices"].collect()
+    assert all(hasattr(r, "rank") for r in verts)
+    ranked = [r.rank for r in verts if r.rank > 0]
+    assert ranked and abs(sum(ranked) - 1.0) < 1e-6
 
 
 def test_exact_resume_no_recompute(outputs, spark):
