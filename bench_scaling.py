@@ -233,7 +233,10 @@ def main() -> None:
         wait_for_healthy_host()
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
-            capture_output=True, text=True, timeout=1800,
+            # local[2] already spends ~20 min in timed runs alone at
+            # the r3-late workload sizes; leave 2x margin for the
+            # documented co-tenant slowdowns (review r3)
+            capture_output=True, text=True, timeout=3600,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         line = [l for l in p.stdout.splitlines() if l.startswith("RESULT ")]

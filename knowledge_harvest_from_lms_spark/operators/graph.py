@@ -444,6 +444,10 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    if n == 0:
+        # degenerate harvest (e.g. grounding left no edges): empty
+        # ranks, not ZeroDivisionError (review r3)
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     outw = edges.groupBy("src").agg(F.sum(weight_col).alias("out_w"))
     e = (
         edges.join(outw, "src")

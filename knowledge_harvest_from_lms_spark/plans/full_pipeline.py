@@ -139,16 +139,25 @@ def run_full_pipeline(
         fingerprint=_fp(cfg_fp, "vertices"),
     )
 
+    pr_iters, pr_damping = 5, 0.85
     ranks = run_stage(
         spark, base_dir, "62_ranks",
         lambda: pagerank(
-            edges.select("src", "dst", "weight"), iters=5, damping=0.85
+            edges.select("src", "dst", "weight"),
+            iters=pr_iters, damping=pr_damping,
         ),
-        fingerprint=_fp(cfg_fp, "pagerank5"),
+        # fingerprint carries the actual parameters (like min_mentions
+        # above): changing damping must invalidate the checkpoint, not
+        # silently resume stale ranks (review r3)
+        fingerprint=_fp(cfg_fp, f"pagerank-{pr_iters}-{pr_damping}"),
     )
+    # inner join: 61_vertices is the distinct endpoint set of the SAME
+    # edge table 62_ranks ran over, so every vertex has a rank; a left
+    # join + coalesce(0.0) would mask a future key mismatch as silent
+    # zero ranks instead of a visible row-count drop (review r3)
     vertices = vertices.join(
-        ranks.select(F.col("node").alias("ent"), "rank"), "ent", "left"
-    ).select("ent_id", "ent", F.coalesce("rank", F.lit(0.0)).alias("rank"))
+        ranks.select(F.col("node").alias("ent"), "rank"), "ent"
+    ).select("ent_id", "ent", "rank")
 
     return {
         "corpus": corpus,

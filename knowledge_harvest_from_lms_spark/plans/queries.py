@@ -758,26 +758,35 @@ def q23_cooccur_triples(spark, sf_dir):
     )
 
 
-Q23_SQL = f"""
-WITH words AS (
+# q23's co-occurrence edge derivation — ONE definition shared by
+# Q23_SQL, Q45_SQL and the q46 PageRank oracle (review r3: three
+# verbatim copies would silently desync an oracle from its query on
+# any window/stopword/threshold change)
+_COOCCUR_CTES = f"""words AS (
   SELECT doc_id,
          UNNEST(STRING_SPLIT(text, ' ')) AS word,
          UNNEST(RANGE(0, LEN(STRING_SPLIT(text, ' ')))) AS pos
   FROM documents),
 fw AS (
   SELECT * FROM words WHERE LENGTH(word) >= 4 AND word NOT IN {_STOP_SQL}),
-pairs AS (
+wpairs AS (
   SELECT a.word AS subj, b.word AS obj
   FROM fw a JOIN fw b
     ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 3
    AND a.word != b.word),
 counted AS (
   SELECT subj, obj, CAST(COUNT(*) AS BIGINT) AS weight
-  FROM pairs GROUP BY subj, obj)
+  FROM wpairs GROUP BY subj, obj)"""
+
+_COOCCUR_TOP5 = """SELECT subj, obj, weight,
+         ROW_NUMBER() OVER (PARTITION BY subj
+                            ORDER BY weight DESC, obj ASC) AS rnk
+  FROM counted"""
+
+Q23_SQL = f"""
+WITH {_COOCCUR_CTES}
 SELECT subj, obj, weight, CAST(rnk AS INT) AS rnk FROM (
-  SELECT subj, obj, weight,
-         ROW_NUMBER() OVER (PARTITION BY subj ORDER BY weight DESC, obj ASC) AS rnk
-  FROM counted) WHERE rnk <= 5 AND weight >= 2
+  {_COOCCUR_TOP5}) WHERE rnk <= 5 AND weight >= 2
 """
 
 
@@ -1812,27 +1821,10 @@ def q45_graph_materialize_text(spark, sf_dir):
 
 
 Q45_SQL = f"""
-WITH RECURSIVE words AS (
-  SELECT doc_id,
-         UNNEST(STRING_SPLIT(text, ' ')) AS word,
-         UNNEST(RANGE(0, LEN(STRING_SPLIT(text, ' ')))) AS pos
-  FROM documents),
-fw AS (
-  SELECT * FROM words WHERE LENGTH(word) >= 4 AND word NOT IN {_STOP_SQL}),
-wpairs AS (
-  SELECT a.word AS subj, b.word AS obj
-  FROM fw a JOIN fw b
-    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 3
-   AND a.word != b.word),
-counted AS (
-  SELECT subj, obj, CAST(COUNT(*) AS BIGINT) AS weight
-  FROM wpairs GROUP BY subj, obj),
+WITH RECURSIVE {_COOCCUR_CTES},
 triples AS (
   SELECT LOWER(subj) AS subj, LOWER(obj) AS obj, CAST(weight AS DOUBLE) AS w
-  FROM (SELECT subj, obj, weight,
-               ROW_NUMBER() OVER (PARTITION BY subj
-                                  ORDER BY weight DESC, obj ASC) AS rnk
-        FROM counted) WHERE rnk <= 5 AND weight >= 2),
+  FROM ({_COOCCUR_TOP5}) WHERE rnk <= 5 AND weight >= 2),
 ents AS (
   SELECT subj AS ent FROM triples UNION SELECT obj FROM triples),
 grams AS (
@@ -1864,7 +1856,11 @@ def q46_pagerank(spark, sf_dir):
     a FIXED iteration count, so the DuckDB oracle unrolls the same 5
     damped iterations as chained CTEs (recursive CTEs cannot
     aggregate, unrolling sidesteps that) over q23's replayed triples;
-    ranks rounded to 6 decimals on both sides."""
+    ranks rounded to 6 decimals on both sides. Accepted residual
+    hazard, shared with every rounded-double oracle in this file
+    (q41/q94/...): a value landing within ~1e-15 of a 5e-7 rounding
+    boundary could round differently across engines — ~1e-8
+    probability per run at this graph size."""
     from ..operators.graph import pagerank
 
     t = q23_cooccur_triples(spark, sf_dir)
@@ -1878,27 +1874,10 @@ def q46_pagerank(spark, sf_dir):
 
 def _pagerank_oracle_sql(iters: int, damping: float) -> str:
     parts = [
-        f"""words AS (
-  SELECT doc_id,
-         UNNEST(STRING_SPLIT(text, ' ')) AS word,
-         UNNEST(RANGE(0, LEN(STRING_SPLIT(text, ' ')))) AS pos
-  FROM documents),
-fw AS (
-  SELECT * FROM words WHERE LENGTH(word) >= 4 AND word NOT IN {_STOP_SQL}),
-wpairs AS (
-  SELECT a.word AS subj, b.word AS obj
-  FROM fw a JOIN fw b
-    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 3
-   AND a.word != b.word),
-counted AS (
-  SELECT subj, obj, CAST(COUNT(*) AS BIGINT) AS weight
-  FROM wpairs GROUP BY subj, obj),
+        f"""{_COOCCUR_CTES},
 edges AS (
   SELECT subj AS src, obj AS dst, CAST(weight AS DOUBLE) AS weight
-  FROM (SELECT subj, obj, weight,
-               ROW_NUMBER() OVER (PARTITION BY subj
-                                  ORDER BY weight DESC, obj ASC) AS rnk
-        FROM counted) WHERE rnk <= 5 AND weight >= 2),
+  FROM ({_COOCCUR_TOP5}) WHERE rnk <= 5 AND weight >= 2),
 nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
 nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
 ow AS (SELECT src, SUM(weight) AS out_w FROM edges GROUP BY src),

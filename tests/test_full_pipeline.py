@@ -35,12 +35,11 @@ def test_stages_produce_output(outputs):
     # grounded triples have corpus support counts
     g = out["grounded"].collect()
     assert all(hasattr(r, "total_mentions") for r in g)
-    # r3-late: vertices carry PageRank importance; edge-connected
-    # vertices got real (checkpointed 62_ranks stage) mass
+    # r3-late: vertices carry PageRank importance (checkpointed
+    # 62_ranks stage); every vertex has positive mass, Σ = 1
     verts = out["vertices"].collect()
-    assert all(hasattr(r, "rank") for r in verts)
-    ranked = [r.rank for r in verts if r.rank > 0]
-    assert ranked and abs(sum(ranked) - 1.0) < 1e-6
+    assert all(r.rank > 0 for r in verts)
+    assert abs(sum(r.rank for r in verts) - 1.0) < 1e-6
 
 
 def test_exact_resume_no_recompute(outputs, spark):
