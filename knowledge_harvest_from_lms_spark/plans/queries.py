@@ -1872,7 +1872,9 @@ def q46_pagerank(spark, sf_dir):
     return pr.select("node", F.round("rank", 6).alias("rank"))
 
 
-def _pagerank_oracle_sql(iters: int, damping: float) -> str:
+def _pagerank_oracle_sql(
+    iters: int, damping: float, round_to: int | None = 6
+) -> str:
     parts = [
         f"""{_COOCCUR_CTES},
 edges AS (
@@ -1902,13 +1904,72 @@ it0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)"""
              FROM e JOIN {prev} r ON r.node = e.src
              GROUP BY e.dst) c ON c.node = nd.node)"""
         )
+    rank_expr = f"ROUND(rank, {round_to})" if round_to is not None else "rank"
     return (
         "WITH " + ",\n".join(parts)
-        + f"\nSELECT node, ROUND(rank, 6) AS rank FROM it{iters}"
+        + f"\nSELECT node, {rank_expr} AS rank FROM it{iters}"
     )
 
 
 Q46_SQL = _pagerank_oracle_sql(iters=5, damping=0.85)
+
+
+def q47_importance_ranked_triples(spark, sf_dir):
+    """Composite KG-quality ranking: co-occurrence triples re-scored
+    by the PageRank importance of their endpoints (score = weight *
+    (rank_src + rank_dst)) — the 'which triples matter most'
+    question a KG consumer asks of the materialized graph. Pure
+    composition of oracle-checked pieces (q23 edges + q46 ranks),
+    exercising the join-rank-reorder shape end-to-end."""
+    from pyspark.sql import Window as W
+
+    from ..operators.graph import pagerank
+
+    t = q23_cooccur_triples(spark, sf_dir)
+    edges = t.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst"),
+        F.col("weight").cast("double").alias("weight"),
+    )
+    pr = pagerank(edges, iters=5, damping=0.85)
+    scored = (
+        t.join(pr.select(F.col("node").alias("subj"),
+                         F.col("rank").alias("r_subj")), "subj")
+        .join(pr.select(F.col("node").alias("obj"),
+                        F.col("rank").alias("r_obj")), "obj")
+        .select(
+            "subj", "obj", "weight",
+            F.round(F.col("weight") * (F.col("r_subj") + F.col("r_obj")), 6)
+            .alias("importance"),
+        )
+    )
+    w = W.orderBy(F.desc("importance"), "subj", "obj")
+    return scored.withColumn(
+        "imp_rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("imp_rank") <= 50)
+
+
+# the pr CTE nests the UNROUNDED pagerank oracle as a subquery (its
+# inner WITH shadows the outer co-occurrence CTEs — same definitions,
+# one shared fragment); ranks must stay full-precision here because
+# the Spark side rounds only the final product
+Q47_SQL = f"""
+WITH {_COOCCUR_CTES},
+triples AS (
+  SELECT subj, obj, weight
+  FROM ({_COOCCUR_TOP5}) WHERE rnk <= 5 AND weight >= 2),
+pr AS ({_pagerank_oracle_sql(5, 0.85, round_to=None)})
+SELECT subj, obj, weight, importance, CAST(imp_rank AS INT) AS imp_rank
+FROM (
+  SELECT t.subj, t.obj, t.weight,
+         ROUND(t.weight * (rs.rank + rd.rank), 6) AS importance,
+         ROW_NUMBER() OVER (
+             ORDER BY ROUND(t.weight * (rs.rank + rd.rank), 6) DESC,
+                      t.subj, t.obj) AS imp_rank
+  FROM triples t
+  JOIN pr rs ON rs.node = t.subj
+  JOIN pr rd ON rd.node = t.obj)
+WHERE imp_rank <= 50
+"""
 
 
 def q98_graph_materialize(spark, sf_dir):
@@ -2001,6 +2062,7 @@ QUERIES = {
     "q44_entity_linking": q44_entity_linking,
     "q45_graph_materialize_text": q45_graph_materialize_text,
     "q46_pagerank": q46_pagerank,
+    "q47_importance_ranked_triples": q47_importance_ranked_triples,
     "q90_bertnet_prompt_weights": q90_bertnet_prompt_weights,
     "q91_bertnet_triples": q91_bertnet_triples,
     "q92_simhash_pairs": q92_simhash_pairs,
@@ -2060,6 +2122,7 @@ ORACLES = {
     "q44_entity_linking": Q44_SQL,
     "q45_graph_materialize_text": Q45_SQL,
     "q46_pagerank": Q46_SQL,
+    "q47_importance_ranked_triples": Q47_SQL,
     "q92_simhash_pairs": Q92_SQL,
     "q93_minhash_dedup_pairs": Q93_SQL,
     "q95_extract_text_manifest": Q95_SQL,
