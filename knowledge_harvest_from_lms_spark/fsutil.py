@@ -37,9 +37,29 @@ def stage_overwrite_all(named: list[tuple[DataFrame, str]]) -> None:
     would pull files out from under the still-lazy edge plan). All
     dfs materialize to tmp dirs FIRST, then every path is promoted,
     then tmps are removed. An Iceberg catalog collapses this into a
-    transactional multi-table snapshot commit."""
+    transactional multi-table snapshot commit.
+
+    Crash semantics (ADVICE r3 — the honest parquet-level story until
+    the Iceberg transactional commit lands, ROADMAP item 2):
+
+    * Stale ``<path>.tmp`` dirs from a previous crashed run are deleted
+      on entry, so a retry never promotes a half-written stage from an
+      EARLIER generation.
+    * The promote loop is NOT atomic across tables: a crash between
+      promotes leaves a mixed-generation set. Promotion runs in LIST
+      ORDER, so callers must order tables base-first / most-derived
+      LAST (merge_into_graph promotes vertices before edges, and the
+      streaming ledger last of all: a crash then leaves new vertices +
+      old edges, which the ledger replay re-derives, and never a
+      ledger that claims an un-promoted table). Each individual
+      promote is itself a parquet overwrite, so a reader racing one
+      table mid-overwrite can see a missing/partial dir — single-
+      writer-per-table is assumed here; concurrent readers need the
+      Iceberg snapshot commit."""
     sess = named[0][0].sparkSession
     tmps = []
+    for _, path in named:
+        hadoop_delete(sess, path.rstrip("/") + ".tmp")
     for df, path in named:
         tmp = path.rstrip("/") + ".tmp"
         df.write.mode("overwrite").parquet(tmp)

@@ -76,11 +76,15 @@ def make_openai_paraphrase_fn(
 
 
 def paraphrase_fn_from_env() -> Callable[[str], str] | None:
-    """Production seam: a ready paraphrase_fn iff the environment opts
-    in (``PARAPHRASE_API_BASE`` or an API key set); None otherwise, so
-    CI / offline runs never construct a networked client."""
-    if os.environ.get("PARAPHRASE_API_BASE") or os.environ.get(
-        "PARAPHRASE_API_KEY"
-    ) or os.environ.get("OPENAI_API_KEY"):
+    """Production seam: a ready paraphrase_fn iff the environment
+    EXPLICITLY opts in via a ``PARAPHRASE_*`` variable
+    (``PARAPHRASE_API_BASE`` or ``PARAPHRASE_API_KEY``); None
+    otherwise. A bare ambient ``OPENAI_API_KEY`` — a common variable on
+    developer machines — is NOT an opt-in (it would silently construct
+    a live network client on any machine where it happens to be
+    exported); it serves only as the credential once a ``PARAPHRASE_*``
+    variable has opted in (``make_openai_paraphrase_fn`` falls back to
+    it for the key)."""
+    if os.environ.get("PARAPHRASE_API_BASE") or os.environ.get("PARAPHRASE_API_KEY"):
         return make_openai_paraphrase_fn()
     return None

@@ -56,17 +56,40 @@ def _deletion_variants(col):
     )
 
 
+def build_variant_index(vertices: DataFrame) -> DataFrame:
+    """Materializable deletion-variant index of a vertex table: the
+    (v_norm, k) rows ``link_entities``' fuzzy stage blocks on. Persist
+    as a side table of the vertex table and APPEND this function's
+    output over just the new vertices per incremental drop (variant
+    explosion is row-local, so append == rebuild) — instead of
+    exploding every vertex name on every merge (ADVICE r3). Duplicate
+    rows (replayed append, or two vertices sharing a norm) are
+    harmless: the candidate join dedups (ent, m_norm, v_norm)."""
+    v_norm = _norm(F.col("name")).alias("v_norm")
+    return (
+        vertices.select(v_norm)
+        .distinct()
+        .select("v_norm", F.explode(_deletion_variants(F.col("v_norm"))).alias("k"))
+    )
+
+
 def link_entities(
     mentions: DataFrame,
     vertices: DataFrame,
     max_edit: int = 1,
+    vertex_variants: DataFrame | None = None,
 ) -> DataFrame:
     """mentions(ent) × vertices(vertex_id, name) →
     (ent, vertex_id, vertex_name, dist, method) with exactly one row
     per distinct mention; method ∈ {exact, fuzzy, none}.
 
     ``max_edit`` must be 1 (the deletion-neighborhood block is built
-    for the edit-1 bound; higher bounds need chained deletions)."""
+    for the edit-1 bound; higher bounds need chained deletions).
+
+    ``vertex_variants``: a persisted ``build_variant_index`` table;
+    when given, the fuzzy stage joins it directly and never re-explodes
+    the vertex table (the exact stage still equi-joins the raw vertex
+    table on the norm — a join, not a rebuild)."""
     if max_edit != 1:
         raise ValueError("link_entities supports max_edit=1")
 
@@ -105,9 +128,13 @@ def link_entities(
     mv = rest.select(
         "ent", "m_norm", F.explode(_deletion_variants(F.col("m_norm"))).alias("k")
     )
-    vv = v.select(
-        "v_norm", F.explode(_deletion_variants(F.col("v_norm"))).alias("k")
-    ).distinct()
+    vv = (
+        vertex_variants.select("v_norm", "k")
+        if vertex_variants is not None
+        else v.select(
+            "v_norm", F.explode(_deletion_variants(F.col("v_norm"))).alias("k")
+        ).distinct()
+    )
     cand = (
         mv.join(vv, "k")
         .select("ent", "m_norm", "v_norm")

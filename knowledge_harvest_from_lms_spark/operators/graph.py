@@ -137,20 +137,47 @@ def lsh_candidate_pairs(
     ).select("ent_a", "ent_b", "jaccard")
 
 
+def build_vertex_band_index(
+    ents: DataFrame, sim_threshold: float = 0.7,
+    n_hashes: int = N_MINHASH, n_bands: int | None = None,
+) -> DataFrame:
+    """Materializable LSH band index of an entity column: the
+    (ent, grams, band, bucket) rows ``lsh_cross_pairs`` needs for its
+    build side. Persist this as a side table of the vertex table and
+    APPEND the output of this function over just the new vertices per
+    incremental drop (banding is row-local, so append == rebuild) —
+    instead of re-shingling and re-banding the entire vertex table on
+    every merge (ADVICE r3). Must be built with the same
+    sim_threshold / n_hashes / n_bands the consuming ``lsh_cross_pairs``
+    call uses, since rows-per-band derive from them; duplicate rows
+    (e.g. an append replayed after a crash) are harmless — the
+    candidate join dedups pairs."""
+    return _banded(ents, sim_threshold, n_hashes, n_bands)
+
+
 def lsh_cross_pairs(
     probe: DataFrame, build: DataFrame, sim_threshold: float = 0.7,
     n_hashes: int = N_MINHASH, n_bands: int | None = None,
+    build_banded: DataFrame | None = None,
 ) -> DataFrame:
     """probe(ent) × build(ent) → (ent, other, jaccard) near-dup pairs
     ACROSS the two sides only (no probe-probe or build-build pairs) —
     the same banding/verification as lsh_candidate_pairs, but the
     bucket join is probe-vs-build, so linking a small new-drop
     entity set against a huge existing vertex table never pays the
-    vertex-table self-join."""
+    vertex-table self-join.
+
+    ``build_banded``: a persisted ``build_vertex_band_index`` table
+    for the build side; when given, ``build`` is not scanned and only
+    the (small) probe side is shingled/banded per call."""
     a = _banded(probe, sim_threshold, n_hashes, n_bands).select(
         "band", "bucket", F.col("ent").alias("ent"), F.col("grams").alias("ga")
     )
-    b = _banded(build, sim_threshold, n_hashes, n_bands).select(
+    b = (
+        build_banded
+        if build_banded is not None
+        else _banded(build, sim_threshold, n_hashes, n_bands)
+    ).select(
         "band", "bucket", F.col("ent").alias("other"), F.col("grams").alias("gb")
     )
     pairs = (
@@ -305,6 +332,7 @@ def merge_into_graph(
     existing_edges: DataFrame,
     triples: DataFrame,
     sim_threshold: float = 0.7,
+    vertex_index: dict[str, DataFrame] | None = None,
 ) -> dict[str, DataFrame]:
     """Incremental graph update: merge newly harvested triples into an
     already-materialized vertex/edge graph (north-rule "entity
@@ -337,6 +365,15 @@ def merge_into_graph(
     vertices(ent_id, ent), edges(src, rel, dst, weight, n_mentions,
     src_id, dst_id). Returns the same {vertices, edges, ent_map}
     shape, where ent_map covers the NEW surface forms only.
+
+    ``vertex_index``: optional persisted side tables of the existing
+    vertex table — {"bands": build_vertex_band_index(existing vertex
+    names at the SAME sim_threshold), "variants":
+    entity_linking.build_variant_index(existing vertices)}. With them,
+    a drop pays O(|drop|) link work instead of re-shingling /
+    re-exploding all existing vertices per merge (ADVICE r3); the
+    caller appends the same builders' output over ``new_vertices`` to
+    the side tables after each merge (see jobs/run_incremental.py).
     """
     from .entity_linking import link_entities
 
@@ -346,7 +383,8 @@ def merge_into_graph(
     vnames = existing_vertices.select(
         F.col("ent_id").alias("vertex_id"), F.col("ent").alias("name")
     )
-    link = link_entities(ents, vnames)
+    idx = vertex_index or {}
+    link = link_entities(ents, vnames, vertex_variants=idx.get("variants"))
     # eager: this plan (exact + deletion-variant joins against the full
     # vertex table) is referenced by the src join, the dst join and the
     # vertices union below — without the checkpoint each downstream
@@ -358,7 +396,8 @@ def merge_into_graph(
     ).localCheckpoint(eager=True)
     unlinked = ents.join(linked.select("ent"), "ent", "left_anti")
     cross = lsh_cross_pairs(
-        unlinked, vnames.select(F.col("name").alias("ent")), sim_threshold
+        unlinked, vnames.select(F.col("name").alias("ent")), sim_threshold,
+        build_banded=idx.get("bands"),
     )
     jac_best = W.partitionBy("ent").orderBy(F.desc("jaccard"), "other")
     jac_linked = (

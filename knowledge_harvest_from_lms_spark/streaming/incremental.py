@@ -103,8 +103,13 @@ def rerank_with_support(
     exploded = triples.select(
         "rel", "ents", "weight", "rank", F.explode("ents").alias("ent")
     ).withColumn("ent", F.lower("ent"))
+    # no explicit broadcast hint: totals grows with the harvest's
+    # cumulative distinct-entity count, so a pinned broadcast could
+    # blow the driver/executor broadcast limit at streaming scale —
+    # AQE picks broadcast automatically while totals is actually small
+    # (ADVICE r3)
     joined = exploded.join(
-        F.broadcast(totals.select("ent", "n_mentions")), "ent", "left"
+        totals.select("ent", "n_mentions"), "ent", "left"
     ).withColumn("n_mentions", F.coalesce("n_mentions", F.lit(0)))
     support = joined.groupBy("rel", "ents", "weight", "rank").agg(
         F.min("n_mentions").alias("min_ent_mentions")
@@ -169,7 +174,22 @@ def incremental_rerank(
             .select("rel")
             .distinct()
         )
-        tkey = ["rel", F.concat_ws("\x1f", "ents").alias("_k")]
+        # the drift key carries the SCORING INPUTS (weight, rank), not
+        # just the entity strings: a re-harvest that changes a tuple's
+        # weight in place (prompt-weight / config change) must mark the
+        # relation affected, or the persisted table would carry the
+        # stale weight/support_score forever. weight is rounded to the
+        # same 9 decimals rerank_with_support emits, so float jitter
+        # below the output precision doesn't force spurious rescores.
+        tkey = [
+            "rel",
+            F.concat_ws(
+                "\x1f",
+                F.concat_ws("\x1e", "ents"),
+                F.round("weight", 9).cast("string"),
+                F.col("rank").cast("string"),
+            ).alias("_k"),
+        ]
         cur_keys = triples.select(*tkey)
         old_keys = existing.select(*tkey)
         drifted = (
@@ -202,7 +222,9 @@ def grounded_view(
     exploded = triples.select(
         "rel", "ents", "weight", F.explode("ents").alias("ent")
     ).withColumn("ent", F.lower("ent"))
-    joined = exploded.join(F.broadcast(totals), "ent", "left").withColumn(
+    # unhinted for the same reason as rerank_with_support: totals is
+    # unbounded over the stream's lifetime; let AQE choose
+    joined = exploded.join(totals, "ent", "left").withColumn(
         "n_mentions", F.coalesce("n_mentions", F.lit(0))
     )
     return (

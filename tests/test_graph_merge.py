@@ -112,3 +112,83 @@ def test_lsh_cross_pairs_no_within_side_pairs(spark):
     assert ("hello worly", "hello world") in pairs
     # no probe-probe pair despite "hello worlx" ~ "hello worly"
     assert all(o == "hello world" for _, o in pairs)
+
+
+def test_merge_with_persisted_vertex_index_matches_rebuild(spark, tmp_path):
+    """The persisted side-table path (bands + deletion variants built
+    once per vertex generation, appended per drop) produces the SAME
+    merge as re-deriving both from the raw vertex strings (ADVICE r3:
+    no O(|existing vertices|) rebuild per drop)."""
+    from knowledge_harvest_from_lms_spark.operators.entity_linking import (
+        build_variant_index,
+    )
+    from knowledge_harvest_from_lms_spark.operators.graph import (
+        build_vertex_band_index,
+    )
+
+    a = _triples(spark, [(("giraffe", "africa"), 1.0), (("table", "kitchen"), 2.0)])
+    g = materialize_graph(a, sim_threshold=0.9)
+    ev, ee = g["vertices"].localCheckpoint(), g["edges"].localCheckpoint()
+
+    # persist the side tables (as a real job would: parquet beside the
+    # vertex table), then read them back
+    bands_p, var_p = str(tmp_path / "bands"), str(tmp_path / "variants")
+    names = ev.select(F.col("ent"))
+    build_vertex_band_index(names, sim_threshold=0.9).write.parquet(bands_p)
+    build_variant_index(ev.select(F.col("ent").alias("name"))).write.parquet(var_p)
+    idx = {
+        "bands": spark.read.parquet(bands_p),
+        "variants": spark.read.parquet(var_p),
+    }
+
+    b = _triples(
+        spark,
+        [
+            (("giraffes", "africa"), 5.0),   # edit-1 → variant index path
+            (("girafffe", "savanna"), 3.0),  # edit-2 → jaccard/bands path
+            (("zebra", "savanna"), 7.0),     # new vertices
+        ],
+    )
+    with_idx = merge_into_graph(ev, ee, b, sim_threshold=0.9, vertex_index=idx)
+    without = merge_into_graph(ev, ee, b, sim_threshold=0.9)
+
+    def snap(m):
+        return (
+            sorted(map(str, m["vertices"].collect())),
+            sorted(map(str, m["edges"].collect())),
+            sorted(map(str, m["ent_map"].collect())),
+        )
+
+    assert snap(with_idx) == snap(without)
+    # and the typo really linked (the index path did real work)
+    cmap = {r.ent: r.canonical for r in with_idx["ent_map"].collect()}
+    assert cmap["giraffes"] == "giraffe"
+    assert cmap["girafffe"] == "giraffe"
+
+
+def test_vertex_index_append_equals_rebuild(spark):
+    """Appending the builders' output over only the NEW vertices equals
+    rebuilding the index from scratch — banding and variant explosion
+    are row-local, so the side tables are maintainable per drop."""
+    from knowledge_harvest_from_lms_spark.operators.entity_linking import (
+        build_variant_index,
+    )
+    from knowledge_harvest_from_lms_spark.operators.graph import (
+        build_vertex_band_index,
+    )
+
+    old = spark.createDataFrame([("giraffe",), ("table",)], "ent string")
+    new = spark.createDataFrame([("zebra",)], "ent string")
+    both = old.unionByName(new)
+
+    full = build_vertex_band_index(both, sim_threshold=0.9)
+    appended = build_vertex_band_index(old, sim_threshold=0.9).unionByName(
+        build_vertex_band_index(new, sim_threshold=0.9)
+    )
+    assert sorted(map(str, full.collect())) == sorted(map(str, appended.collect()))
+
+    vfull = build_variant_index(both.select(F.col("ent").alias("name")))
+    vapp = build_variant_index(old.select(F.col("ent").alias("name"))).unionByName(
+        build_variant_index(new.select(F.col("ent").alias("name")))
+    )
+    assert sorted(map(str, vfull.collect())) == sorted(map(str, vapp.collect()))

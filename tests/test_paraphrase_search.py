@@ -193,6 +193,11 @@ def test_openai_adapter_env_gate(monkeypatch):
     for var in ("PARAPHRASE_API_BASE", "PARAPHRASE_API_KEY", "OPENAI_API_KEY"):
         monkeypatch.delenv(var, raising=False)
     assert pc.paraphrase_fn_from_env() is None
+    # a bare ambient OPENAI_API_KEY (common on dev machines) is NOT an
+    # opt-in — offline/CI runs must never construct a live client from
+    # it alone (ADVICE r3)
+    monkeypatch.setenv("OPENAI_API_KEY", "sk-ambient")
+    assert pc.paraphrase_fn_from_env() is None
     monkeypatch.setenv("PARAPHRASE_API_KEY", "sk-x")
     assert pc.paraphrase_fn_from_env() is not None
 

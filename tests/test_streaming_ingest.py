@@ -290,3 +290,57 @@ def test_incremental_rerank_handles_new_and_removed_relations(spark, tmp_path):
     rows = {r.rel: r for r in r2.collect()}
     assert set(rows) == {"AtLocation", "NewRel"}  # Obsolete aged out
     assert rows["NewRel"].support_rank == 1       # ranked despite no delta
+
+
+def test_incremental_rerank_detects_inplace_weight_change(spark, tmp_path):
+    """A re-harvest that changes an existing tuple's WEIGHT without
+    changing its entity strings (prompt-weight / config change) must
+    mark the relation affected — the drift key carries the scoring
+    inputs, not just (rel, ents) (ADVICE r3 medium)."""
+    from knowledge_harvest_from_lms_spark.streaming.incremental import (
+        incremental_rerank,
+    )
+
+    totals = str(tmp_path / "totals")
+    reranked = str(tmp_path / "reranked")
+    spark.createDataFrame(
+        [("giraffe", 5, 1)], "ent string, n_mentions long, n_batches long"
+    ).write.parquet(totals)
+
+    t1 = spark.createDataFrame(
+        [("AtLocation", ["giraffe", "africa"], 0.9, 1),
+         ("AtLocation", ["lion", "savanna"], 0.8, 2)],
+        "rel string, ents array<string>, weight double, rank int",
+    )
+    r1 = incremental_rerank(spark, t1, totals, reranked, alpha=0.0)
+    w1 = {tuple(r.ents): r.support_score for r in r1.collect()}
+    assert w1[("giraffe", "africa")] == 0.9
+
+    # same entity strings, new weights (order flips); NO .changed feed
+    t2 = spark.createDataFrame(
+        [("AtLocation", ["giraffe", "africa"], 0.2, 2),
+         ("AtLocation", ["lion", "savanna"], 0.8, 1)],
+        "rel string, ents array<string>, weight double, rank int",
+    )
+    r2 = incremental_rerank(spark, t2, totals, reranked, alpha=0.0)
+    rows = {tuple(r.ents): r for r in r2.collect()}
+    assert rows[("giraffe", "africa")].support_score == 0.2  # not stale 0.9
+    assert rows[("giraffe", "africa")].support_rank == 2
+    assert rows[("lion", "savanna")].support_rank == 1
+
+
+def test_stage_overwrite_all_cleans_stale_tmp(spark, tmp_path):
+    """A crashed previous run leaves <path>.tmp behind; the next
+    overwrite must clear it on entry so a half-written stale stage can
+    never be promoted (ADVICE r3)."""
+    import os
+
+    from knowledge_harvest_from_lms_spark.fsutil import stage_overwrite
+
+    path = str(tmp_path / "tbl")
+    stale = path + ".tmp"
+    # fake a crashed run: stale tmp with DIFFERENT data
+    spark.createDataFrame([(99,)], "x int").write.parquet(stale)
+    stage_overwrite(spark.createDataFrame([(1,), (2,)], "x int"), path)
+    assert sorted(r.x for r in spark.read.parquet(path).collect()) == [1, 2]
+    assert not os.path.exists(stale)
