@@ -33,6 +33,10 @@ def resolve_lm(name: str, seed: int = 42) -> MaskedLM:
         from .fake_tokenizers import get_cached_wp_lm
 
         return get_cached_wp_lm(seed=seed)
+    if name.startswith("numpy:"):
+        from .numpy_lm import get_cached_numpy_lm
+
+        return get_cached_numpy_lm(name[len("numpy:"):])
     from .hf import get_cached_hf_lm
 
     return get_cached_hf_lm(name)
@@ -68,6 +72,15 @@ def token_mask_payload(name: str, seed: int = 42) -> tuple[int, bytes, bytes] | 
             char_ok = lm.allowed_token_mask()
             vocab = lm.vocab_size
             banned_ids = np.asarray(lm.banned_ids, dtype=np.int64)
+        elif name.startswith("numpy:"):
+            # vocab.txt only — never the weights — on the driver
+            from .numpy_lm import (
+                load_checkpoint_tokenizer,
+                tokenizer_token_masks_from_vocab,
+            )
+
+            tok = load_checkpoint_tokenizer(name[len("numpy:"):])
+            vocab, char_ok, banned_ids = tokenizer_token_masks_from_vocab(tok)
         else:
             from .hf import tokenizer_token_masks
 

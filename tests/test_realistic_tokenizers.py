@@ -405,3 +405,109 @@ def test_spark_equals_sequential_spec_realistic(spark, lm_name):
             assert rank == e_rank and ents == tuple(e_ents), (rel, rank, ents)
             assert score == pytest.approx(e_score, rel=1e-6)
             assert weight == pytest.approx(e_weight, rel=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# property fuzz: pll_row_plan never silently mislocates a slot (r4,
+# VERDICT r3 item 7) — for RANDOM prompts/entities across all three
+# fake tokenizer families the outcome is either a plan whose mask span
+# decodes back to the entity's first word, or a defined
+# PLLAlignmentError. The r3 sweep covered the 562 real relations;
+# this covers the space between.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+from knowledge_harvest_from_lms_spark.lm.fake import get_cached_fake_lm
+from knowledge_harvest_from_lms_spark.lm.fake_tokenizers import (
+    get_cached_bpe_lm,
+    get_cached_wp_lm,
+)
+
+_WORDS = st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=8)
+_CASED = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ",
+    min_size=1, max_size=8,
+)
+
+
+@st.composite
+def _prompt_and_ents(draw):
+    n_slots = draw(st.integers(1, 3))
+    glue = draw(st.sampled_from([" ", " ", " ", "", ", ", ". "]))
+    parts = []
+    for i in range(n_slots):
+        lead = draw(st.lists(_WORDS, min_size=0, max_size=2))
+        parts.extend(lead)
+        # slot, optionally glued to surrounding punctuation/text
+        suffix = draw(st.sampled_from(["", "", "'s", ",", "."]))
+        parts.append(f"<ENT{i}>{suffix}")
+        if glue != " " and draw(st.booleans()):
+            parts[-1] = draw(_WORDS) + parts[-1]
+    tail = draw(st.lists(_WORDS, min_size=0, max_size=2))
+    prompt = " ".join(parts + tail) + " ."
+    ents = tuple(
+        " ".join(draw(st.lists(_CASED, min_size=1, max_size=2)))
+        for _ in range(n_slots)
+    )
+    return prompt, ents
+
+
+@settings(max_examples=250, deadline=None)
+@given(_prompt_and_ents())
+def test_pll_row_plan_fuzz_all_tokenizer_families(pe):
+    prompt, ents = pe
+    backends = [
+        get_cached_fake_lm(),
+        get_cached_bpe_lm(),
+        get_cached_wp_lm(),
+    ]
+    for lm in backends:
+        tok = lm._tok
+        try:
+            input_ids, mask_positions = pll_row_plan(tok, prompt, list(ents))
+        except PLLAlignmentError:
+            continue  # defined, diagnosable outcome
+        # a returned plan must be internally valid: in-range, distinct
+        # positions, and the token IDS at each slot's mask span equal
+        # that slot's independently-recomputed in-context first-word
+        # encoding — never a silent wrong position. (Checking by id,
+        # not decoded text: the fake tokenizers hash unseen pieces
+        # into a bounded reserve vocab, so two pieces can share an id
+        # and decode() is deliberately lossy there — a fuzz-found
+        # artifact of the FAKES, not of pll_row_plan.)
+        import string as _s
+
+        from knowledge_harvest_from_lms_spark.functions.textops import get_sent
+
+        assert all(0 <= p < len(input_ids) for p in mask_positions)
+        assert len(mask_positions) == len(set(mask_positions))
+        caps = list(ents)
+        for i, e in enumerate(caps):
+            if prompt.startswith(f"<ENT{i}>"):
+                caps[i] = e.capitalize()
+        sent = get_sent(prompt, caps)
+        off = 0
+        for i, e in enumerate(caps):
+            # reference first-word recovery (language_model_wrapper.py)
+            prefix = prompt[: prompt.find(f"<ENT{i}>")].strip()
+            for j in range(len(caps)):
+                prefix = prefix.replace(f"<ENT{j}>", caps[j])
+            ent_in_sent = prompt[prompt.find(f"<ENT{i}>"):].split()[0]
+            for punc in _s.punctuation:
+                if punc not in "<>":
+                    ent_in_sent = ent_in_sent.split(punc)[0]
+            ent_in_sent = ent_in_sent.replace(f"<ENT{i}>", e).split()[0]
+            prefixed = (
+                f" {ent_in_sent}" if sent[len(prefix)] == " " else ent_in_sent
+            )
+            expect = list(tok.encode(prefixed, add_special_tokens=False))
+            span = mask_positions[off: off + len(expect)]
+            off += len(expect)
+            assert [input_ids[p] for p in span] == expect, (
+                f"slot {i} mask span ids diverge from the first-word "
+                f"encoding (prompt={prompt!r}, ents={ents!r}, "
+                f"tok={type(tok).__name__})"
+            )
+            assert span == sorted(span)
+        assert off == len(mask_positions)

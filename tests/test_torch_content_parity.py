@@ -1,11 +1,22 @@
 """Content-level parity vs the reference's PUBLISHED golden outputs —
-the north rule's P/R >= 0.95 bar — gated on torch/transformers being
-installed (they are not in this sandbox, so these tests SKIP here and
-run wherever the executor image carries torch; VERDICT r2 item 10).
+the north rule's P/R >= 0.95 bar.
 
-When they run: harvest one conceptnet relation with
-distilbert-base-cased through the full pipeline and compare the ranked
-tuples against
+Two ways to run it (r4 — it no longer requires torch):
+
+* ``DISTILBERT_DIR=/path/to/checkpoint pytest ...`` — the pure-numpy
+  backend (lm/numpy_lm.py) scores with a real exported
+  distilbert-base-cased checkpoint (``model.safetensors`` +
+  ``vocab.txt`` + ``config.json``; export on any torch machine with
+  ``model.save_pretrained(dir, safe_serialization=True)`` and
+  ``tokenizer.save_vocabulary(dir)``). The forward math itself is
+  already executed and pinned in tests/test_numpy_lm.py; only the
+  pretrained WEIGHTS are missing from this sandbox (offline, no
+  checkpoint on disk — verified r4).
+* with torch/transformers installed, the HF backend runs the same
+  test with ``lm="distilbert-base-cased"``.
+
+When it runs: harvest one conceptnet relation through the full
+pipeline and compare the ranked tuples against
 /root/reference/results/conceptnet/1000tuples_top20prompts/
 distilbert-base-cased/<rel>/ent_tuples.json with
 plans/evaluation.precision_recall_at_k. Machinery-level parity (the
@@ -23,9 +34,23 @@ GOLDEN_DIR = (
     "/root/reference/results/conceptnet/1000tuples_top20prompts/"
     "distilbert-base-cased"
 )
+CKPT_DIR = os.environ.get("DISTILBERT_DIR", "")
+
+
+def _lm_name() -> str | None:
+    if CKPT_DIR and os.path.exists(os.path.join(CKPT_DIR, "model.safetensors")):
+        return f"numpy:{CKPT_DIR}"
+    if HAS_TORCH:
+        return "distilbert-base-cased"
+    return None
+
 
 pytestmark = [
-    pytest.mark.skipif(not HAS_TORCH, reason="torch/transformers not installed"),
+    pytest.mark.skipif(
+        _lm_name() is None,
+        reason="needs torch/transformers OR DISTILBERT_DIR pointing at an "
+        "exported checkpoint (model.safetensors + vocab.txt + config.json)",
+    ),
     pytest.mark.skipif(
         not os.path.isdir(GOLDEN_DIR), reason="reference goldens not mounted"
     ),
@@ -48,7 +73,7 @@ def test_distilbert_content_parity_one_relation(spark):
     ).filter(f"rel = '{rel}'")
     cfg = HarvestConfig(
         max_n_ent_tuples=100, token_beam_width=16, max_ent_subwords=2,
-        lm="distilbert-base-cased", shuffle_partitions=8, prune_slack=3.0,
+        lm=_lm_name(), shuffle_partitions=8, prune_slack=3.0,
     )
     triples = harvest(spark, rels, cfg)["triples"]
     golden = load_golden_ent_tuples(spark, GOLDEN_DIR, [rel])
