@@ -243,3 +243,48 @@ def audio_features(samples: np.ndarray, rate: int, dim: int = 32) -> list[float]
     bands = np.array_split(spec, n_bands)
     feats += [float(np.log1p(b.sum())) for b in bands]
     return feats[:dim]
+
+
+# ---------------------------------------------------------------------------
+# video (optional `av` extra — the ONE codec that genuinely needs a
+# native demuxer; everything above is dependency-free)
+# ---------------------------------------------------------------------------
+
+def sample_frame_indices(n_frames: int, max_frames: int = 8) -> list[int]:
+    """Deterministic uniform frame sample: ``max_frames`` indices
+    evenly spaced over [0, n_frames) (all frames when fewer)."""
+    if n_frames <= 0:
+        return []
+    if n_frames <= max_frames:
+        return list(range(n_frames))
+    return [(i * n_frames) // max_frames for i in range(max_frames)]
+
+
+def decode_video_av(content: bytes, max_frames: int = 8) -> np.ndarray:
+    """Decode a video container to sampled RGB frames
+    [n, h, w, 3] uint8 via PyAV (lazy import — raises ImportError
+    where `av` isn't installed, which the multimodal operator maps to
+    its honest video gate). Decoding is sequential (containers are
+    inter-frame coded) but frame SAMPLING is deterministic, so the
+    extracted features are stable across runs."""
+    import io
+
+    import av  # optional extra; ImportError → caller's video gate
+
+    with av.open(io.BytesIO(content)) as container:
+        stream = container.streams.video[0]
+        frames = [f.to_ndarray(format="rgb24") for f in container.decode(stream)]
+    keep = sample_frame_indices(len(frames), max_frames)
+    if not keep:
+        raise ValueError("video container decoded to zero frames")
+    return np.stack([frames[i] for i in keep])
+
+
+def video_features(frames: np.ndarray, dim: int = 32) -> list[float]:
+    """Deterministic feature vector for sampled frames: the per-frame
+    image_features averaged across frames, with the aspect slot
+    replaced by frame count (temporal extent) in the last position."""
+    per = np.array([image_features(f, dim) for f in frames], dtype=np.float64)
+    feats = per.mean(axis=0)
+    feats[-1] = float(len(frames))
+    return [float(x) for x in feats[:dim]]
