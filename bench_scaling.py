@@ -28,6 +28,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_ROWS = 1_200_000
+N_REAL_ROWS = 4_000  # real-transformer-math PLL (each row ~1 GFLOP)
 N_PAGES = 3_000_000
 # N vs 4N. A mapInPandas stage at local[L] keeps ~2L threads busy
 # (L JVM Arrow feeders + L Python workers), so on this host's 16
@@ -91,6 +92,40 @@ def run_level(cpus: int) -> dict:
         score_pairs(base).write.format("noop").mode("overwrite").save()
         pll_runs.append(round(time.time() - t0, 3))
     pll_sec = min(pll_runs)
+
+    # 1b. PLL scoring with REAL transformer math (r4): the stub's
+    # per-row cost is trivial, so workload 1's scaling is dominated by
+    # Arrow/worker overheads; this one runs the pure-numpy DistilBERT
+    # (lm/numpy_lm.py — embeddings→MHA→GELU FFN→MLM head over a
+    # deterministic synthetic checkpoint, dim 256 / 4 layers / 8
+    # heads) so the per-row profile is matmul-bound like a genuine
+    # MLM. Fewer rows (each costs ~1e9 FLOPs), best-of-2.
+    # OPENBLAS_NUM_THREADS=1 is pinned by main() in the level env so
+    # L workers never fan out L×T BLAS threads (the num_threads=1
+    # discipline the torch backend applies via torch.set_num_threads).
+    from knowledge_harvest_from_lms_spark.lm.synth_checkpoint import (
+        write_synth_checkpoint,
+    )
+
+    ckpt = "/tmp/kg_numpy_mini_ckpt_v1"
+    if not os.path.exists(os.path.join(ckpt, "model.safetensors")):
+        write_synth_checkpoint(
+            ckpt, dim=256, n_layers=4, n_heads=8, hidden_dim=1024, seed=11
+        )
+    real_name = f"numpy:{ckpt}"
+    real_base = base.limit(N_REAL_ROWS).repartition(cpus * 4)
+    score_pairs(
+        real_base.limit(200).repartition(cpus), lm_name=real_name,
+        max_tokens_per_forward=2048,
+    ).write.format("noop").mode("overwrite").save()  # warm: ckpt load + pool
+    real_runs = []
+    for _ in range(2):
+        t0 = time.time()
+        score_pairs(
+            real_base, lm_name=real_name, max_tokens_per_forward=2048
+        ).write.format("noop").mode("overwrite").save()
+        real_runs.append(round(time.time() - t0, 3))
+    real_sec = min(real_runs)
 
     # corpus pipeline: stored pages → HTML→text extraction →
     # quality/lang stats → aggregate (the 100TB corpus stage shape:
@@ -181,6 +216,10 @@ def run_level(cpus: int) -> dict:
         "pll_sec": round(pll_sec, 3),
         "pll_runs": pll_runs,
         "pll_rows_per_sec": round(N_ROWS / pll_sec, 1),
+        "real_rows": N_REAL_ROWS,
+        "real_sec": round(real_sec, 3),
+        "real_runs": real_runs,
+        "real_rows_per_sec": round(N_REAL_ROWS / real_sec, 1),
         "corpus_pages": N_PAGES,
         "corpus_sec": round(corpus_sec, 3),
         "corpus_runs": corpus_runs,
@@ -191,6 +230,41 @@ def run_level(cpus: int) -> dict:
         "link_runs": link_runs,
         "link_mentions_per_sec": round(n_ment / link_sec, 1),
     }
+
+
+def _ekar_section() -> str:
+    """§4: the full-width ekar sweep, sourced from BENCH_ekar487.json
+    (produced by `SPARK_GRAFT_FULL_EKAR=1 python bench.py`) so
+    regenerating this file never drops it."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_ekar487.json")
+    if not os.path.exists(path):
+        return ""
+    with open(path) as f:
+        d = json.load(f)
+    if "ekar487_triples_per_sec" not in d:
+        return ""
+    return (
+        "## 4. Full-width ekar sweep (487 relations)\n\n"
+        "All 487 reference relations (`relation_info/ekar_aggr.json`,\n"
+        "the largest reference relation set) harvested in ONE Spark\n"
+        "dataflow — the beam, the broadcast-threshold pruning join and\n"
+        "the driver-side `rel_info` dict at ~10x the 50-relation\n"
+        "width (VERDICT r3 item 6). From `BENCH_ekar487.json`\n"
+        "(`SPARK_GRAFT_FULL_EKAR=1 python bench.py`, stub LM, sf0.1\n"
+        "host, local[32]):\n\n"
+        "| width | wall | triples | triples/s |\n|---|---|---|---|\n"
+        f"| 50 relations (same run) | {d['queries']['ekar50_harvest']} s "
+        f"| {d['ekar50_triples']} | {d['ekar50_triples_per_sec']} |\n"
+        f"| **487 relations** | **{d['queries']['ekar487_harvest']} s** "
+        f"| **{d['ekar487_triples']}** | **{d['ekar487_triples_per_sec']}** |\n\n"
+        "Per-relation throughput IMPROVES ~2x at full width: one\n"
+        "dataflow carries all relations (no per-relation Python loop),\n"
+        "so wider sets fill the token-budget-packed Arrow batches\n"
+        "better and amortize the per-level shuffle barrier. Driver\n"
+        "memory: `rel_info` at 487 relations is ~1 MB in the expansion\n"
+        "UDF closure — no blowup.\n\n"
+    )
 
 
 def main() -> None:
@@ -238,6 +312,14 @@ def main() -> None:
             # documented co-tenant slowdowns (review r3)
             capture_output=True, text=True, timeout=3600,
             cwd=os.path.dirname(os.path.abspath(__file__)),
+            # BLAS threads pinned to 1 for the whole level (inherited
+            # by the JVM and its python workers): the real-math PLL
+            # workload calls OpenBLAS matmuls from L parallel workers,
+            # and L×T BLAS threads would oversubscribe the box and
+            # corrupt the N-vs-4N ratio (same discipline as
+            # torch.set_num_threads(1) in the HF backend)
+            env=dict(os.environ, OPENBLAS_NUM_THREADS="1",
+                     OMP_NUM_THREADS="1", MKL_NUM_THREADS="1"),
         )
         line = [l for l in p.stdout.splitlines() if l.startswith("RESULT ")]
         if not line:
@@ -249,6 +331,7 @@ def main() -> None:
     ratio = LEVELS[1] / LEVELS[0]  # derive — a hard-coded 4.0 would
     # silently misreport efficiency if LEVELS ever changes shape
     pll_eff = (r_hi["pll_rows_per_sec"] / r_lo["pll_rows_per_sec"]) / ratio
+    real_eff = (r_hi["real_rows_per_sec"] / r_lo["real_rows_per_sec"]) / ratio
     corpus_eff = (r_hi["corpus_pages_per_sec"] / r_lo["corpus_pages_per_sec"]) / ratio
     link_eff = (r_hi["link_mentions_per_sec"] / r_lo["link_mentions_per_sec"]) / ratio
     calibs = [r_lo["host_calib_sha256_per_sec"], r_hi["host_calib_sha256_per_sec"]]
@@ -265,6 +348,11 @@ def main() -> None:
             "rows_per_sec_n": r_lo["pll_rows_per_sec"],
             "rows_per_sec_4n": r_hi["pll_rows_per_sec"],
             "efficiency": round(pll_eff, 3),
+        },
+        "pll_real_math": {
+            "rows_per_sec_n": r_lo["real_rows_per_sec"],
+            "rows_per_sec_4n": r_hi["real_rows_per_sec"],
+            "efficiency": round(real_eff, 3),
         },
         "corpus_pipeline": {
             "pages_per_sec_n": r_lo["corpus_pages_per_sec"],
@@ -310,6 +398,19 @@ def main() -> None:
             f"| local[{LEVELS[0]}] | {r_lo['pll_rows_per_sec']:,} | {r_lo['pll_sec']} |\n"
             f"| local[{LEVELS[1]}] | {r_hi['pll_rows_per_sec']:,} | {r_hi['pll_sec']} |\n\n"
             f"**Scaling efficiency (N→4N): {pll_eff:.3f}**\n\n"
+            "## 1b. PLL scoring with REAL transformer math "
+            f"({N_REAL_ROWS:,} rows, pure-numpy DistilBERT dim 256 / 4 layers)\n\n"
+            "The stub above costs ~nothing per row, so §1's scaling is\n"
+            "dominated by Arrow/worker machinery. This workload runs the\n"
+            "same mapInPandas scorer over `lm/numpy_lm.py` — a real\n"
+            "matmul-bound MLM forward (synthetic seeded weights, real\n"
+            "architecture; each row ~1 GFLOP) with BLAS threads pinned\n"
+            "to 1 per worker — the compute profile a genuine MLM\n"
+            "executor fleet has.\n\n"
+            "| level | rows/sec | sec |\n|---|---|---|\n"
+            f"| local[{LEVELS[0]}] | {r_lo['real_rows_per_sec']:,} | {r_lo['real_sec']} |\n"
+            f"| local[{LEVELS[1]}] | {r_hi['real_rows_per_sec']:,} | {r_hi['real_sec']} |\n\n"
+            f"**Scaling efficiency (N→4N): {real_eff:.3f}**\n\n"
             "## 2. Corpus pipeline (synth → extract → quality stats, "
             f"{N_PAGES:,} pages)\n\n"
             "| level | pages/sec | sec |\n|---|---|---|\n"
@@ -325,7 +426,8 @@ def main() -> None:
             "embarrassingly-parallel PLL stage, this workload is\n"
             "shuffle-bound (two equi-join shuffles per pass), so it is\n"
             "the honest stress test of the exchange machinery.\n\n"
-            "Raw numbers:\n\n```json\n"
+            + _ekar_section()
+            + "Raw numbers:\n\n```json\n"
             + json.dumps(results, indent=2)
             + "\n```\n\n"
             "### Reading the numbers\n\n"

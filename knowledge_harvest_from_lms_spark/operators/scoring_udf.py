@@ -25,21 +25,32 @@ def ents_key_col(col="ents"):
     return F.concat_ws(SEP, col)
 
 
-def make_pll_score_fn(lm_name: str, seed: int):
+def make_pll_score_fn(lm_name: str, seed: int,
+                      max_tokens_per_forward: int | None = None):
     """Returns an iterator-of-pandas fn adding a ``score`` column to
-    batches with columns (prompt, ents, ...)."""
+    batches with columns (prompt, ents, ...).
+
+    ``max_tokens_per_forward`` caps the padded-forward packing budget
+    (default: the backend's own). Size it by logits memory, not just
+    compute: a forward over B packed rows of length L materializes a
+    [B, L, vocab] logits block per python worker — at vocab 30k and
+    the 16384-token default that is fine for a torch float32 backend,
+    but the float64 numpy backend wants ~2-4k here."""
 
     def fn(batches):
         from ..functions.scoring import combine_mask_logprobs
         from ..lm import resolve_lm
 
         lm = resolve_lm(lm_name, seed)
+        kw = {}
+        if max_tokens_per_forward is not None:
+            kw["max_tokens_per_forward"] = max_tokens_per_forward
         for pdf in batches:
             pairs = [
                 (prompt, list(ents))
                 for prompt, ents in zip(pdf["prompt"].tolist(), pdf["ents"].tolist())
             ]
-            all_lps = lm.pll_mask_logprobs_batch(pairs)
+            all_lps = lm.pll_mask_logprobs_batch(pairs, **kw)
             scores = [
                 combine_mask_logprobs(lps, n_ents=len(ents))
                 for lps, (_, ents) in zip(all_lps, pairs)
@@ -50,14 +61,18 @@ def make_pll_score_fn(lm_name: str, seed: int):
     return fn
 
 
-def score_pairs(pairs: DataFrame, lm_name: str = "stub", seed: int = 42) -> DataFrame:
+def score_pairs(pairs: DataFrame, lm_name: str = "stub", seed: int = 42,
+                max_tokens_per_forward: int | None = None) -> DataFrame:
     """Adds ``score double`` to a DataFrame with (prompt, ents) cols."""
     from pyspark.sql import types as T
 
     out_schema = T.StructType(
         list(pairs.schema.fields) + [T.StructField("score", T.DoubleType())]
     )
-    return pairs.mapInPandas(make_pll_score_fn(lm_name, seed), schema=out_schema)
+    return pairs.mapInPandas(
+        make_pll_score_fn(lm_name, seed, max_tokens_per_forward),
+        schema=out_schema,
+    )
 
 
 def score_distinct_pairs(

@@ -301,7 +301,7 @@ def test_multimodal_video_without_optin_raises(spark):
     from pyspark.errors import PythonException
 
     media = synth_media(spark, 9).filter("modality = 'video'")
-    with pytest.raises(PythonException, match="av/ffmpeg"):
+    with pytest.raises(PythonException, match="optional `av` extra"):
         extract_features(media, use_stub=False).collect()
 
 

@@ -393,3 +393,25 @@ def test_numpy_backend_beam_end_to_end(spark, ckpt_dir):
         assert len(r.ents) == 2
         for e in r.ents:
             assert entity_passes_filters(e), e
+
+
+def test_synth_checkpoint_writer_loads_and_scores(tmp_path):
+    """The package-level synthetic-checkpoint writer (used by
+    bench_scaling's real-math PLL workload) produces a directory the
+    numpy backend loads through the same path as a real export;
+    writes are byte-deterministic for a given spec."""
+    from knowledge_harvest_from_lms_spark.lm.synth_checkpoint import (
+        write_synth_checkpoint,
+    )
+
+    d1 = write_synth_checkpoint(str(tmp_path / "a"), vocab_words=("zebra",))
+    d2 = write_synth_checkpoint(str(tmp_path / "b"), vocab_words=("zebra",))
+    for fname in ("model.safetensors", "vocab.txt", "config.json"):
+        assert (
+            open(os.path.join(d1, fname), "rb").read()
+            == open(os.path.join(d2, fname), "rb").read()
+        ), fname
+    lm = NumpyMaskedLM(d1)
+    lps = lm.pll_mask_logprobs("<ENT0> is located in <ENT1> .",
+                               ["zebra", "africa"])
+    assert len(lps) == 2 and all(lp < 0 for lp in lps)
