@@ -27,9 +27,15 @@ import numpy as np
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
-    """float32 [-1, 1] mono samples → 16-bit PCM WAV bytes."""
+    """float32 [-1, 1] mono samples → 16-bit PCM WAV bytes.
+
+    Scale is 32767 on BOTH sides (encode here, decode below) with
+    round-to-nearest, so encode(decode(wav)) is byte-identical for any
+    16-bit PCM input — the quantization-idempotence q97's round-trip
+    oracle pins (r4; the old pair of x32767-truncate / ÷32768 drifted
+    one LSB per cycle)."""
     pcm = np.clip(samples, -1.0, 1.0)
-    pcm = (pcm * 32767.0).astype("<i2")
+    pcm = np.rint(np.asarray(pcm, dtype=np.float64) * 32767.0).astype("<i2")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
@@ -48,7 +54,7 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
         rate = w.getframerate()
         raw = w.readframes(w.getnframes())
     if width == 2:
-        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32767.0
     elif width == 1:  # 8-bit WAV is unsigned
         x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
     else:

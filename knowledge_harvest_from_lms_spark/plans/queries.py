@@ -1885,19 +1885,86 @@ Q99_SQL = _ANN_SOUND_SQL
 
 
 def q97_multimodal_features(spark, sf_dir):
-    """Multimodal feature extraction with the REAL dependency-free
-    decoders (r3): PNG/PPM images and PCM WAV audio decode for real
-    (operators/media_codecs.py); video rows carry the clearly-tagged
-    deterministic stub (rows-only: binary codecs aren't
-    SQL-expressible)."""
+    """Multimodal feature extraction under a violations-contract
+    oracle (r4 — was rows-only): binary codecs aren't SQL-expressible,
+    but their CONTRACT is. Per modality the oracle pins the row count
+    and ZERO violations, where a row violates if
+
+    * its features are not exactly FEATURE_DIM finite floats, or
+    * (image) re-encoding the decoded pixels does not reproduce the
+      payload BYTES (PNG and PPM encoders are deterministic, and
+      encode∘decode is the identity on these containers), or the
+      decoder tag names the wrong container, or
+    * (audio) the decode→re-encode PCM round trip is not
+      byte-identical (the 16-bit quantization is idempotent at the
+      symmetric ±32767 scale), or
+    * (video, no `av` in this sandbox) the row is not honestly tagged
+      as the stub with exactly the stub's deterministic projection.
+
+    Any codec regression — a dropped PNG filter mode, a PCM scale
+    drift, a silently-wrong decoder tag — lands a nonzero
+    n_violations and a driver hash MISMATCH (q95's pattern)."""
     from ..operators.multimodal import extract_features, synth_media
 
     media = synth_media(spark, 60)
     feats = extract_features(media, use_stub=False, video_stub_ok=True)
-    return feats.select(
-        "media_id", "modality", F.round(F.element_at("features", 1), 6).alias("f0"),
-        "decoder",
+    joined = media.select("media_id", "modality", "content").join(
+        feats, ["media_id", "modality"]
     )
+
+    def audit(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators import media_codecs as mc
+        from ..operators.multimodal import FEATURE_DIM, _fake_features
+
+        for pdf in batches:
+            out = []
+            for content, modality, features, decoder in zip(
+                pdf["content"], pdf["modality"], pdf["features"], pdf["decoder"]
+            ):
+                content = bytes(content)
+                fv = np.asarray(list(features), dtype=np.float32)
+                bad = 1
+                try:
+                    if len(fv) != FEATURE_DIM or not np.isfinite(fv).all():
+                        bad = 1
+                    elif modality == "image":
+                        if decoder == "png-v1":
+                            bad = 0 if mc.encode_png(mc.decode_png(content)) == content else 1
+                        elif decoder == "ppm-v1":
+                            bad = 0 if mc.encode_ppm(mc.decode_ppm(content)) == content else 1
+                    elif modality == "audio" and decoder == "wav-v1":
+                        s, r = mc.decode_wav(content)
+                        bad = 0 if mc.encode_wav(s, r) == content else 1
+                    elif modality == "video" and decoder == "stub-blake2b-v1":
+                        want = np.asarray(_fake_features(content), dtype=np.float32)
+                        bad = 0 if np.array_equal(fv, want) else 1
+                except Exception:
+                    bad = 1
+                out.append(bad)
+            yield pd.DataFrame({"modality": pdf["modality"], "violation": out})
+
+    audited = joined.mapInPandas(audit, schema="modality string, violation int")
+    return (
+        audited.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("violation").cast("long").alias("n_violations"),
+        )
+        .orderBy("modality")
+    )
+
+
+Q97_SQL = """
+SELECT * FROM (VALUES
+  ('audio', CAST(20 AS BIGINT), CAST(0 AS BIGINT)),
+  ('image', CAST(20 AS BIGINT), CAST(0 AS BIGINT)),
+  ('video', CAST(20 AS BIGINT), CAST(0 AS BIGINT))
+) AS t(modality, n_rows, n_violations)
+ORDER BY modality
+"""
 
 
 def q45_graph_materialize_text(spark, sf_dir):
@@ -2247,4 +2314,5 @@ ORACLES = {
     "q94_embedding_near_dup": Q94_SQL,
     "q96_ann_lsh_topk": Q96_SQL,
     "q99_ann_ivf_topk": Q99_SQL,
+    "q97_multimodal_features": Q97_SQL,
 }

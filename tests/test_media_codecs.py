@@ -32,7 +32,7 @@ def test_wav_stereo_averages_to_mono():
         w.writeframes(pcm.tobytes())
     dec, rate = mc.decode_wav(buf.getvalue())
     assert rate == 8000
-    np.testing.assert_allclose(dec, [2000 / 32768.0, 0.0], atol=1e-6)
+    np.testing.assert_allclose(dec, [2000 / 32767.0, 0.0], atol=1e-6)
 
 
 def test_ppm_round_trip_and_comments():
@@ -240,3 +240,26 @@ def test_video_integration_real_av(tmp_path):
 
     fv, tag = decode_real(content, "video")
     assert tag == "av-v1" and len(fv) == 32
+
+
+def test_wav_roundtrip_idempotent():
+    """encode∘decode is byte-identity for 16-bit PCM at the symmetric
+    ±32767 scale (q97's audio contract) — exhaustively over every
+    representable sample value. −32768 is the one unrepresentable
+    input (16-bit PCM's asymmetric extreme clips to −32767), excluded
+    by construction in anything our encoder produced."""
+    import io
+    import wave
+
+    pcm = np.arange(-32767, 32768, dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(pcm.tobytes())
+    raw = buf.getvalue()
+    x, r = mc.decode_wav(raw)
+    assert mc.encode_wav(x, r) == raw
+    # and the documented lossy extreme
+    assert np.rint(np.clip(-32768 / 32767.0, -1, 1) * 32767.0) == -32767
