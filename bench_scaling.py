@@ -28,7 +28,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_ROWS = 1_200_000
-N_REAL_ROWS = 4_000  # real-transformer-math PLL (each row ~1 GFLOP)
+N_REAL_ROWS = 1_500  # real-transformer-math PLL (each row ~1 GFLOP;
+# 4_000 in the first r4 run spent ~34 min at local[2] — the ratio
+# doesn't need that much integration time)
 N_PAGES = 3_000_000
 # N vs 4N. A mapInPandas stage at local[L] keeps ~2L threads busy
 # (L JVM Arrow feeders + L Python workers), so on this host's 16

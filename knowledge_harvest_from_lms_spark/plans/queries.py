@@ -2145,8 +2145,22 @@ WHERE imp_rank <= 50
 
 
 def q98_graph_materialize(spark, sf_dir):
-    """Entity canonicalization (MinHash-LSH + label propagation) +
-    salted edge aggregation over the co-occurrence triples (rows-only)."""
+    """Entity canonicalization + edge aggregation with the xxhash64
+    vertex ids, under an aggregate + contract oracle (r4 — was
+    rows-only). q45 equality-checks this exact machinery on its TEXT
+    keys; what that leaves unchecked is the id layer, pinned here:
+
+    * n_vertices / n_edges / total_weight / total_mentions — recomputed
+      by DuckDB from the same recursive-CTE canonicalization q45 uses
+      (a banding recall miss, a lost component, or an agg bug moves
+      these);
+    * n_id_violations — edges whose carried src_id/dst_id differ from
+      xxhash64 of their text key (a join mix-up between the text and
+      id columns would land here even though both derive from the same
+      formula);
+    * n_dangling_refs — edge endpoints whose id is absent from the
+      vertices table (referential integrity of the emitted graph).
+    """
     from ..operators.graph import materialize_graph
 
     triples = q23_cooccur_triples(spark, sf_dir).select(
@@ -2155,10 +2169,64 @@ def q98_graph_materialize(spark, sf_dir):
         F.col("weight").cast("double").alias("weight"),
     )
     g = materialize_graph(triples, sim_threshold=0.7)
-    return g["edges"].select(
-        "src", "rel", "dst", F.round("weight", 2).alias("weight"), "n_mentions",
-        "src_id", "dst_id",
+    e, v = g["edges"], g["vertices"]
+    vid = v.select(F.col("ent_id").alias("vid"))
+    dangling = (
+        e.select(F.col("src_id").alias("vid"))
+        .unionByName(e.select(F.col("dst_id").alias("vid")))
+        .join(vid, "vid", "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dangling_refs"))
     )
+    stats = e.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.round(F.sum("weight"), 2).alias("total_weight"),
+        F.sum("n_mentions").cast("long").alias("total_mentions"),
+        F.sum(
+            (
+                (F.col("src_id") != F.xxhash64("src"))
+                | (F.col("dst_id") != F.xxhash64("dst"))
+            ).cast("long")
+        ).alias("n_id_violations"),
+    )
+    nv = v.agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+    return nv.crossJoin(stats).crossJoin(dangling).select(
+        "n_vertices", "n_edges", "total_weight", "total_mentions",
+        "n_id_violations", "n_dangling_refs",
+    )
+
+
+Q98_SQL = f"""
+WITH RECURSIVE {{cooccur}},
+triples AS (
+  SELECT LOWER(subj) AS subj, LOWER(obj) AS obj, CAST(weight AS DOUBLE) AS w
+  FROM ({{top5}}) WHERE rnk <= 5 AND weight >= 2),
+ents AS (
+  SELECT subj AS ent FROM triples UNION SELECT obj FROM triples),
+grams AS (
+  SELECT ent, {_GRAM_LIST.format(p="p")} AS g
+  FROM (SELECT ent, ' ' || ent || ' ' AS p FROM ents)),
+jpairs AS (
+  SELECT a.ent AS x, b.ent AS y
+  FROM grams a JOIN grams b ON a.ent < b.ent
+  WHERE {_jac_sql("a.g", "b.g")} >= 0.7),
+edges AS (SELECT x, y FROM jpairs UNION ALL SELECT y AS x, x AS y FROM jpairs),
+{_reach_cte("ents", "ent")},
+cmap AS (SELECT ent, MIN(lbl) AS canonical FROM reach GROUP BY ent),
+agg_edges AS (
+  SELECT cs.canonical AS src, cd.canonical AS dst,
+         SUM(t.w) AS w, COUNT(*) AS m
+  FROM triples t
+  JOIN cmap cs ON cs.ent = t.subj
+  JOIN cmap cd ON cd.ent = t.obj
+  GROUP BY cs.canonical, cd.canonical)
+SELECT CAST((SELECT COUNT(DISTINCT canonical) FROM cmap) AS BIGINT) AS n_vertices,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       ROUND(SUM(w), 2) AS total_weight,
+       CAST(SUM(m) AS BIGINT) AS total_mentions,
+       CAST(0 AS BIGINT) AS n_id_violations,
+       CAST(0 AS BIGINT) AS n_dangling_refs
+FROM agg_edges
+""".format(cooccur=_COOCCUR_CTES, top5=_COOCCUR_TOP5)
 
 
 def q91_bertnet_triples(spark, sf_dir):
@@ -2315,4 +2383,5 @@ ORACLES = {
     "q96_ann_lsh_topk": Q96_SQL,
     "q99_ann_ivf_topk": Q99_SQL,
     "q97_multimodal_features": Q97_SQL,
+    "q98_graph_materialize": Q98_SQL,
 }

@@ -168,17 +168,37 @@ def harvest_relation_stream(
             F.col("rel").isin([r["rel"] for r in new])
         )
         if graph_dir is not None:
-            from ..operators.graph import materialize_graph, merge_into_graph
+            from ..operators.entity_linking import _norm, build_variant_index
+            from ..operators.graph import (
+                build_vertex_band_index,
+                materialize_graph,
+                merge_into_graph,
+            )
 
             vpath = os.path.join(graph_dir, "vertices")
             epath = os.path.join(graph_dir, "edges")
+            bpath = os.path.join(graph_dir, "vertex_bands")
+            wpath = os.path.join(graph_dir, "vertex_variants")
             if hadoop_exists(sess, vpath):
                 ev = sess.read.parquet(vpath)
                 # replay safety: this batch's relations own their edges
                 ee = sess.read.parquet(epath).filter(
                     ~F.col("rel").isin([r["rel"] for r in new])
                 )
-                g = merge_into_graph(ev, ee, new_triples, sim_threshold)
+                # persisted side tables (ADVICE r3): the merge probes
+                # the stored band/deletion-variant indexes instead of
+                # re-shingling / re-exploding every existing vertex.
+                # Built at the SAME sim_threshold (banding layout
+                # derives from it).
+                idx = None
+                if hadoop_exists(sess, bpath) and hadoop_exists(sess, wpath):
+                    idx = {
+                        "bands": sess.read.parquet(bpath),
+                        "variants": sess.read.parquet(wpath),
+                    }
+                g = merge_into_graph(
+                    ev, ee, new_triples, sim_threshold, vertex_index=idx
+                )
             else:
                 # first graph build BACKFILLS from the full triples
                 # table, not just this batch: graph_dir may be enabled
@@ -187,6 +207,35 @@ def harvest_relation_stream(
                 # graph (review r3)
                 g = materialize_graph(all_triples, sim_threshold)
             stage_overwrite_all([(g["vertices"], vpath), (g["edges"], epath)])
+            # maintain the side tables AFTER the graph promote, by
+            # SELF-HEALING append: (re)index exactly the vertices the
+            # stored index doesn't cover — this batch's new vertices
+            # in the steady state, and also anything lost to a crash
+            # between the graph promote and this append on a previous
+            # run (duplicate index rows from a replay are harmless —
+            # the candidate joins dedup; missing rows would silently
+            # degrade link recall, so missing is the failure mode this
+            # heals). Banding/variant explosion is row-local: append
+            # over the missing set ≡ full rebuild (tested).
+            verts = sess.read.parquet(vpath)
+            names = verts.select("ent")
+            if hadoop_exists(sess, bpath):
+                names = names.join(
+                    sess.read.parquet(bpath).select("ent").distinct(),
+                    "ent", "left_anti",
+                )
+            build_vertex_band_index(names, sim_threshold).coalesce(1).write.mode(
+                "append"
+            ).parquet(bpath)
+            vnorms = verts.select(_norm(F.col("ent")).alias("v_norm")).distinct()
+            if hadoop_exists(sess, wpath):
+                vnorms = vnorms.join(
+                    sess.read.parquet(wpath).select("v_norm").distinct(),
+                    "v_norm", "left_anti",
+                )
+            build_variant_index(
+                vnorms.select(F.col("v_norm").alias("name"))
+            ).coalesce(1).write.mode("append").parquet(wpath)
         # ledger rows carry per-relation triple counts — the streaming
         # analog of the batch pipeline's per-stage manifest metrics
         # (operators/checkpoint.py), so lineage survives on this path

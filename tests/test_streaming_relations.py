@@ -144,3 +144,45 @@ def test_ledger_records_triple_counts(spark, stream_out):
     want = {r.rel: r.n for r in triples.groupBy("rel")
             .agg(F.count("*").alias("n")).collect()}
     assert rows == want and all(n > 0 for n in rows.values())
+
+
+def test_stream_maintains_vertex_index_side_tables(spark, stream_out):
+    """r4 (ADVICE r3): the drained stream persists the band +
+    deletion-variant side tables beside the graph and keeps them
+    COMPLETE — every vertex is banded and every vertex norm has its
+    variant rows — so the next merge probes the stored index instead
+    of re-shingling the vertex table. Append-equivalence to a fresh
+    rebuild is the index's correctness bar."""
+    from pyspark.sql import functions as F
+
+    from knowledge_harvest_from_lms_spark.operators.entity_linking import (
+        _norm,
+        build_variant_index,
+    )
+    from knowledge_harvest_from_lms_spark.operators.graph import (
+        build_vertex_band_index,
+    )
+
+    graph = stream_out["graph"]
+    verts = spark.read.parquet(graph + "/vertices")
+    bands = spark.read.parquet(graph + "/vertex_bands")
+    variants = spark.read.parquet(graph + "/vertex_variants")
+
+    # complete: no vertex missing from either index
+    assert verts.select("ent").join(
+        bands.select("ent").distinct(), "ent", "left_anti"
+    ).count() == 0
+    assert verts.select(_norm(F.col("ent")).alias("v_norm")).distinct().join(
+        variants.select("v_norm").distinct(), "v_norm", "left_anti"
+    ).count() == 0
+
+    # accumulated appends ≡ one fresh rebuild (after dedup — replayed
+    # appends may duplicate rows, which consumers tolerate)
+    fresh_b = build_vertex_band_index(verts.select("ent"), 0.7)
+    assert sorted(map(str, bands.dropDuplicates().collect())) == sorted(
+        map(str, fresh_b.dropDuplicates().collect())
+    )
+    fresh_v = build_variant_index(verts.select(F.col("ent").alias("name")))
+    assert sorted(map(str, variants.dropDuplicates().collect())) == sorted(
+        map(str, fresh_v.dropDuplicates().collect())
+    )
