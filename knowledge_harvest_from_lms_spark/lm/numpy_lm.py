@@ -204,6 +204,180 @@ def distilbert_forward(
     return _linear(x, w["vocab_projector.weight"], w["vocab_projector.bias"])
 
 
+def bert_forward(
+    weights: dict[str, np.ndarray],
+    config: dict,
+    input_ids: np.ndarray,
+    attention_mask: np.ndarray,
+) -> np.ndarray:
+    """BERT-architecture MLM forward ([B, L] → [B, L, vocab] float64)
+    with the checkpoint's own weight names (``bert.encoder.layer.{i}.
+    attention.self.query`` …, ``cls.predictions.*`` head). Same
+    post-LayerNorm residual math as DistilBERT plus token-type
+    embeddings (all-zeros segment for single-sentence MLM scoring, the
+    only mode this engine uses) and a decoder that defaults to the
+    TIED word-embedding matrix when the export omits
+    ``cls.predictions.decoder.weight``. Covers bert-base-cased /
+    bert-large-cased — two more of the reference's five golden
+    models — given only exported weight files."""
+    w = weights
+    ids = np.asarray(input_ids, dtype=np.int64)
+    mask = np.asarray(attention_mask, dtype=np.float64)
+    B, L = ids.shape
+    dim, n_heads = config["dim"], config["n_heads"]
+    dh = dim // n_heads
+
+    emb = (
+        w["bert.embeddings.word_embeddings.weight"][ids]
+        + w["bert.embeddings.position_embeddings.weight"][:L][None, :, :]
+        + w["bert.embeddings.token_type_embeddings.weight"][0][None, None, :]
+    )
+    x = layer_norm(
+        emb,
+        w["bert.embeddings.LayerNorm.weight"],
+        w["bert.embeddings.LayerNorm.bias"],
+    )
+    neg = -1e30 * (1.0 - mask)[:, None, None, :]
+
+    def heads(t):
+        return t.reshape(B, L, n_heads, dh).transpose(0, 2, 1, 3)
+
+    for i in range(config["n_layers"]):
+        p = f"bert.encoder.layer.{i}"
+        q = heads(_linear(x, w[f"{p}.attention.self.query.weight"],
+                          w[f"{p}.attention.self.query.bias"])) / np.sqrt(dh)
+        k = heads(_linear(x, w[f"{p}.attention.self.key.weight"],
+                          w[f"{p}.attention.self.key.bias"]))
+        v = heads(_linear(x, w[f"{p}.attention.self.value.weight"],
+                          w[f"{p}.attention.self.value.bias"]))
+        scores = q @ k.transpose(0, 1, 3, 2) + neg
+        ctx = softmax(scores) @ v
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, dim)
+        attn_out = _linear(ctx, w[f"{p}.attention.output.dense.weight"],
+                           w[f"{p}.attention.output.dense.bias"])
+        x = layer_norm(x + attn_out,
+                       w[f"{p}.attention.output.LayerNorm.weight"],
+                       w[f"{p}.attention.output.LayerNorm.bias"])
+        h = gelu(_linear(x, w[f"{p}.intermediate.dense.weight"],
+                         w[f"{p}.intermediate.dense.bias"]))
+        ffn_out = _linear(h, w[f"{p}.output.dense.weight"],
+                          w[f"{p}.output.dense.bias"])
+        x = layer_norm(x + ffn_out, w[f"{p}.output.LayerNorm.weight"],
+                       w[f"{p}.output.LayerNorm.bias"])
+
+    x = gelu(_linear(x, w["cls.predictions.transform.dense.weight"],
+                     w["cls.predictions.transform.dense.bias"]))
+    x = layer_norm(x, w["cls.predictions.transform.LayerNorm.weight"],
+                   w["cls.predictions.transform.LayerNorm.bias"])
+    dec = w.get("cls.predictions.decoder.weight",
+                w["bert.embeddings.word_embeddings.weight"])
+    bias = w.get("cls.predictions.bias",
+                 w.get("cls.predictions.decoder.bias",
+                       np.zeros(dec.shape[0])))
+    return x @ dec.T + bias
+
+
+def roberta_forward(
+    weights: dict[str, np.ndarray],
+    config: dict,
+    input_ids: np.ndarray,
+    attention_mask: np.ndarray,
+) -> np.ndarray:
+    """RoBERTa MLM forward — BERT's encoder with two documented
+    differences: learned positions start at ``padding_idx + 1 = 2``
+    (HF's create_position_ids_from_input_ids for left-packed unpadded
+    rows reduces to ``arange(L) + 2``; padded tail rows are garbage as
+    everywhere else), and the head is ``lm_head.dense`` → GELU →
+    ``lm_head.layer_norm`` → tied/explicit ``lm_head.decoder`` +
+    ``lm_head.bias``. Covers roberta-base and roberta-large — the
+    reference paper's headline model — from exported weight files."""
+    w = weights
+    ids = np.asarray(input_ids, dtype=np.int64)
+    mask = np.asarray(attention_mask, dtype=np.float64)
+    B, L = ids.shape
+    dim, n_heads = config["dim"], config["n_heads"]
+    dh = dim // n_heads
+
+    emb = (
+        w["roberta.embeddings.word_embeddings.weight"][ids]
+        + w["roberta.embeddings.position_embeddings.weight"][2: L + 2][None, :, :]
+        + w["roberta.embeddings.token_type_embeddings.weight"][0][None, None, :]
+    )
+    x = layer_norm(
+        emb,
+        w["roberta.embeddings.LayerNorm.weight"],
+        w["roberta.embeddings.LayerNorm.bias"],
+    )
+    neg = -1e30 * (1.0 - mask)[:, None, None, :]
+
+    def heads(t):
+        return t.reshape(B, L, n_heads, dh).transpose(0, 2, 1, 3)
+
+    for i in range(config["n_layers"]):
+        p = f"roberta.encoder.layer.{i}"
+        q = heads(_linear(x, w[f"{p}.attention.self.query.weight"],
+                          w[f"{p}.attention.self.query.bias"])) / np.sqrt(dh)
+        k = heads(_linear(x, w[f"{p}.attention.self.key.weight"],
+                          w[f"{p}.attention.self.key.bias"]))
+        v = heads(_linear(x, w[f"{p}.attention.self.value.weight"],
+                          w[f"{p}.attention.self.value.bias"]))
+        scores = q @ k.transpose(0, 1, 3, 2) + neg
+        ctx = softmax(scores) @ v
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, dim)
+        attn_out = _linear(ctx, w[f"{p}.attention.output.dense.weight"],
+                           w[f"{p}.attention.output.dense.bias"])
+        x = layer_norm(x + attn_out,
+                       w[f"{p}.attention.output.LayerNorm.weight"],
+                       w[f"{p}.attention.output.LayerNorm.bias"])
+        h = gelu(_linear(x, w[f"{p}.intermediate.dense.weight"],
+                         w[f"{p}.intermediate.dense.bias"]))
+        ffn_out = _linear(h, w[f"{p}.output.dense.weight"],
+                          w[f"{p}.output.dense.bias"])
+        x = layer_norm(x + ffn_out, w[f"{p}.output.LayerNorm.weight"],
+                       w[f"{p}.output.LayerNorm.bias"])
+
+    x = gelu(_linear(x, w["lm_head.dense.weight"], w["lm_head.dense.bias"]))
+    x = layer_norm(x, w["lm_head.layer_norm.weight"], w["lm_head.layer_norm.bias"])
+    dec = w.get("lm_head.decoder.weight",
+                w["roberta.embeddings.word_embeddings.weight"])
+    bias = w.get("lm_head.bias",
+                 w.get("lm_head.decoder.bias", np.zeros(dec.shape[0])))
+    return x @ dec.T + bias
+
+
+# config.json key aliases: DistilBERT uses the left names natively;
+# BERT/RoBERTa configs use the right ones
+_CONFIG_ALIASES = {
+    "dim": "hidden_size",
+    "n_layers": "num_hidden_layers",
+    "n_heads": "num_attention_heads",
+    "hidden_dim": "intermediate_size",
+}
+
+
+def normalize_config(config: dict) -> dict:
+    out = dict(config)
+    for k, alias in _CONFIG_ALIASES.items():
+        if k not in out and alias in out:
+            out[k] = out[alias]
+    return out
+
+
+def detect_forward(weights: dict[str, np.ndarray]):
+    """Pick the architecture by the checkpoint's own weight names."""
+    for key in weights:
+        if key.startswith("distilbert."):
+            return distilbert_forward
+        if key.startswith("roberta."):
+            return roberta_forward
+        if key.startswith("bert."):
+            return bert_forward
+    raise ValueError(
+        "unrecognized checkpoint: expected distilbert.*, bert.* or "
+        f"roberta.* weight names, got e.g. {sorted(weights)[:3]}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Real-vocab WordPiece tokenizer (BertTokenizer semantics, no deps)
 # ---------------------------------------------------------------------------
@@ -258,6 +432,11 @@ class RealWordPieceTokenizer:
             self.sep_token_id, self.mask_token_id,
         ]
         self._special_texts = ("[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]")
+        import re
+
+        self._special_pat = re.compile(
+            "(" + "|".join(re.escape(s) for s in self._special_texts) + ")"
+        )
 
     # -- basic tokenization ------------------------------------------------
 
@@ -320,10 +499,7 @@ class RealWordPieceTokenizer:
 
     def encode(self, text: str, add_special_tokens: bool = True) -> list[int]:
         ids: list[int] = []
-        import re
-
-        pat = "(" + "|".join(re.escape(s) for s in self._special_texts) + ")"
-        for part in re.split(pat, text):
+        for part in self._special_pat.split(text):
             if not part:
                 continue
             if part in self._special_texts:
@@ -370,6 +546,7 @@ class NumpyMaskedLM(HFMaskedLM):
             tokenizer = load_checkpoint_tokenizer(model_dir)
         if weights is None or config is None or tokenizer is None:
             raise ValueError("need model_dir or (weights, config, tokenizer)")
+        config = normalize_config(config)
         missing = [k for k in REQUIRED_CONFIG if k not in config]
         if missing:
             raise ValueError(f"config missing {missing}")
@@ -380,12 +557,16 @@ class NumpyMaskedLM(HFMaskedLM):
             )
         self._weights = {k: np.asarray(v, dtype=np.float64)
                          for k, v in weights.items()}
+        self._forward = detect_forward(self._weights)
         self._config = {k: config[k] for k in REQUIRED_CONFIG}
         self._tok = tokenizer
         self.mask_token = tokenizer.mask_token
+        # ban by DECODED text, exactly like the HF backend (reference
+        # language_model_wrapper.py:23-27): for byte-BPE a piece like
+        # "Ġthe" decodes to " the", which .strip() then matches
         banned = set(tokenizer.all_special_ids)
-        for idx, text in enumerate(tokenizer._id_to_token):
-            if text.lower().strip() in STOPWORD_SET:
+        for idx in range(tokenizer.vocab_size):
+            if tokenizer.decode(idx).lower().strip() in STOPWORD_SET:
                 banned.add(idx)
         self._banned = np.array(sorted(banned), dtype=np.int64)
 
@@ -397,12 +578,21 @@ class NumpyMaskedLM(HFMaskedLM):
         for j, ids in enumerate(ids_list):
             input_ids[j, : len(ids)] = list(ids)
             attn[j, : len(ids)] = 1
-        return distilbert_forward(self._weights, self._config, input_ids, attn)
+        return self._forward(self._weights, self._config, input_ids, attn)
 
 
-def load_checkpoint_tokenizer(model_dir: str) -> RealWordPieceTokenizer:
+def load_checkpoint_tokenizer(model_dir: str):
     """Tokenizer-only load of a checkpoint dir (driver-side mask
-    payloads must never pull the weights into the driver)."""
+    payloads must never pull the weights into the driver).
+    vocab.json + merges.txt → byte-level BPE (RoBERTa family);
+    vocab.txt → WordPiece (BERT/DistilBERT family)."""
+    from .byte_bpe import RealByteBPETokenizer, has_bpe_artifacts
+
+    if has_bpe_artifacts(model_dir):
+        return RealByteBPETokenizer(
+            os.path.join(model_dir, "vocab.json"),
+            os.path.join(model_dir, "merges.txt"),
+        )
     lower = False
     for fname, key in (("tokenizer_config.json", "do_lower_case"),
                        ("config.json", "do_lower_case")):
@@ -429,16 +619,18 @@ def get_cached_numpy_lm(model_dir: str) -> NumpyMaskedLM:
     return _NUMPY_CACHE[model_dir]
 
 
-def tokenizer_token_masks_from_vocab(tok: RealWordPieceTokenizer):
-    """(vocab_size, char_ok_mask, banned_ids) from a vocab.txt-backed
-    tokenizer — the no-transformers twin of hf.tokenizer_token_masks,
-    for the driver-side beam mask payload."""
+def tokenizer_token_masks_from_vocab(tok):
+    """(vocab_size, char_ok_mask, banned_ids) from a checkpoint-backed
+    tokenizer (WordPiece or byte-BPE) — the no-transformers twin of
+    hf.tokenizer_token_masks, for the driver-side beam mask payload.
+    Scans DECODED texts, like the HF backend."""
     from ..functions.textops import token_text_allowed
 
     vocab = tok.vocab_size
     char_ok = np.zeros(vocab, dtype=bool)
     banned = set(tok.all_special_ids)
-    for idx, text in enumerate(tok._id_to_token):
+    for idx in range(vocab):
+        text = tok.decode(idx)
         char_ok[idx] = token_text_allowed(text)
         if text.lower().strip() in STOPWORD_SET:
             banned.add(idx)

@@ -415,3 +415,231 @@ def test_synth_checkpoint_writer_loads_and_scores(tmp_path):
     lps = lm.pll_mask_logprobs("<ENT0> is located in <ENT1> .",
                                ["zebra", "africa"])
     assert len(lps) == 2 and all(lp < 0 for lp in lps)
+
+
+def _bert_weights_from_distil(w, vocab):
+    """Name-map the tiny distilbert weights into the BERT layout with
+    zero token-type embeddings — numerically the same network."""
+    d = CFG["dim"]
+    out = {
+        "bert.embeddings.word_embeddings.weight":
+            w["distilbert.embeddings.word_embeddings.weight"],
+        "bert.embeddings.position_embeddings.weight":
+            w["distilbert.embeddings.position_embeddings.weight"],
+        "bert.embeddings.token_type_embeddings.weight":
+            np.zeros((2, d), np.float32),
+        "bert.embeddings.LayerNorm.weight":
+            w["distilbert.embeddings.LayerNorm.weight"],
+        "bert.embeddings.LayerNorm.bias":
+            w["distilbert.embeddings.LayerNorm.bias"],
+        "cls.predictions.transform.dense.weight": w["vocab_transform.weight"],
+        "cls.predictions.transform.dense.bias": w["vocab_transform.bias"],
+        "cls.predictions.transform.LayerNorm.weight": w["vocab_layer_norm.weight"],
+        "cls.predictions.transform.LayerNorm.bias": w["vocab_layer_norm.bias"],
+        "cls.predictions.decoder.weight": w["vocab_projector.weight"],
+        "cls.predictions.bias": w["vocab_projector.bias"],
+    }
+    name_map = {
+        "attention.q_lin": "attention.self.query",
+        "attention.k_lin": "attention.self.key",
+        "attention.v_lin": "attention.self.value",
+        "attention.out_lin": "attention.output.dense",
+        "sa_layer_norm": "attention.output.LayerNorm",
+        "ffn.lin1": "intermediate.dense",
+        "ffn.lin2": "output.dense",
+        "output_layer_norm": "output.LayerNorm",
+    }
+    for i in range(CFG["n_layers"]):
+        for old, new in name_map.items():
+            for part in ("weight", "bias"):
+                out[f"bert.encoder.layer.{i}.{new}.{part}"] = \
+                    w[f"distilbert.transformer.layer.{i}.{old}.{part}"]
+    return out
+
+
+def test_bert_forward_equals_distilbert_on_mapped_weights(tmp_path):
+    """bert_forward (BERT weight names, token types, tied-decoder
+    head) is the same network as distilbert_forward when the weights
+    are name-mapped — pins the BERT architecture path to the already
+    loop-verified DistilBERT one, and exercises the BERT-style
+    config.json aliases (hidden_size / num_hidden_layers / ...)."""
+    from knowledge_harvest_from_lms_spark.lm.numpy_lm import bert_forward
+
+    vocab = len(_vocab_lines())
+    dw = {k: np.asarray(v, np.float64) for k, v in _tiny_weights(vocab).items()}
+    bw = {k: np.asarray(v, np.float64)
+          for k, v in _bert_weights_from_distil(dw, vocab).items()}
+    cfg = dict(CFG, vocab_size=vocab)
+    ids = np.array([[2, 9, 17, 30, 4, 3], [2, 40, 11, 0, 0, 0]])
+    attn = np.array([[1, 1, 1, 1, 1, 1], [1, 1, 1, 0, 0, 0]])
+    np.testing.assert_allclose(
+        bert_forward(bw, cfg, ids, attn),
+        distilbert_forward(dw, cfg, ids, attn),
+        atol=1e-12,
+    )
+    # tied-decoder fallback: drop the explicit decoder -> logits use
+    # the word-embedding matrix instead
+    bw2 = dict(bw)
+    del bw2["cls.predictions.decoder.weight"]
+    tied = bert_forward(bw2, cfg, ids, attn)
+    assert tied.shape == (2, 6, vocab)
+
+    # full backend load from a BERT-layout checkpoint dir with
+    # BERT-style config keys
+    d = tmp_path / "tiny_bert"
+    d.mkdir()
+    lines = _vocab_lines()
+    (d / "vocab.txt").write_text("\n".join(lines) + "\n")
+    (d / "config.json").write_text(json.dumps({
+        "architectures": ["BertForMaskedLM"],
+        "hidden_size": CFG["dim"],
+        "num_hidden_layers": CFG["n_layers"],
+        "num_attention_heads": CFG["n_heads"],
+        "intermediate_size": CFG["hidden_dim"],
+        "max_position_embeddings": CFG["max_position_embeddings"],
+        "vocab_size": vocab,
+        "do_lower_case": True,
+    }))
+    save_file({k: np.asarray(v, np.float32) for k, v in bw.items()},
+              str(d / "model.safetensors"))
+    lm = NumpyMaskedLM(str(d))
+    lps = lm.pll_mask_logprobs("<ENT0> is located in <ENT1> .",
+                               ["giraffe", "africa"])
+    assert len(lps) == 2 and all(lp < 0 for lp in lps)
+
+
+# ---------------------------------------------------------------------------
+# RoBERTa family (byte-BPE tokenizer + roberta forward)
+# ---------------------------------------------------------------------------
+
+def _bpe_ckpt(tmp_path):
+    """Tiny REAL-format RoBERTa checkpoint: vocab.json with the full
+    byte alphabet + a few merged pieces, merges.txt with their ranks,
+    and roberta-named weights mapped from the distilbert tinies (pos
+    embeddings shifted by the +2 RoBERTa offset so outputs are
+    comparable)."""
+    from knowledge_harvest_from_lms_spark.lm.byte_bpe import bytes_to_unicode
+
+    d = tmp_path / "tiny_roberta"
+    d.mkdir()
+    b2u = bytes_to_unicode()
+    vocab = {"<s>": 0, "<pad>": 1, "</s>": 2, "<unk>": 3}
+    for ch in sorted(set(b2u.values())):
+        vocab[ch] = len(vocab)
+    for piece in ("ir", "ira", "Ġg"):
+        vocab[piece] = len(vocab)
+    vocab["<mask>"] = len(vocab)
+    (d / "vocab.json").write_text(json.dumps(vocab))
+    (d / "merges.txt").write_text("#version: 0.2\ni r\nir a\nĠ g\n")
+
+    V = len(vocab)
+    dw = _tiny_weights(V)
+    pos = dw["distilbert.embeddings.position_embeddings.weight"]
+    shifted = np.zeros_like(pos)
+    shifted[2:] = pos[:-2]
+    w = {
+        "roberta.embeddings.word_embeddings.weight":
+            dw["distilbert.embeddings.word_embeddings.weight"],
+        "roberta.embeddings.position_embeddings.weight": shifted,
+        "roberta.embeddings.token_type_embeddings.weight":
+            np.zeros((1, CFG["dim"]), np.float32),
+        "roberta.embeddings.LayerNorm.weight":
+            dw["distilbert.embeddings.LayerNorm.weight"],
+        "roberta.embeddings.LayerNorm.bias":
+            dw["distilbert.embeddings.LayerNorm.bias"],
+        "lm_head.dense.weight": dw["vocab_transform.weight"],
+        "lm_head.dense.bias": dw["vocab_transform.bias"],
+        "lm_head.layer_norm.weight": dw["vocab_layer_norm.weight"],
+        "lm_head.layer_norm.bias": dw["vocab_layer_norm.bias"],
+        "lm_head.decoder.weight": dw["vocab_projector.weight"],
+        "lm_head.bias": dw["vocab_projector.bias"],
+    }
+    name_map = {
+        "attention.q_lin": "attention.self.query",
+        "attention.k_lin": "attention.self.key",
+        "attention.v_lin": "attention.self.value",
+        "attention.out_lin": "attention.output.dense",
+        "sa_layer_norm": "attention.output.LayerNorm",
+        "ffn.lin1": "intermediate.dense",
+        "ffn.lin2": "output.dense",
+        "output_layer_norm": "output.LayerNorm",
+    }
+    for i in range(CFG["n_layers"]):
+        for old, new in name_map.items():
+            for part in ("weight", "bias"):
+                w[f"roberta.encoder.layer.{i}.{new}.{part}"] = \
+                    dw[f"distilbert.transformer.layer.{i}.{old}.{part}"]
+    save_file(w, str(d / "model.safetensors"))
+    (d / "config.json").write_text(json.dumps({
+        "architectures": ["RobertaForMaskedLM"],
+        "hidden_size": CFG["dim"],
+        "num_hidden_layers": CFG["n_layers"],
+        "num_attention_heads": CFG["n_heads"],
+        "intermediate_size": CFG["hidden_dim"],
+        "max_position_embeddings": CFG["max_position_embeddings"],
+        "vocab_size": V,
+    }))
+    return str(d), dw, V
+
+
+def test_byte_bpe_tokenizer_semantics(tmp_path):
+    from knowledge_harvest_from_lms_spark.lm.numpy_lm import (
+        load_checkpoint_tokenizer,
+    )
+
+    d, _, _ = _bpe_ckpt(tmp_path)
+    tok = load_checkpoint_tokenizer(d)  # dispatches on vocab.json+merges
+    # merges apply lowest-rank-first; Ġ marks the word boundary
+    ids = tok.encode("a giraffe", add_special_tokens=False)
+    pieces = [tok._id_to_piece[i] for i in ids]
+    assert pieces == ["a", "Ġg", "ira", "f", "f", "e"]
+    # round trip through the byte map
+    assert tok.decode(tok.encode("a giraffe")) == "a giraffe"
+    # specials: <s>/</s> wrap, <mask> swallows its conventional space
+    full = tok.encode("a <mask> .")
+    assert full[0] == tok.bos_token_id and full[-1] == tok.eos_token_id
+    assert tok.mask_token_id in full
+    # unicode text survives the byte alphabet
+    assert tok.decode(tok.encode("café", add_special_tokens=False)) == "café"
+    # single-token decode of a Ġ piece gives the leading space the
+    # banned-scan strips (HF behavior)
+    gid = tok.encode(" giraffe", add_special_tokens=False)[0]
+    assert tok.decode(gid).startswith(" ")
+
+
+def test_roberta_forward_equals_distilbert_on_mapped_weights(tmp_path):
+    """roberta_forward (position offset +2, lm_head names, token
+    types) is the same network as the loop-verified distilbert_forward
+    when weights are name-mapped and positions pre-shifted."""
+    from knowledge_harvest_from_lms_spark.lm.numpy_lm import roberta_forward
+
+    d, dw, V = _bpe_ckpt(tmp_path)
+    from knowledge_harvest_from_lms_spark.lm.safetensors_io import load_file
+
+    rw = {k: np.asarray(v, np.float64)
+          for k, v in load_file(os.path.join(d, "model.safetensors")).items()}
+    dw64 = {k: np.asarray(v, np.float64) for k, v in dw.items()}
+    cfg = dict(CFG, vocab_size=V)
+    ids = np.array([[0, 9, 17, 30, 4, 2], [0, 40, 11, 1, 1, 1]])
+    attn = np.array([[1, 1, 1, 1, 1, 1], [1, 1, 1, 0, 0, 0]])
+    np.testing.assert_allclose(
+        roberta_forward(rw, cfg, ids, attn),
+        distilbert_forward(dw64, cfg, ids, attn),
+        atol=1e-12,
+    )
+
+
+def test_roberta_backend_end_to_end(tmp_path):
+    """NumpyMaskedLM over the BPE checkpoint: architecture dispatch,
+    decoded-text banned scan (Ġthe → 'the'), PLL batch==loop."""
+    d, _, _ = _bpe_ckpt(tmp_path)
+    lm = NumpyMaskedLM(d)
+    tok = lm._tok
+    # 'a' is a stopword reachable as the single-token piece "a"
+    a_id = tok.encode("a", add_special_tokens=False)[0]
+    assert a_id in lm.banned_ids
+    pairs = [("<ENT0> is located in <ENT1> .", ["giraffe", "africa"])]
+    batch = lm.pll_mask_logprobs_batch(pairs)
+    loop = lm.pll_mask_logprobs(*pairs[0])
+    np.testing.assert_allclose(batch[0], loop, rtol=1e-12)
+    assert all(lp < 0 for lp in loop)

@@ -30,18 +30,25 @@ import pytest
 
 from knowledge_harvest_from_lms_spark.lm.hf import HAS_TORCH
 
+# Any of the reference's five golden models works torch-free now: the
+# numpy backend has DistilBERT, BERT and RoBERTa forwards plus real
+# WordPiece (vocab.txt) and byte-BPE (vocab.json+merges.txt)
+# tokenizers. MLM_CHECKPOINT_DIR + MLM_GOLDEN_MODEL select the pair;
+# DISTILBERT_DIR stays as a shorthand for the distilbert default.
+GOLDEN_MODEL = os.environ.get("MLM_GOLDEN_MODEL", "distilbert-base-cased")
 GOLDEN_DIR = (
-    "/root/reference/results/conceptnet/1000tuples_top20prompts/"
-    "distilbert-base-cased"
+    f"/root/reference/results/conceptnet/1000tuples_top20prompts/{GOLDEN_MODEL}"
 )
-CKPT_DIR = os.environ.get("DISTILBERT_DIR", "")
+CKPT_DIR = os.environ.get("MLM_CHECKPOINT_DIR") or os.environ.get(
+    "DISTILBERT_DIR", ""
+)
 
 
 def _lm_name() -> str | None:
     if CKPT_DIR and os.path.exists(os.path.join(CKPT_DIR, "model.safetensors")):
         return f"numpy:{CKPT_DIR}"
     if HAS_TORCH:
-        return "distilbert-base-cased"
+        return GOLDEN_MODEL
     return None
 
 
