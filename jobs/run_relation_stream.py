@@ -39,6 +39,10 @@ def main() -> None:
     p.add_argument("--token-beam-width", type=int, default=12)
     p.add_argument("--max-ent-subwords", type=int, default=1)
     p.add_argument("--lm", default="stub", help='"stub" | HF model name on real clusters')
+    p.add_argument("--txn", action="store_true",
+                   help="atomic per-batch commits: ledger + graph + indexes "
+                        "land in one TxnLog generation under --out (crash "
+                        "anywhere leaves the previous generation intact)")
     p.add_argument("--synth-drop", type=int, default=0,
                    help="write the first N fixture relations into --drops first (sandbox)")
     p.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 16)))
@@ -81,7 +85,8 @@ def main() -> None:
         shuffle_partitions=max(2 * args.cpus, 8),
     )
     q = harvest_relation_stream(
-        spark, args.drops, args.out, args.checkpoints, cfg, graph_dir=args.graph
+        spark, args.drops, args.out, args.checkpoints, cfg,
+        graph_dir=args.graph, txn=args.txn,
     )
     q.awaitTermination()
     from knowledge_harvest_from_lms_spark.fsutil import hadoop_exists
@@ -93,13 +98,24 @@ def main() -> None:
     n = spark.read.parquet(tpath).count() if hadoop_exists(spark, tpath) else 0
     msg = f"harvested_rels={done}; triples={n} rows at {tpath}"
     if args.graph:
-        vpath = os.path.join(args.graph, "vertices")
-        if hadoop_exists(spark, vpath):
-            nv = spark.read.parquet(vpath).count()
-            ne = spark.read.parquet(os.path.join(args.graph, "edges")).count()
-            msg += f"; graph: {nv} vertices, {ne} edges at {args.graph}"
+        if args.txn:
+            from knowledge_harvest_from_lms_spark.txn import TxnLog
+
+            log = TxnLog(spark, args.out)
+            if log.has_table("vertices"):
+                nv = log.read("vertices").count()
+                ne = log.read("edges").count()
+                msg += f"; graph: {nv} vertices, {ne} edges in txn log at {args.out}"
+            else:
+                msg += "; graph: not yet created"
         else:
-            msg += "; graph: not yet created"
+            vpath = os.path.join(args.graph, "vertices")
+            if hadoop_exists(spark, vpath):
+                nv = spark.read.parquet(vpath).count()
+                ne = spark.read.parquet(os.path.join(args.graph, "edges")).count()
+                msg += f"; graph: {nv} vertices, {ne} edges at {args.graph}"
+            else:
+                msg += "; graph: not yet created"
     print(msg)
     spark.stop()
 

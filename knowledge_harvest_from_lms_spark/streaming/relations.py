@@ -66,6 +66,15 @@ def _triples_path(out_dir: str) -> str:
 
 
 def harvested_rels(sess: SparkSession, out_dir: str) -> set[str]:
+    from ..txn import TxnLog, is_txn_root
+
+    if is_txn_root(sess, out_dir):
+        log = TxnLog(sess, out_dir)
+        if not log.has_table("harvested_rels"):
+            return set()
+        return {
+            r.rel for r in log.read("harvested_rels").select("rel").collect()
+        }
     path = _ledger_path(out_dir)
     if not hadoop_exists(sess, path):
         return set()
@@ -79,6 +88,99 @@ def harvested_rels(sess: SparkSession, out_dir: str) -> set[str]:
     }
 
 
+def _commit_batch_txn(
+    sess: SparkSession,
+    out_dir: str,
+    new: list,
+    new_triples: DataFrame,
+    all_triples: DataFrame,
+    batch_id: int,
+    sim_threshold: float,
+    graph_enabled: bool,
+) -> None:
+    """One atomic TxnLog commit per drained micro-batch: the merged
+    graph (vertices + edges), the band/deletion-variant index DELTAS
+    for exactly this batch's new vertices, and the ledger rows all
+    become visible together. A crash anywhere before the manifest
+    rename leaves the previous generation fully intact (plus garbage
+    dirs for vacuum); the replayed batch then recomputes from that
+    consistent snapshot — so the multi-hop near-dup chains that could
+    split across the plain layout's vertex/edge promote window cannot
+    split here."""
+    from pyspark.sql import functions as F
+
+    from ..txn import TxnLog
+
+    log = TxnLog(sess, out_dir)
+    overwrites: dict[str, DataFrame] = {}
+    appends: dict[str, DataFrame] = {}
+    if graph_enabled:
+        from ..operators.entity_linking import _norm, build_variant_index
+        from ..operators.graph import (
+            build_vertex_band_index,
+            materialize_graph,
+            merge_into_graph,
+        )
+
+        if log.has_table("vertices"):
+            ev = log.read("vertices")
+            # replay safety: this batch's relations own their edges
+            ee = log.read("edges").filter(
+                ~F.col("rel").isin([r["rel"] for r in new])
+            )
+            idx = None
+            if log.has_table("vertex_bands") and log.has_table("vertex_variants"):
+                idx = {
+                    "bands": log.read("vertex_bands"),
+                    "variants": log.read("vertex_variants"),
+                }
+            g = merge_into_graph(
+                ev, ee, new_triples, sim_threshold, vertex_index=idx
+            )
+        else:
+            # first build backfills from the FULL triples table (the
+            # log may be enabled after earlier relations were already
+            # harvested under it)
+            g = materialize_graph(all_triples, sim_threshold)
+        # eager: the vertex plan feeds its own generation write AND
+        # both index-delta computations below
+        gv = g["vertices"].localCheckpoint(eager=True)
+        overwrites["vertices"] = gv
+        overwrites["edges"] = g["edges"]
+        names = gv.select("ent")
+        if log.has_table("vertex_bands"):
+            names = names.join(
+                log.read("vertex_bands").select("ent").distinct(),
+                "ent", "left_anti",
+            )
+        appends["vertex_bands"] = build_vertex_band_index(
+            names, sim_threshold
+        ).coalesce(1)
+        vnorms = gv.select(_norm(F.col("ent")).alias("v_norm")).distinct()
+        if log.has_table("vertex_variants"):
+            vnorms = vnorms.join(
+                log.read("vertex_variants").select("v_norm").distinct(),
+                "v_norm", "left_anti",
+            )
+        appends["vertex_variants"] = build_variant_index(
+            vnorms.select(F.col("v_norm").alias("name"))
+        ).coalesce(1)
+    counts = {
+        r["rel"]: r["n"]
+        for r in new_triples.groupBy("rel")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    appends["harvested_rels"] = sess.createDataFrame(
+        [(r["rel"], int(batch_id), int(counts.get(r["rel"], 0))) for r in new],
+        "rel string, batch_id long, n_triples long",
+    ).coalesce(1)
+    log.commit(
+        overwrites=overwrites, appends=appends,
+        meta={"batch_id": int(batch_id), "rels": [r["rel"] for r in new]},
+    )
+
+
 def harvest_relation_stream(
     spark: SparkSession,
     drop_dir: str,
@@ -88,6 +190,7 @@ def harvest_relation_stream(
     available_now: bool = True,
     graph_dir: str | None = None,
     sim_threshold: float = 0.7,
+    txn: bool = False,
 ):
     """Start (and with available_now=True, drain) the relation-harvest
     stream; returns the StreamingQuery. Works as a cron'd batch
@@ -101,7 +204,23 @@ def harvest_relation_stream(
     ownership: an edge's ``rel`` column names the relation that
     produced it, so a replayed relation REPLACES its own edges
     (anti-join on rel before the merge) instead of double-counting
-    them."""
+    them.
+
+    ``txn=True`` routes every sink table except the triples through
+    ONE :class:`~..txn.TxnLog` commit per micro-batch, rooted at
+    ``out_dir``: vertices + edges + band/variant indexes + the ledger
+    row become visible TOGETHER or not at all — closing the
+    mixed-generation crash windows the plain layout documents
+    (fsutil.stage_overwrite_all; merge_into_graph's multi-hop
+    replay caveat). In this mode ``graph_dir`` only enables the graph
+    branch — the graph tables live inside ``out_dir``'s log, read via
+    ``TxnLog(sess, out_dir).read("vertices")``. The triples table
+    stays a plain per-rel dynamic-partition-overwrite parquet: its
+    replay story is already idempotent (a replayed relation rewrites
+    its own partitions before the ledger row can exist), and keeping
+    it out of the log means a 10^12-row fact table never inflates the
+    manifest. Index self-healing is unnecessary here: the index
+    deltas commit atomically WITH the vertices they cover."""
     cfg = cfg or HarvestConfig()
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -167,6 +286,13 @@ def harvest_relation_stream(
         new_triples = all_triples.filter(
             F.col("rel").isin([r["rel"] for r in new])
         )
+        if txn:
+            _commit_batch_txn(
+                sess, out_dir, new, new_triples, all_triples,
+                batch_id, sim_threshold,
+                graph_enabled=graph_dir is not None,
+            )
+            return
         if graph_dir is not None:
             from ..operators.entity_linking import _norm, build_variant_index
             from ..operators.graph import (

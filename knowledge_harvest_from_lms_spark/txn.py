@@ -1,0 +1,297 @@
+"""Transactional multi-table commits over plain parquet — a minimal
+file-based commit log (the Iceberg/Delta *pattern* without the jar).
+
+Closes the crash-window caveats that ROADMAP item 2 parked "until
+Iceberg lands" (no Iceberg runtime jar exists in this sandbox and
+pypi is unreachable, verified r4): ``stage_overwrite_all``'s torn
+multi-table promote, merge_into_graph's mixed-generation replay
+caveat, and readers racing an in-place parquet overwrite. The
+protocol is the standard log-structured-catalog one (Delta's
+``_delta_log`` / Iceberg's metadata pointer), cut down to what the
+engine needs:
+
+* **Data is immutable.** Every write lands in a FRESH generation
+  directory ``<root>/_data/<table>/g-<version 20d>-<uuid8>/``; no
+  parquet dir is ever overwritten in place, so a reader can never
+  observe a missing or partially-rewritten table.
+* **A commit is ONE file**: ``<root>/_txn/<version 20d>.json``,
+  naming the generation dir list of EVERY table in the group
+  (unchanged tables carry forward from the parent manifest; an
+  *append* adds a dir to a table's list, an *overwrite* replaces the
+  list). Readers resolve the highest committed version and read only
+  the dirs it names — multi-table atomicity and snapshot isolation
+  fall out of the single-pointer design.
+* **Commit promotion** stages the manifest bytes to a tmp name and
+  promotes with a Hadoop ``rename`` guarded by an existence check.
+  On HDFS/S3A committers rename-no-overwrite is atomic; on the local
+  FS the check is best-effort — single writer per log is the
+  documented assumption (same as the parquet layout it replaces),
+  but unlike the old layout a LOST race is detected
+  (``ConcurrentCommitError``), never silently interleaved.
+* **Crash anywhere before the rename** leaves only unreferenced
+  generation dirs and a ``.tmp`` manifest; readers still resolve the
+  previous version, and :meth:`TxnLog.vacuum` removes the garbage.
+  Readers also skip unparseable manifests (a torn local-FS rename
+  degrades to "previous version wins", never to a torn table set).
+
+Scale note (100 TB): the manifest holds one short string per
+generation dir — a daily-compacted log stays in the kilobytes even
+at thousands of commits, and ``vacuum(retain=k)`` bounds both the
+manifest count and the dead-file footprint. All data I/O is ordinary
+parquet through the Hadoop FileSystem API, so the log works
+unchanged on ``hdfs://`` / ``s3a://`` table roots (with the usual
+S3 rename caveat: a real deployment points ``_txn`` at a
+rename-atomic store or swaps in a conditional-PUT, exactly as
+Delta/Iceberg do).
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .fsutil import _fs_and_path, hadoop_delete
+
+_MANIFEST_WIDTH = 20
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer claimed the next version first (single-writer
+    assumption violated); the staged data dirs are left for vacuum."""
+
+
+def _read_small_file(sess: SparkSession, path: str) -> bytes:
+    fs, p = _fs_and_path(sess, path)
+    stream = fs.open(p)
+    try:
+        data = bytes(
+            sess._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    return data
+
+
+def _write_small_file(sess: SparkSession, path: str, data: bytes) -> None:
+    fs, p = _fs_and_path(sess, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(data))
+    finally:
+        out.close()
+
+
+class TxnLog:
+    """A versioned group of parquet tables with atomic multi-table
+    commits. One instance per table-group root; cheap to construct
+    (state lives entirely on the filesystem)."""
+
+    def __init__(self, sess: SparkSession, root: str):
+        self.sess = sess
+        self.root = root.rstrip("/")
+
+    # ---- layout -------------------------------------------------
+    def _txn_dir(self) -> str:
+        return self.root + "/_txn"
+
+    def _manifest_path(self, version: int) -> str:
+        return f"{self._txn_dir()}/{version:0{_MANIFEST_WIDTH}d}.json"
+
+    def _gen_dir(self, table: str, version: int) -> str:
+        # relative to root so the group can be relocated wholesale
+        return f"_data/{table}/g-{version:0{_MANIFEST_WIDTH}d}-{uuid.uuid4().hex[:8]}"
+
+    # ---- log scan -----------------------------------------------
+    def versions(self) -> list[int]:
+        fs, p = _fs_and_path(self.sess, self._txn_dir())
+        if not fs.exists(p):
+            return []
+        out = []
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.endswith(".json") and not name.startswith("."):
+                try:
+                    out.append(int(name[: -len(".json")]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def _load(self, version: int) -> dict | None:
+        try:
+            return json.loads(
+                _read_small_file(self.sess, self._manifest_path(version))
+            )
+        except Exception:
+            # torn/unreadable manifest: treat as never committed
+            return None
+
+    def latest(self) -> tuple[int, dict]:
+        """(version, manifest); (0, empty) for a fresh root. Scans
+        from the highest version down, skipping torn manifests."""
+        for v in reversed(self.versions()):
+            m = self._load(v)
+            if m is not None:
+                return v, m
+        return 0, {"version": 0, "parent": None, "tables": {}, "meta": {}}
+
+    # ---- reads --------------------------------------------------
+    def tables(self, version: int | None = None) -> dict[str, list[str]]:
+        """table name -> ABSOLUTE generation-dir paths, newest last."""
+        if version is None:
+            _, m = self.latest()
+        else:
+            m = self._load(version)
+            if m is None:
+                raise FileNotFoundError(
+                    f"no committed manifest v{version} under {self.root}"
+                )
+        return {
+            t: [f"{self.root}/{d}" for d in dirs]
+            for t, dirs in m["tables"].items()
+        }
+
+    def read(self, table: str, schema=None, version: int | None = None) -> DataFrame:
+        """Snapshot read: the returned plan lists IMMUTABLE dirs, so
+        it stays valid across later commits (no stage/tmp dance is
+        needed when a commit's input plans read the previous
+        generation). Without an explicit ``schema`` the manifest's
+        recorded writer schema pins the read — so an all-empty
+        generation (zero-row write → parquet dir with no data files)
+        never trips schema inference, and old generations missing a
+        later-added column surface it as nulls."""
+        if version is None:
+            version, m = self.latest()
+        else:
+            m = self._load(version)
+            if m is None:
+                raise FileNotFoundError(
+                    f"no committed manifest v{version} under {self.root}"
+                )
+        dirs = m["tables"].get(table)
+        if not dirs:
+            raise FileNotFoundError(f"table {table!r} not in {self.root} log")
+        reader = self.sess.read
+        if schema is None and table in m.get("schemas", {}):
+            from pyspark.sql import types as T
+
+            schema = T.StructType.fromJson(json.loads(m["schemas"][table]))
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*[f"{self.root}/{d}" for d in dirs])
+
+    def has_table(self, table: str) -> bool:
+        return table in self.tables()
+
+    # ---- commit -------------------------------------------------
+    def commit(
+        self,
+        overwrites: dict[str, DataFrame] | None = None,
+        appends: dict[str, DataFrame] | None = None,
+        meta: dict | None = None,
+    ) -> int:
+        """Atomically publish a new version: each df materializes to
+        a fresh generation dir (reading the PREVIOUS generations —
+        safe, they are immutable), then ONE manifest rename makes
+        every change visible together. Returns the committed version
+        (the snapshot id recorded in stage manifests / lineage)."""
+        base_v, base = self.latest()
+        v = base_v + 1
+        tables = {t: list(d) for t, d in base["tables"].items()}
+        schemas = dict(base.get("schemas", {}))
+        for name, df in (overwrites or {}).items():
+            rel = self._gen_dir(name, v)
+            df.write.parquet(f"{self.root}/{rel}")
+            tables[name] = [rel]
+            schemas[name] = df.schema.json()
+        for name, df in (appends or {}).items():
+            rel = self._gen_dir(name, v)
+            df.write.parquet(f"{self.root}/{rel}")
+            tables.setdefault(name, []).append(rel)
+            schemas[name] = df.schema.json()
+        manifest = {
+            "version": v,
+            "parent": base_v or None,
+            "tables": tables,
+            "schemas": schemas,
+            "meta": meta or {},
+        }
+        data = json.dumps(manifest, sort_keys=True).encode()
+        tmp = f"{self._txn_dir()}/.tmp-{uuid.uuid4().hex}.json"
+        _write_small_file(self.sess, tmp, data)
+        final = self._manifest_path(v)
+        fs, fp = _fs_and_path(self.sess, final)
+        _, tp = _fs_and_path(self.sess, tmp)
+        if fs.exists(fp) or not fs.rename(tp, fp):
+            hadoop_delete(self.sess, tmp)
+            raise ConcurrentCommitError(
+                f"version {v} already committed under {self.root}"
+            )
+        return v
+
+    # ---- maintenance --------------------------------------------
+    def vacuum(self, retain: int = 2, inflight_grace_s: int = 3600) -> list[str]:
+        """Delete generation dirs no retained manifest references and
+        manifests older than the newest ``retain``. Dirs stamped with
+        a version NEWER than the latest commit may belong to an
+        IN-FLIGHT commit, so they are deleted only once their mtime is
+        older than ``inflight_grace_s`` (a crashed commit's orphans
+        age out; a live writer's staging dirs do not). Returns the
+        deleted paths."""
+        vs = [v for v in self.versions() if self._load(v) is not None]
+        if not vs:
+            return []
+        keep_vs = vs[-retain:]
+        latest_v = vs[-1]
+        referenced: set[str] = set()
+        for v in keep_vs:
+            m = self._load(v)
+            if m:
+                for dirs in m["tables"].values():
+                    referenced.update(dirs)
+        deleted: list[str] = []
+        now_ms = self.sess._jvm.java.lang.System.currentTimeMillis()
+        fs, dp = _fs_and_path(self.sess, self.root + "/_data")
+        if fs.exists(dp):
+            for tdir in fs.listStatus(dp):
+                tname = tdir.getPath().getName()
+                for gen in fs.listStatus(tdir.getPath()):
+                    gname = gen.getPath().getName()
+                    rel = f"_data/{tname}/{gname}"
+                    if rel in referenced:
+                        continue
+                    try:
+                        gen_v = int(gname.split("-")[1])
+                    except (IndexError, ValueError):
+                        gen_v = 0
+                    aged = (
+                        now_ms - gen.getModificationTime()
+                        >= inflight_grace_s * 1000
+                    )
+                    if gen_v <= latest_v or aged:
+                        hadoop_delete(self.sess, f"{self.root}/{rel}")
+                        deleted.append(rel)
+        for v in vs[:-retain] if retain else vs:
+            if v not in keep_vs:
+                hadoop_delete(self.sess, self._manifest_path(v))
+                deleted.append(self._manifest_path(v))
+        fs, tp = _fs_and_path(self.sess, self._txn_dir())
+        if fs.exists(tp):
+            for st in fs.listStatus(tp):
+                name = st.getPath().getName()
+                aged = (
+                    now_ms - st.getModificationTime()
+                    >= inflight_grace_s * 1000
+                )
+                if name.startswith(".tmp-") and aged:
+                    hadoop_delete(self.sess, f"{self._txn_dir()}/{name}")
+                    deleted.append(f"{self._txn_dir()}/{name}")
+        return deleted
+
+
+def is_txn_root(sess: SparkSession, root: str) -> bool:
+    """True if ``root`` carries a commit log (used by readers that
+    accept either a plain parquet layout or a TxnLog group)."""
+    fs, p = _fs_and_path(sess, root.rstrip("/") + "/_txn")
+    return fs.exists(p)

@@ -1,0 +1,289 @@
+"""TxnLog — atomic multi-table commits over plain parquet.
+
+Covers the crash windows the parquet-promote layout documented as
+open (fsutil.stage_overwrite_all docstring / ROADMAP item 2): torn
+multi-table promotes, mixed-generation reads after a crash, readers
+racing an overwrite, and garbage left by an aborted commit."""
+
+import json
+import os
+
+import pytest
+
+from knowledge_harvest_from_lms_spark.txn import (
+    ConcurrentCommitError,
+    TxnLog,
+    is_txn_root,
+)
+
+
+def _df(spark, rows, schema="k string, v long"):
+    return spark.createDataFrame(rows, schema)
+
+
+def _rows(df):
+    return sorted((r[0], r[1]) for r in df.collect())
+
+
+def test_commit_and_read_roundtrip(spark, tmp_path):
+    log = TxnLog(spark, str(tmp_path / "g"))
+    v1 = log.commit(
+        overwrites={
+            "vertices": _df(spark, [("a", 1), ("b", 2)]),
+            "edges": _df(spark, [("a->b", 9)]),
+        },
+        meta={"batch_id": 0},
+    )
+    assert v1 == 1
+    assert is_txn_root(spark, str(tmp_path / "g"))
+    assert not is_txn_root(spark, str(tmp_path / "nothere"))
+    assert _rows(log.read("vertices")) == [("a", 1), ("b", 2)]
+    assert _rows(log.read("edges")) == [("a->b", 9)]
+    assert log.has_table("vertices") and not log.has_table("ledger")
+
+
+def test_overwrite_append_and_snapshot_isolation(spark, tmp_path):
+    log = TxnLog(spark, str(tmp_path / "g"))
+    log.commit(
+        overwrites={"vertices": _df(spark, [("a", 1)])},
+        appends={"ledger": _df(spark, [("r1", 10)])},
+    )
+    # a snapshot plan taken BEFORE the next commit stays valid after
+    old_vertices = log.read("vertices")
+    v2 = log.commit(
+        overwrites={"vertices": _df(spark, [("a", 1), ("c", 3)])},
+        appends={"ledger": _df(spark, [("r2", 20)])},
+    )
+    assert v2 == 2
+    assert _rows(log.read("vertices")) == [("a", 1), ("c", 3)]
+    # append accumulated both generations
+    assert _rows(log.read("ledger")) == [("r1", 10), ("r2", 20)]
+    # snapshot isolation: the old plan and the explicit version read
+    # both still see generation 1 (immutable dirs)
+    assert _rows(old_vertices) == [("a", 1)]
+    assert _rows(log.read("vertices", version=1)) == [("a", 1)]
+    assert _rows(log.read("ledger", version=1)) == [("r1", 10)]
+
+
+def test_unchanged_tables_carry_forward(spark, tmp_path):
+    log = TxnLog(spark, str(tmp_path / "g"))
+    log.commit(overwrites={"a": _df(spark, [("x", 1)]), "b": _df(spark, [("y", 2)])})
+    log.commit(overwrites={"a": _df(spark, [("x", 9)])})
+    assert _rows(log.read("b")) == [("y", 2)]
+
+
+def test_aborted_commit_invisible_then_vacuumed(spark, tmp_path):
+    """Crash simulation: data generations written but no manifest —
+    readers still resolve the previous version; vacuum removes the
+    orphans but never a retained generation."""
+    root = str(tmp_path / "g")
+    log = TxnLog(spark, root)
+    log.commit(overwrites={"t": _df(spark, [("a", 1)])})
+
+    # simulate a crash mid-commit: stage generation dirs by hand
+    orphan = f"{root}/_data/t/g-{2:020d}-deadbeef"
+    _df(spark, [("TORN", 99)]).write.parquet(orphan)
+    (tmp_path / "g" / "_txn" / ".tmp-crashed.json").write_text("{}")
+
+    assert _rows(log.read("t")) == [("a", 1)]  # orphan invisible
+    # default grace protects a possibly-in-flight commit's staging
+    assert log.vacuum(retain=2) == []
+    deleted = log.vacuum(retain=2, inflight_grace_s=0)
+    assert any("g-" + f"{2:020d}" in d for d in deleted)
+    assert any(".tmp-crashed" in d for d in deleted)
+    assert _rows(log.read("t")) == [("a", 1)]  # survivor intact
+    # orphan dir truly gone from disk
+    assert not os.path.exists(orphan)
+
+
+def test_torn_manifest_skipped(spark, tmp_path):
+    """A torn (unparseable) manifest degrades to previous-version
+    wins — never to a torn table set."""
+    root = str(tmp_path / "g")
+    log = TxnLog(spark, root)
+    log.commit(overwrites={"t": _df(spark, [("a", 1)])})
+    (tmp_path / "g" / "_txn" / f"{2:020d}.json").write_text("{not json")
+    v, _ = log.latest()
+    assert v == 1
+    assert _rows(log.read("t")) == [("a", 1)]
+
+
+def test_concurrent_commit_detected(spark, tmp_path):
+    root = str(tmp_path / "g")
+    log = TxnLog(spark, root)
+    log.commit(overwrites={"t": _df(spark, [("a", 1)])})
+    # another writer claims version 2 first
+    other = TxnLog(spark, root)
+    other.commit(overwrites={"t": _df(spark, [("b", 2)])})
+    # stale `log` view tries to publish version 2 as well
+
+    class _Stale(TxnLog):
+        def latest(self):
+            return 1, json.loads(
+                (tmp_path / "g" / "_txn" / f"{1:020d}.json").read_text()
+            )
+
+    with pytest.raises(ConcurrentCommitError):
+        _Stale(spark, root).commit(overwrites={"t": _df(spark, [("c", 3)])})
+    # the winner's committed state is untouched
+    assert _rows(log.read("t")) == [("b", 2)]
+
+
+def test_vacuum_retention_keeps_window(spark, tmp_path):
+    log = TxnLog(spark, str(tmp_path / "g"))
+    for i in range(4):
+        log.commit(overwrites={"t": _df(spark, [(f"v{i + 1}", i + 1)])})
+    log.vacuum(retain=2)
+    assert log.versions() == [3, 4]
+    assert _rows(log.read("t", version=3)) == [("v3", 3)]
+    assert _rows(log.read("t")) == [("v4", 4)]
+    with pytest.raises(FileNotFoundError):
+        log.read("t", version=1)
+
+
+def _drain(spark, drop, out, ckpt, graph, txn):
+    from knowledge_harvest_from_lms_spark.config import HarvestConfig
+    from knowledge_harvest_from_lms_spark.streaming.relations import (
+        harvest_relation_stream,
+    )
+
+    cfg = HarvestConfig(
+        max_n_ent_tuples=8, token_beam_width=6, max_ent_subwords=1,
+        shuffle_partitions=8,
+    )
+    q = harvest_relation_stream(
+        spark, drop, out, ckpt, cfg, graph_dir=graph, txn=txn
+    )
+    q.awaitTermination(300)
+
+
+def _drop_df(spark, records):
+    from knowledge_harvest_from_lms_spark.streaming.relations import (
+        RELATION_DROP_SCHEMA,
+    )
+
+    return spark.createDataFrame(
+        [
+            (
+                r["rel"],
+                list(r["init_prompts"]),
+                list(r.get("prompts", [])),
+                [list(t) for t in r["seed_ent_tuples"]],
+            )
+            for r in records
+        ],
+        RELATION_DROP_SCHEMA,
+    )
+
+
+def _graph_state(spark, out, txn):
+    from knowledge_harvest_from_lms_spark.txn import TxnLog
+
+    if txn:
+        log = TxnLog(spark, out)
+        verts, edges = log.read("vertices"), log.read("edges")
+    else:
+        verts = spark.read.parquet(out + "__graph/vertices")
+        edges = spark.read.parquet(out + "__graph/edges")
+    return (
+        sorted(map(tuple, verts.select("ent_id", "ent").collect())),
+        sorted(
+            map(
+                tuple,
+                edges.select(
+                    "src", "rel", "dst", "weight", "n_mentions"
+                ).collect(),
+            )
+        ),
+    )
+
+
+def test_streaming_txn_parity_and_atomic_crash_replay(
+    spark, tmp_path, monkeypatch
+):
+    """The txn-mode streaming sink (a) produces the same graph +
+    ledger as the plain layout, and (b) a crash injected BEFORE the
+    manifest rename leaves the previous snapshot fully intact — the
+    checkpoint replay then converges to the crash-free result (the
+    window merge_into_graph documents for the plain layout cannot
+    tear here)."""
+    from knowledge_harvest_from_lms_spark.sources.fixtures import (
+        FIXTURE_RELATIONS,
+    )
+    from knowledge_harvest_from_lms_spark.streaming.relations import (
+        harvested_rels,
+    )
+    from knowledge_harvest_from_lms_spark import txn as txn_mod
+
+    plain, tx = str(tmp_path / "plain"), str(tmp_path / "tx")
+    for base, use_txn in ((plain, False), (tx, True)):
+        drop = base + "__drop"
+        graph = base + "__graph"  # plain mode writes here; txn ignores
+        _drop_df(spark, FIXTURE_RELATIONS[:1]).write.mode("append").parquet(drop)
+        _drain(spark, drop, base, base + "__ckpt", graph, use_txn)
+        _drop_df(spark, FIXTURE_RELATIONS[:2]).write.mode("append").parquet(drop)
+        if use_txn:
+            # crash the second batch after its generation writes but
+            # before the manifest can be staged
+            real = txn_mod._write_small_file
+
+            def _boom(*a, **k):
+                raise RuntimeError("injected crash before manifest")
+
+            monkeypatch.setattr(txn_mod, "_write_small_file", _boom)
+            with pytest.raises(Exception):
+                _drain(spark, drop, base, base + "__ckpt", graph, use_txn)
+            monkeypatch.setattr(txn_mod, "_write_small_file", real)
+            # snapshot is the UNTORN batch-1 state: ledger, vertices
+            # and edges all still agree (no mixed generation)
+            assert harvested_rels(spark, base) == {"CapableOf"}
+            log = txn_mod.TxnLog(spark, base)
+            assert log.latest()[0] == 1
+            edge_rels = {
+                r.rel
+                for r in log.read("edges").select("rel").distinct().collect()
+            }
+            assert edge_rels == {"CapableOf"}
+            # replay drains the crashed batch to completion
+        _drain(spark, drop, base, base + "__ckpt", graph, use_txn)
+        assert harvested_rels(spark, base) == {"CapableOf", "AtLocation"}
+
+    # full parity: crash+replay txn graph == crash-free plain graph
+    assert _graph_state(spark, tx, True) == _graph_state(spark, plain, False)
+    # triples parity too (both layouts share the plain triples table)
+    t_plain = sorted(
+        map(
+            tuple,
+            spark.read.parquet(plain + "/triples")
+            .select("rel", "ents", "score", "rank").collect(),
+        )
+    )
+    t_tx = sorted(
+        map(
+            tuple,
+            spark.read.parquet(tx + "/triples")
+            .select("rel", "ents", "score", "rank").collect(),
+        )
+    )
+    assert t_plain == t_tx
+    # the crashed generation dirs are vacuumable garbage, and vacuum
+    # never touches the live snapshot
+    log = txn_mod.TxnLog(spark, tx)
+    log.vacuum(retain=1, inflight_grace_s=0)
+    assert harvested_rels(spark, tx) == {"CapableOf", "AtLocation"}
+    assert _graph_state(spark, tx, True) == _graph_state(spark, plain, False)
+
+
+def test_empty_append_reads_via_recorded_schema(spark, tmp_path):
+    """An all-empty generation (zero-row write → parquet dir with no
+    data files) reads back through the manifest's recorded writer
+    schema with NO caller-side schema plumbing — the
+    UNABLE_TO_INFER_SCHEMA hazard the streaming path hit in r3 stays
+    structurally closed in txn mode."""
+    log = TxnLog(spark, str(tmp_path / "g"))
+    schema = "k string, v long"
+    log.commit(appends={"ledger": _df(spark, [], schema)})
+    assert log.read("ledger").collect() == []  # empty-only read works
+    log.commit(appends={"ledger": _df(spark, [("a", 1)], schema)})
+    assert _rows(log.read("ledger")) == [("a", 1)]
+    assert [f.name for f in log.read("ledger").schema.fields] == ["k", "v"]
