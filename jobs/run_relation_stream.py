@@ -43,6 +43,12 @@ def main() -> None:
                    help="atomic per-batch commits: ledger + graph + indexes "
                         "land in one TxnLog generation under --out (crash "
                         "anywhere leaves the previous generation intact)")
+    p.add_argument("--maintain", action="store_true",
+                   help="with --txn: after the drain, compact append tables "
+                        "whose generation-dir count exceeds --maintain-max-dirs "
+                        "(one dir accrues per micro-batch) and vacuum old "
+                        "snapshots — the routine small-file maintenance pass")
+    p.add_argument("--maintain-max-dirs", type=int, default=8)
     p.add_argument("--synth-drop", type=int, default=0,
                    help="write the first N fixture relations into --drops first (sandbox)")
     p.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 16)))
@@ -90,6 +96,18 @@ def main() -> None:
     )
     q.awaitTermination()
     from knowledge_harvest_from_lms_spark.fsutil import hadoop_exists
+
+    if args.maintain and args.txn:
+        from knowledge_harvest_from_lms_spark.txn import TxnLog, is_txn_root, maintain
+
+        if is_txn_root(spark, args.out):
+            stats = maintain(
+                TxnLog(spark, args.out), max_dirs=args.maintain_max_dirs
+            )
+            print(
+                f"maintain: compacted={stats['compacted']} "
+                f"vacuumed={stats['vacuumed']} paths"
+            )
 
     done = sorted(harvested_rels(spark, args.out))
     # a drain that found no new drops is a normal cron outcome: the

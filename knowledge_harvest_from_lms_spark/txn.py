@@ -230,7 +230,98 @@ class TxnLog:
             )
         return v
 
+    # ---- changelog ----------------------------------------------
+    def read_changes(
+        self, table: str, since_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """CDC read: exactly the rows appended to ``table`` AFTER
+        ``since_version``, up to ``to_version`` (default latest).
+        Because appends only ever ADD generation dirs, the delta is
+        the set difference of the two manifests' dir lists — an exact,
+        metadata-only changelog with zero data scanned beyond the new
+        rows themselves (the incremental-consumer pattern: feed only
+        new ledger rows / new index entries downstream instead of
+        re-reading a table that grows with the stream's lifetime).
+
+        Raises ``ValueError`` if any commit in the range overwrote or
+        compacted the table (its old dirs are then no longer part of
+        the new snapshot, so "what changed" is no longer expressible
+        as added files) — same contract as Delta/Iceberg CDC past a
+        rewrite without a row-level changelog."""
+        if to_version is None:
+            to_version, to_m = self.latest()
+        else:
+            to_m = self._load(to_version)
+            if to_m is None:
+                raise FileNotFoundError(
+                    f"no committed manifest v{to_version} under {self.root}"
+                )
+        if since_version == 0:
+            old_dirs: list[str] = []
+        else:
+            since_m = self._load(since_version)
+            if since_m is None:
+                raise FileNotFoundError(
+                    f"no committed manifest v{since_version} under {self.root}"
+                )
+            old_dirs = since_m["tables"].get(table, [])
+        new_dirs = to_m["tables"].get(table, [])
+        if not set(old_dirs) <= set(new_dirs):
+            raise ValueError(
+                f"table {table!r} was overwritten or compacted between "
+                f"v{since_version} and v{to_version}; append-changelog is "
+                "not expressible past a rewrite"
+            )
+        from pyspark.sql import types as T
+
+        schema = None
+        if table in to_m.get("schemas", {}):
+            schema = T.StructType.fromJson(json.loads(to_m["schemas"][table]))
+        added = [d for d in new_dirs if d not in set(old_dirs)]
+        if not added:
+            if schema is None:
+                raise FileNotFoundError(
+                    f"table {table!r} not in {self.root} log"
+                )
+            return self.sess.createDataFrame([], schema)
+        reader = self.sess.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*[f"{self.root}/{d}" for d in added])
+
     # ---- maintenance --------------------------------------------
+    def _table_bytes(self, dirs: list[str]) -> int:
+        total = 0
+        for d in dirs:
+            fs, p = _fs_and_path(self.sess, f"{self.root}/{d}")
+            if fs.exists(p):
+                total += fs.getContentSummary(p).getLength()
+        return total
+
+    def compact(
+        self, table: str, target_file_bytes: int = 128 * 1024 * 1024
+    ) -> int:
+        """Rewrite ``table``'s generation dirs into ONE dir of evenly
+        bin-packed files (~``target_file_bytes`` each), committed as an
+        overwrite. This is the maintenance half of streaming appends:
+        one micro-batch = one small dir, so a month of batches is tens
+        of thousands of tiny files unless compacted. Snapshot readers
+        pinned to older versions are unaffected (old dirs are immutable
+        until :meth:`vacuum`); ``read_changes`` across the compaction
+        boundary raises by design. Returns the committed version."""
+        _, m = self.latest()
+        dirs = m["tables"].get(table)
+        if not dirs:
+            raise FileNotFoundError(f"table {table!r} not in {self.root} log")
+        nbytes = self._table_bytes(dirs)
+        nparts = max(1, -(-nbytes // max(1, target_file_bytes)))
+        df = self.read(table).repartition(int(nparts))
+        return self.commit(
+            overwrites={table: df},
+            meta={"compaction": {"table": table, "from_dirs": len(dirs)}},
+        )
+
+
     def vacuum(self, retain: int = 2, inflight_grace_s: int = 3600) -> list[str]:
         """Delete generation dirs no retained manifest references and
         manifests older than the newest ``retain``. Dirs stamped with
@@ -288,6 +379,27 @@ class TxnLog:
                     hadoop_delete(self.sess, f"{self._txn_dir()}/{name}")
                     deleted.append(f"{self._txn_dir()}/{name}")
         return deleted
+
+
+def maintain(
+    log: TxnLog,
+    max_dirs: int = 8,
+    retain: int = 2,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Routine log maintenance: compact every table whose generation-dir
+    count exceeds ``max_dirs`` (streaming appends add one dir per
+    micro-batch), then vacuum manifests/dirs beyond ``retain``
+    versions. Safe to run any time the single writer is quiescent;
+    snapshot readers of retained versions are unaffected. Returns
+    ``{"compacted": [tables], "vacuumed": n_paths}``."""
+    compacted = []
+    for table, dirs in sorted(log.tables().items()):
+        if len(dirs) > max_dirs:
+            log.compact(table, target_file_bytes=target_file_bytes)
+            compacted.append(table)
+    vacuumed = log.vacuum(retain=retain)
+    return {"compacted": compacted, "vacuumed": len(vacuumed)}
 
 
 def is_txn_root(sess: SparkSession, root: str) -> bool:

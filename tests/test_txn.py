@@ -141,6 +141,73 @@ def test_vacuum_retention_keeps_window(spark, tmp_path):
         log.read("t", version=1)
 
 
+def test_read_changes_exact_append_delta(spark, tmp_path):
+    """CDC: read_changes returns exactly the rows appended in the
+    version range — metadata-only dir diff, no rescan of old data."""
+    log = TxnLog(spark, str(tmp_path / "g"))
+    v1 = log.commit(appends={"ledger": _df(spark, [("r1", 10)])})
+    v2 = log.commit(appends={"ledger": _df(spark, [("r2", 20), ("r3", 30)])})
+    v3 = log.commit(overwrites={"other": _df(spark, [("x", 1)])})  # no-op for ledger
+    v4 = log.commit(appends={"ledger": _df(spark, [("r4", 40)])})
+    assert _rows(log.read_changes("ledger", since_version=v1)) == [
+        ("r2", 20), ("r3", 30), ("r4", 40),
+    ]
+    assert _rows(log.read_changes("ledger", v1, to_version=v2)) == [
+        ("r2", 20), ("r3", 30),
+    ]
+    # since=0 means "everything"
+    assert _rows(log.read_changes("ledger", 0)) == [
+        ("r1", 10), ("r2", 20), ("r3", 30), ("r4", 40),
+    ]
+    # a range where nothing was appended is empty WITH the schema
+    empty = log.read_changes("ledger", v2, to_version=v3)
+    assert empty.collect() == []
+    assert [f.name for f in empty.schema.fields] == ["k", "v"]
+    # an overwrite in range breaks the append-changelog contract
+    v5 = log.commit(overwrites={"ledger": _df(spark, [("fresh", 1)])})
+    with pytest.raises(ValueError, match="overwritten or compacted"):
+        log.read_changes("ledger", v4, to_version=v5)
+    # ...but CDC resumes cleanly past the rewrite
+    v6 = log.commit(appends={"ledger": _df(spark, [("r5", 50)])})
+    assert _rows(log.read_changes("ledger", v5, to_version=v6)) == [("r5", 50)]
+
+
+def test_compact_and_maintain(spark, tmp_path):
+    """Compaction folds per-batch append dirs into one generation,
+    preserving rows and snapshot isolation; maintain() applies it to
+    every table past the dir threshold, then vacuums."""
+    from knowledge_harvest_from_lms_spark.txn import maintain
+
+    log = TxnLog(spark, str(tmp_path / "g"))
+    expect = []
+    for i in range(10):
+        log.commit(appends={"bands": _df(spark, [(f"e{i}", i)]).coalesce(1)})
+        expect.append((f"e{i}", i))
+    assert len(log.tables()["bands"]) == 10
+    pre_v = log.latest()[0]
+    v = log.compact("bands")
+    assert v == pre_v + 1
+    assert len(log.tables()["bands"]) == 1
+    assert _rows(log.read("bands")) == expect
+    # pinned old snapshot still readable until vacuum
+    assert len(log.read("bands", version=pre_v).collect()) == 10
+    # manifest records the compaction
+    assert log.latest()[1]["meta"]["compaction"]["table"] == "bands"
+
+    # maintain: grow another table past the threshold, leave one small
+    for i in range(4):
+        log.commit(appends={"variants": _df(spark, [(f"v{i}", i)]).coalesce(1)})
+    stats = maintain(log, max_dirs=3, retain=2)
+    assert stats["compacted"] == ["variants"]
+    assert len(log.tables()["variants"]) == 1
+    assert len(log.tables()["bands"]) == 1  # under threshold: untouched
+    assert stats["vacuumed"] > 0
+    assert _rows(log.read("bands")) == expect
+    assert _rows(log.read("variants")) == [(f"v{i}", i) for i in range(4)]
+    # only the retained window of manifests survives
+    assert len(log.versions()) == 2
+
+
 def _drain(spark, drop, out, ckpt, graph, txn):
     from knowledge_harvest_from_lms_spark.config import HarvestConfig
     from knowledge_harvest_from_lms_spark.streaming.relations import (
