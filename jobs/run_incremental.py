@@ -33,7 +33,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--drops", default="/tmp/kg_drops", help="crawl-drop parquet dir (streamed)")
-    p.add_argument("--triples", required=True, help="harvested triples parquet")
+    p.add_argument("--triples", default=None, help="harvested triples parquet")
+    p.add_argument("--harvest-root", default=None,
+                   help="TxnLog root written by run_relation_stream --txn: "
+                        "triples are read from <root>/triples and the rerank "
+                        "runs CDC off the ledger changelog, committing the "
+                        "ranking back into the log (table 'reranked')")
     p.add_argument("--totals", default="/tmp/kg_warehouse/mention_totals")
     p.add_argument("--reranked", default="/tmp/kg_warehouse/triples_support_ranked")
     p.add_argument("--checkpoints", default="/tmp/kg_checkpoints/incremental")
@@ -52,26 +57,40 @@ def main() -> None:
     from knowledge_harvest_from_lms_spark.streaming.incremental import (
         grounded_view,
         incremental_rerank,
+        incremental_rerank_txn,
         start_incremental_grounding,
     )
 
+    if (args.triples is None) == (args.harvest_root is None):
+        p.error("exactly one of --triples / --harvest-root is required")
     spark = get_session(cpus=args.cpus, app_name="kg-incremental")
     if args.synth_drop:
         synth_web_pages(spark, args.synth_drop).write.mode("append").parquet(args.drops)
 
-    triples = spark.read.parquet(args.triples)
+    triples_path = args.triples or args.harvest_root.rstrip("/") + "/triples"
+    triples = spark.read.parquet(triples_path)
     stream = spark.readStream.schema(WEB_PAGES_SCHEMA).parquet(args.drops)
     q = start_incremental_grounding(
         spark, stream, triples, args.totals, args.checkpoints, track_changes=True
     )
     q.awaitTermination()
 
-    reranked = incremental_rerank(
-        spark, triples, args.totals, args.reranked, alpha=args.alpha
-    )
+    if args.harvest_root:
+        reranked = incremental_rerank_txn(
+            spark, args.harvest_root, args.totals, alpha=args.alpha
+        )
+    else:
+        reranked = incremental_rerank(
+            spark, triples, args.totals, args.reranked, alpha=args.alpha
+        )
     grounded = grounded_view(spark, triples, args.totals, args.min_mentions)
+    where = (
+        f"{args.harvest_root} (log table 'reranked')"
+        if args.harvest_root
+        else args.reranked
+    )
     print(
-        f"reranked={reranked.count()} rows at {args.reranked}; "
+        f"reranked={reranked.count()} rows at {where}; "
         f"grounded(min_mentions={args.min_mentions})={grounded.count()} "
         f"triples; totals at {args.totals}"
     )

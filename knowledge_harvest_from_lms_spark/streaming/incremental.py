@@ -212,6 +212,121 @@ def incremental_rerank(
     return spark.read.parquet(reranked_path)
 
 
+def incremental_rerank_txn(
+    spark: SparkSession,
+    out_dir: str,
+    totals_path: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """CDC-driven refresh of the support-ranked table for a
+    :class:`~..txn.TxnLog` harvest root (the ``txn=True`` mode of
+    ``harvest_relation_stream``).
+
+    Where :func:`incremental_rerank` must DIFF the full current triple
+    table against the full persisted ranking to find drifted relations
+    (O(harvest size) per drop), this variant reads the log's
+    ``harvested_rels`` ledger CHANGELOG: on the txn path a relation's
+    triple set changes only when a batch harvests it and appends its
+    ledger row, so ``read_changes("harvested_rels", cursor)`` names
+    exactly the relations needing a rescore — a metadata-only dir diff
+    plus the handful of new ledger rows, independent of how large the
+    harvest has grown. Entity-support deltas still come from the
+    ``<totals>.changed`` feed (``track_changes=True``), same as the
+    plain variant. (Triples edited out-of-band — not through the
+    streaming harvest — are invisible to the ledger; use
+    :func:`incremental_rerank` for that layout.)
+
+    The refreshed ranking commits INTO the log as table ``reranked``
+    with its source version in the commit meta — the cursor the next
+    call resumes from. Falls back to a full rescore whenever the
+    incremental contract can't be proven: no previous ranking, a
+    vacuumed cursor manifest, or a ledger compaction inside the range
+    (``read_changes`` raises past a rewrite by design). If the
+    harvest stream commits between this function's snapshot and its
+    own commit, those batches simply stay ahead of the recorded
+    cursor and are picked up next call — over-inclusion at worst,
+    never a missed rescore."""
+    from ..txn import TxnLog
+    from .relations import _triples_path
+
+    log = TxnLog(spark, out_dir)
+    src_v, _ = log.latest()
+    tpath = _triples_path(out_dir)
+    if hadoop_exists(spark, tpath):
+        # rel is a partition directory: cast pins numeric-looking
+        # relation names back to string (the stream's own readers pin
+        # an explicit schema for the same reason)
+        triples = spark.read.parquet(tpath).withColumn(
+            "rel", F.col("rel").cast("string")
+        )
+    else:
+        # cron'd rerank before the first drop ever harvested
+        triples = spark.createDataFrame(
+            [], "rel string, ents array<string>, weight double, rank int"
+        )
+    totals = (
+        spark.read.parquet(totals_path)
+        if hadoop_exists(spark, totals_path)
+        else spark.createDataFrame([], "ent string, n_mentions long, n_batches long")
+    )
+
+    cursor = None
+    if log.has_table("reranked"):
+        for v in reversed(log.versions()):
+            meta = log.commit_meta(v)
+            if meta is not None and "rerank" in meta:
+                cursor = int(meta["rerank"]["source_version"])
+                break
+    delta_rels = None
+    if cursor is not None:
+        try:
+            delta_rels = (
+                log.read_changes("harvested_rels", cursor, to_version=src_v)
+                .select("rel")
+                .distinct()
+            )
+        except (ValueError, FileNotFoundError):
+            # ledger compacted inside the range, or the cursor's
+            # manifest aged out of the vacuum window: the append
+            # changelog is no longer expressible — rescore everything
+            delta_rels = None
+
+    changed_path = _changed_path(totals_path)
+    if delta_rels is None:
+        out = rerank_with_support(triples, totals, alpha)
+    else:
+        if hadoop_exists(spark, changed_path):
+            changed = spark.read.parquet(changed_path).select(
+                F.lower("ent").alias("ent")
+            ).distinct()
+        else:
+            changed = spark.createDataFrame([], "ent string")
+        touched = (
+            triples.select("rel", F.explode("ents").alias("ent"))
+            .withColumn("ent", F.lower("ent"))
+            .join(F.broadcast(changed), "ent", "left_semi")
+            .select("rel")
+            .distinct()
+        )
+        affected = touched.unionByName(delta_rels).distinct()
+        existing = log.read("reranked")
+        cur_rels = triples.select("rel").distinct()
+        fresh = rerank_with_support(
+            triples.join(F.broadcast(affected), "rel", "left_semi"), totals, alpha
+        )
+        kept = existing.join(F.broadcast(affected), "rel", "left_anti").join(
+            F.broadcast(cur_rels), "rel", "left_semi"
+        )
+        out = kept.unionByName(fresh)
+
+    log.commit(
+        overwrites={"reranked": out},
+        meta={"rerank": {"source_version": int(src_v), "alpha": alpha}},
+    )
+    hadoop_delete(spark, changed_path)
+    return log.read("reranked")
+
+
 def grounded_view(
     spark: SparkSession, triples: DataFrame, totals_path: str, min_mentions: int = 1
 ) -> DataFrame:

@@ -184,6 +184,14 @@ class TxnLog:
     def has_table(self, table: str) -> bool:
         return table in self.tables()
 
+    def commit_meta(self, version: int) -> dict | None:
+        """The ``meta`` dict commit ``version`` recorded (``None`` for
+        a torn or vacuumed manifest). Lets incremental consumers find
+        their cursor — e.g. the newest commit whose meta carries their
+        checkpoint key — without reading any table data."""
+        m = self._load(version)
+        return None if m is None else dict(m.get("meta", {}))
+
     # ---- commit -------------------------------------------------
     def commit(
         self,

@@ -344,3 +344,91 @@ def test_stage_overwrite_all_cleans_stale_tmp(spark, tmp_path):
     stage_overwrite(spark.createDataFrame([(1,), (2,)], "x int"), path)
     assert sorted(r.x for r in spark.read.parquet(path).collect()) == [1, 2]
     assert not os.path.exists(stale)
+
+
+def test_incremental_rerank_txn_cdc(spark, tmp_path):
+    """TxnLog-rooted rerank: affected relations come from the ledger
+    CHANGELOG (read_changes) + the entity delta feed — never from a
+    full-table drift diff. Observable discriminator: totals that move
+    under a relation NOT named by either feed leave its persisted rows
+    stale-carried; a ledger compaction inside the range forces the
+    full-rescore fallback, which then picks the new totals up."""
+    import os
+
+    from knowledge_harvest_from_lms_spark.streaming.incremental import (
+        incremental_rerank_txn,
+    )
+    from knowledge_harvest_from_lms_spark.txn import TxnLog
+
+    out = str(tmp_path / "wh")
+    totals = str(tmp_path / "totals")
+    log = TxnLog(spark, out)
+
+    def write_rel(rel, rows):
+        spark.createDataFrame(
+            [(rel, *r) for r in rows],
+            "rel string, ents array<string>, weight double, rank int",
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("rel").parquet(out + "/triples")
+        log.commit(appends={"harvested_rels": spark.createDataFrame(
+            [(rel, 0, len(rows))], "rel string, batch_id long, n_triples long"
+        ).coalesce(1)})
+
+    def write_totals(rows):
+        spark.createDataFrame(
+            rows, "ent string, n_mentions long, n_batches long"
+        ).write.mode("overwrite").parquet(totals)
+
+    write_rel("AtLocation", [(["giraffe", "africa"], 0.4, 2),
+                             (["unicorn", "atlantis"], 0.6, 1)])
+    write_rel("CapableOf", [(["bird", "fly"], 0.7, 1),
+                            (["fish", "sing"], 0.3, 2)])
+    write_totals([("giraffe", 5, 1), ("africa", 5, 1)])
+
+    # first call: no previous ranking -> full rescore, cursor recorded
+    r1 = incremental_rerank_txn(spark, out, totals, alpha=1.0)
+    rows1 = {(r.rel, tuple(r.ents)): r.support_rank for r in r1.collect()}
+    assert rows1[("AtLocation", ("giraffe", "africa"))] == 1  # support flip
+    assert rows1[("CapableOf", ("bird", "fly"))] == 1
+    v1, m1 = log.latest()
+    assert m1["meta"]["rerank"]["source_version"] == v1 - 1
+
+    # new relation lands via the ledger; totals ALSO move under
+    # CapableOf — but no .changed feed names its entities and its
+    # ledger rows are pre-cursor, so its stale rows must carry over
+    # while the new relation scores against the NEW totals
+    write_rel("HasA", [(["tree", "leaf"], 0.5, 1)])
+    write_totals([("giraffe", 5, 1), ("africa", 5, 1),
+                  ("fish", 9, 1), ("sing", 9, 1), ("tree", 9, 1),
+                  ("leaf", 9, 1)])
+    r2 = incremental_rerank_txn(spark, out, totals, alpha=1.0)
+    got2 = {(r.rel, tuple(r.ents)): (r.support_rank, r.min_ent_mentions)
+            for r in r2.collect()}
+    assert got2[("HasA", ("tree", "leaf"))] == (1, 9)       # fresh, new totals
+    assert got2[("CapableOf", ("fish", "sing"))] == (2, 0)  # stale carry-over
+    assert got2[("AtLocation", ("giraffe", "africa"))] == (1, 5)
+
+    # the entity delta feed routes a rescore to CapableOf only
+    spark.createDataFrame([("fish",)], "ent string").write.mode(
+        "append"
+    ).parquet(totals + ".changed")
+    r3 = incremental_rerank_txn(spark, out, totals, alpha=1.0)
+    got3 = {(r.rel, tuple(r.ents)): (r.support_rank, r.min_ent_mentions)
+            for r in r3.collect()}
+    # 0.3*(1+ln(10)) ~ 1.0 > 0.7 -> fish/sing overtakes with min=9
+    assert got3[("CapableOf", ("fish", "sing"))] == (1, 9)
+    assert not os.path.exists(totals + ".changed")  # feed consumed
+
+    # compaction inside the range breaks the append changelog -> the
+    # next call must FULL-rescore (everything sees current totals)
+    write_totals([("unicorn", 50, 1), ("atlantis", 50, 1)])
+    log.compact("harvested_rels")
+    r4 = incremental_rerank_txn(spark, out, totals, alpha=1.0)
+    got4 = {(r.rel, tuple(r.ents)): (r.support_rank, r.min_ent_mentions)
+            for r in r4.collect()}
+    assert got4[("AtLocation", ("unicorn", "atlantis"))] == (1, 50)
+    assert got4[("AtLocation", ("giraffe", "africa"))] == (2, 0)
+    # steady state resumes incrementally after the fallback commit
+    vN, mN = log.latest()
+    assert mN["meta"]["rerank"]["source_version"] == vN - 1
