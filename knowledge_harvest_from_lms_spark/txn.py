@@ -307,15 +307,25 @@ class TxnLog:
         return total
 
     def compact(
-        self, table: str, target_file_bytes: int = 128 * 1024 * 1024
+        self,
+        table: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        sort_by: list[str] | None = None,
     ) -> int:
         """Rewrite ``table``'s generation dirs into ONE dir of evenly
         bin-packed files (~``target_file_bytes`` each), committed as an
         overwrite. This is the maintenance half of streaming appends:
         one micro-batch = one small dir, so a month of batches is tens
-        of thousands of tiny files unless compacted. Snapshot readers
-        pinned to older versions are unaffected (old dirs are immutable
-        until :meth:`vacuum`); ``read_changes`` across the compaction
+        of thousands of tiny files unless compacted.
+
+        With ``sort_by``, the rewrite range-partitions on those
+        columns and sorts within each file (Iceberg's sorted
+        compaction / Delta Z-order's single-key case): files then
+        carry disjoint key ranges, so parquet min/max footer stats let
+        a key-predicate scan skip every non-matching file — the layout
+        the band/variant index probes want. Snapshot readers pinned to
+        older versions are unaffected (old dirs are immutable until
+        :meth:`vacuum`); ``read_changes`` across the compaction
         boundary raises by design. Returns the committed version."""
         _, m = self.latest()
         dirs = m["tables"].get(table)
@@ -323,10 +333,25 @@ class TxnLog:
             raise FileNotFoundError(f"table {table!r} not in {self.root} log")
         nbytes = self._table_bytes(dirs)
         nparts = max(1, -(-nbytes // max(1, target_file_bytes)))
-        df = self.read(table).repartition(int(nparts))
+        df = self.read(table)
+        if sort_by:
+            from pyspark.sql import functions as F
+
+            cols = [F.col(c) for c in sort_by]
+            df = df.repartitionByRange(int(nparts), *cols).sortWithinPartitions(
+                *cols
+            )
+        else:
+            df = df.repartition(int(nparts))
         return self.commit(
             overwrites={table: df},
-            meta={"compaction": {"table": table, "from_dirs": len(dirs)}},
+            meta={
+                "compaction": {
+                    "table": table,
+                    "from_dirs": len(dirs),
+                    **({"sort_by": list(sort_by)} if sort_by else {}),
+                }
+            },
         )
 
 
@@ -389,22 +414,44 @@ class TxnLog:
         return deleted
 
 
+# sorted-compaction cluster keys for the engine's own streaming-append
+# tables: the probe pattern is an equi-join on these columns, so
+# range-partitioned sorted files turn each probe into a footer-stat
+# file skip instead of a full scan
+DEFAULT_SORT_KEYS: dict[str, list[str]] = {
+    "vertex_bands": ["band", "bucket"],
+    "vertex_variants": ["k"],
+    "harvested_rels": ["rel"],
+}
+
+
 def maintain(
     log: TxnLog,
     max_dirs: int = 8,
     retain: int = 2,
     target_file_bytes: int = 128 * 1024 * 1024,
+    sort_keys: dict[str, list[str]] | None = None,
 ) -> dict:
     """Routine log maintenance: compact every table whose generation-dir
     count exceeds ``max_dirs`` (streaming appends add one dir per
     micro-batch), then vacuum manifests/dirs beyond ``retain``
-    versions. Safe to run any time the single writer is quiescent;
-    snapshot readers of retained versions are unaffected. Returns
-    ``{"compacted": [tables], "vacuumed": n_paths}``."""
+    versions. ``sort_keys`` (default :data:`DEFAULT_SORT_KEYS`) maps
+    table → cluster columns for sorted compaction; keys naming columns
+    the table doesn't carry are ignored. Safe to run any time the
+    single writer is quiescent; snapshot readers of retained versions
+    are unaffected. Returns ``{"compacted": [tables], "vacuumed":
+    n_paths}``."""
+    if sort_keys is None:
+        sort_keys = DEFAULT_SORT_KEYS
     compacted = []
     for table, dirs in sorted(log.tables().items()):
         if len(dirs) > max_dirs:
-            log.compact(table, target_file_bytes=target_file_bytes)
+            keys = sort_keys.get(table)
+            if keys and not set(keys) <= set(log.read(table).columns):
+                keys = None
+            log.compact(
+                table, target_file_bytes=target_file_bytes, sort_by=keys
+            )
             compacted.append(table)
     vacuumed = log.vacuum(retain=retain)
     return {"compacted": compacted, "vacuumed": len(vacuumed)}

@@ -354,3 +354,63 @@ def test_empty_append_reads_via_recorded_schema(spark, tmp_path):
     log.commit(appends={"ledger": _df(spark, [("a", 1)], schema)})
     assert _rows(log.read("ledger")) == [("a", 1)]
     assert [f.name for f in log.read("ledger").schema.fields] == ["k", "v"]
+
+
+def test_sorted_compaction_disjoint_file_ranges(spark, tmp_path):
+    """compact(sort_by=...) range-partitions + sorts the rewrite, so
+    the output parquet files carry DISJOINT key ranges — the footer
+    min/max stats a key-predicate scan needs to skip non-matching
+    files. Verified directly against the files' row-group stats."""
+    import pyarrow.parquet as pq
+
+    from knowledge_harvest_from_lms_spark.txn import maintain
+
+    log = TxnLog(spark, str(tmp_path / "g"))
+    import random
+
+    rng = random.Random(7)
+    keys = [f"k{rng.randrange(10_000):05d}" for _ in range(600)]
+    for chunk in range(6):  # six interleaved appends: every dir spans the
+        rows = [(k, i) for i, k in enumerate(keys[chunk::6])]  # full range
+        log.commit(appends={"bands": _df(spark, rows).coalesce(1)})
+    expect = sorted(_rows(log.read("bands")))
+    # force >1 output file so disjointness is non-trivial
+    nbytes = log._table_bytes(log.latest()[1]["tables"]["bands"])
+    log.compact("bands", target_file_bytes=nbytes // 4, sort_by=["k"])
+    assert sorted(_rows(log.read("bands"))) == expect
+    gen = log.tables()["bands"]
+    assert len(gen) == 1
+    import os
+
+    files = [
+        os.path.join(gen[0], f)
+        for f in os.listdir(gen[0])
+        if f.endswith(".parquet")
+    ]
+    assert len(files) >= 2
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        col = next(
+            i for i in range(len(md.schema))
+            if md.schema.column(i).name == "k"
+        )
+        mins = [md.row_group(r).column(col).statistics.min for r in range(md.num_row_groups)]
+        maxs = [md.row_group(r).column(col).statistics.max for r in range(md.num_row_groups)]
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo_a, hi_a), (lo_b, _) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b, f"overlapping file key ranges: {ranges}"
+    # manifest records the cluster key
+    assert log.latest()[1]["meta"]["compaction"]["sort_by"] == ["k"]
+
+    # maintain() applies the default keys only when the columns exist
+    for i in range(4):
+        log.commit(appends={"harvested_rels": spark.createDataFrame(
+            [(f"r{i}", i, 1)], "rel string, batch_id long, n_triples long"
+        ).coalesce(1)})
+    stats = maintain(log, max_dirs=3, retain=2)
+    assert stats["compacted"] == ["harvested_rels"]
+    # vacuum adds no manifest, so the latest commit IS this compaction
+    # and it picked the default cluster key for the ledger
+    assert log.latest()[1]["meta"]["compaction"]["sort_by"] == ["rel"]
