@@ -414,3 +414,93 @@ def test_sorted_compaction_disjoint_file_ranges(spark, tmp_path):
     # vacuum adds no manifest, so the latest commit IS this compaction
     # and it picked the default cluster key for the ledger
     assert log.latest()[1]["meta"]["compaction"]["sort_by"] == ["rel"]
+
+
+def test_txn_random_walk_vs_model(spark, tmp_path):
+    """Model-based check of the log lifecycle: a seeded random walk of
+    append / overwrite / compact / snapshot-pin / CDC operations,
+    verified after every step against a pure-Python reference model.
+    Catches interaction bugs the single-behavior tests can't (e.g. a
+    compaction clobbering a carried-forward sibling table, or CDC
+    misreporting after interleaved appends to several tables)."""
+    import random
+
+    rng = random.Random(20260817)
+    log = TxnLog(spark, str(tmp_path / "g"))
+    TABLES = ["ledger", "bands", "variants"]
+    model: dict[str, list] = {}          # table -> rows at latest
+    history: dict[int, dict] = {}        # version -> snapshot of model
+    appended_at: dict[int, dict] = {}    # version -> {table: rows appended}
+    compacted_at: dict[str, int] = {}    # table -> last compaction version
+    nextrow = [0]
+
+    def rows(n):
+        out = [(f"r{nextrow[0] + i}", nextrow[0] + i) for i in range(n)]
+        nextrow[0] += n
+        return out
+
+    v = 0
+    for step in range(24):
+        op = rng.choice(["append", "append", "append", "overwrite", "compact"])
+        t = rng.choice(TABLES)
+        if op == "compact" and t not in model:
+            op = "append"
+        if op == "append":
+            r = rows(rng.randrange(1, 4))
+            v = log.commit(appends={t: _df(spark, r).coalesce(1)})
+            model.setdefault(t, []).extend(r)
+            appended_at[v] = {t: r}
+        elif op == "overwrite":
+            r = rows(rng.randrange(1, 4))
+            v = log.commit(overwrites={t: _df(spark, r).coalesce(1)})
+            model[t] = list(r)
+            compacted_at[t] = v
+        else:
+            v = log.compact(t, sort_by=["k"] if rng.random() < 0.5 else None)
+            compacted_at[t] = v
+        history[v] = {k: list(rs) for k, rs in model.items()}
+
+        # latest state matches the model for every table
+        for tab, expect in model.items():
+            assert sorted(_rows(log.read(tab))) == sorted(expect), (step, tab)
+        # a random PINNED snapshot still matches what the model said then
+        pin = rng.choice(sorted(history))
+        for tab, expect in history[pin].items():
+            assert sorted(_rows(log.read(tab, version=pin))) == sorted(expect)
+        # CDC from a random since-version: valid iff no rewrite of the
+        # table in range; when valid it must equal the model's appends
+        since = rng.choice([0] + sorted(history))
+        rewritten = compacted_at.get(t, 0) > since
+        try:
+            got = sorted(_rows(log.read_changes(t, since)))
+        except ValueError:
+            # raising is legal ONLY when a rewrite actually sits in
+            # the range (and never for since=0, whose old set is empty)
+            assert rewritten and since > 0, (step, t, since, compacted_at)
+        else:
+            existed = since > 0 and t in history.get(since, {})
+            if not existed:
+                # CDC from origin, or from before the table existed:
+                # the old dir set is empty, so the delta is the whole
+                # current table
+                assert got == sorted(model[t]), (step, t, since)
+            elif not rewritten:
+                exp = [
+                    r
+                    for vv, ap in appended_at.items()
+                    if vv > since
+                    for r in ap.get(t, [])
+                ]
+                assert got == sorted(exp), (step, t, since)
+            # existed + rewritten + no raise can't happen: a rewrite
+            # drops the old dirs from the new snapshot
+            else:  # pragma: no cover - defensive
+                raise AssertionError((step, t, since, "rewrite not detected"))
+
+    # vacuum keeps the retained window readable and drops the rest
+    keep = log.versions()[-2:]
+    log.vacuum(retain=2)
+    for pin in keep:
+        if pin in history:
+            for tab, expect in history[pin].items():
+                assert sorted(_rows(log.read(tab, version=pin))) == sorted(expect)
