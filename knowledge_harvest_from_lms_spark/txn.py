@@ -355,18 +355,28 @@ class TxnLog:
         )
 
 
-    def vacuum(self, retain: int = 2, inflight_grace_s: int = 3600) -> list[str]:
+    def vacuum(
+        self,
+        retain: int = 2,
+        inflight_grace_s: int = 3600,
+        protect: set[int] | None = None,
+    ) -> list[str]:
         """Delete generation dirs no retained manifest references and
         manifests older than the newest ``retain``. Dirs stamped with
         a version NEWER than the latest commit may belong to an
         IN-FLIGHT commit, so they are deleted only once their mtime is
         older than ``inflight_grace_s`` (a crashed commit's orphans
-        age out; a live writer's staging dirs do not). Returns the
-        deleted paths."""
+        age out; a live writer's staging dirs do not). Versions in
+        ``protect`` are kept beyond the retention window (with their
+        referenced dirs) — e.g. an incremental consumer's CDC cursor,
+        whose manifest aging out would silently demote the consumer
+        to full rescans. Returns the deleted paths."""
         vs = [v for v in self.versions() if self._load(v) is not None]
         if not vs:
             return []
-        keep_vs = vs[-retain:]
+        keep_vs = sorted(set(vs[-retain:]) | {
+            v for v in (protect or set()) if v in vs
+        })
         latest_v = vs[-1]
         referenced: set[str] = set()
         for v in keep_vs:
@@ -431,16 +441,24 @@ def maintain(
     retain: int = 2,
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_keys: dict[str, list[str]] | None = None,
+    protect_cursors: bool = True,
 ) -> dict:
     """Routine log maintenance: compact every table whose generation-dir
     count exceeds ``max_dirs`` (streaming appends add one dir per
     micro-batch), then vacuum manifests/dirs beyond ``retain``
     versions. ``sort_keys`` (default :data:`DEFAULT_SORT_KEYS`) maps
     table → cluster columns for sorted compaction; keys naming columns
-    the table doesn't carry are ignored. Safe to run any time the
-    single writer is quiescent; snapshot readers of retained versions
-    are unaffected. Returns ``{"compacted": [tables], "vacuumed":
-    n_paths}``."""
+    the table doesn't carry are ignored.
+
+    ``protect_cursors`` keeps alive the manifests incremental
+    consumers resume from: for each distinct meta key, the NEWEST
+    commit whose meta records a ``source_version`` (the cursor
+    convention ``incremental_rerank_txn`` writes) protects that
+    version from the vacuum — otherwise every maintenance pass would
+    age the cursor out and silently demote the consumer to full
+    rescans. Safe to run any time the single writer is quiescent;
+    snapshot readers of retained versions are unaffected. Returns
+    ``{"compacted": [tables], "vacuumed": n_paths}``."""
     if sort_keys is None:
         sort_keys = DEFAULT_SORT_KEYS
     compacted = []
@@ -453,7 +471,20 @@ def maintain(
                 table, target_file_bytes=target_file_bytes, sort_by=keys
             )
             compacted.append(table)
-    vacuumed = log.vacuum(retain=retain)
+    protect: set[int] = set()
+    if protect_cursors:
+        seen: set[str] = set()
+        for v in reversed(log.versions()):
+            meta = log.commit_meta(v) or {}
+            for key, val in meta.items():
+                if (
+                    key not in seen
+                    and isinstance(val, dict)
+                    and "source_version" in val
+                ):
+                    seen.add(key)
+                    protect.add(int(val["source_version"]))
+    vacuumed = log.vacuum(retain=retain, protect=protect)
     return {"compacted": compacted, "vacuumed": len(vacuumed)}
 
 

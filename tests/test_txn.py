@@ -504,3 +504,55 @@ def test_txn_random_walk_vs_model(spark, tmp_path):
         if pin in history:
             for tab, expect in history[pin].items():
                 assert sorted(_rows(log.read(tab, version=pin))) == sorted(expect)
+
+
+def test_maintain_protects_cdc_cursor(spark, tmp_path):
+    """maintain() keeps the manifest an incremental consumer's cursor
+    points at (meta convention: {key: {"source_version": v}}), so
+    routine vacuums don't silently demote the consumer to full
+    rescans; with protect_cursors=False the cursor ages out and CDC
+    from it raises."""
+    from knowledge_harvest_from_lms_spark.txn import maintain
+
+    log = TxnLog(spark, str(tmp_path / "g"))
+    for i in range(3):
+        log.commit(appends={"ledger": _df(spark, [(f"r{i}", i)]).coalesce(1)})
+    cursor = log.latest()[0]
+    log.commit(
+        overwrites={"reranked": _df(spark, [("out", 1)])},
+        meta={"rerank": {"source_version": cursor}},
+    )
+    for i in range(3, 6):
+        log.commit(appends={"ledger": _df(spark, [(f"r{i}", i)]).coalesce(1)})
+
+    maintain(log, max_dirs=50, retain=2)  # no compaction, just vacuum
+    assert cursor in log.versions()  # cursor manifest survived
+    assert _rows(log.read_changes("ledger", cursor)) == [
+        ("r3", 3), ("r4", 4), ("r5", 5),
+    ]
+    # consumer advances its cursor; the OLD cursor is no longer the
+    # newest source_version for the key and ages out next pass
+    new_cursor = log.latest()[0]
+    log.commit(
+        overwrites={"reranked": _df(spark, [("out", 2)])},
+        meta={"rerank": {"source_version": new_cursor}},
+    )
+    maintain(log, max_dirs=50, retain=2)
+    assert cursor not in log.versions()
+    assert new_cursor in log.versions()
+
+    # without protection, the cursor manifest is gone immediately
+    log2 = TxnLog(spark, str(tmp_path / "g2"))
+    for i in range(3):
+        log2.commit(appends={"ledger": _df(spark, [(f"r{i}", i)]).coalesce(1)})
+    c2 = log2.latest()[0]
+    log2.commit(
+        overwrites={"reranked": _df(spark, [("out", 1)])},
+        meta={"rerank": {"source_version": c2}},
+    )
+    for i in range(3, 6):
+        log2.commit(appends={"ledger": _df(spark, [(f"r{i}", i)]).coalesce(1)})
+    maintain(log2, max_dirs=50, retain=2, protect_cursors=False)
+    assert c2 not in log2.versions()
+    with pytest.raises(FileNotFoundError):
+        log2.read_changes("ledger", c2)
