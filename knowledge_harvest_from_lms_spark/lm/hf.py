@@ -114,6 +114,22 @@ def pll_row_plan(tok, prompt: str, ent_tuple: Sequence[str]) -> tuple[list[int],
                 f"expected={ent_token_ids} got={got}"
             )
         mask_positions.extend(range(left, left + len(ent_token_ids)))
+    if len(mask_positions) != len(set(mask_positions)):
+        # two slots resolved to overlapping token spans — possible when
+        # entities share a surface form AND punctuation glued to one
+        # slot merges into its token (e.g. "<ENT0>'s <ENT1> ." with
+        # ents ("A","A") under a tokenizer that keeps "A's" whole: slot
+        # 0's first-occurrence search skips the merged token and lands
+        # on slot 1's "A"). A token can belong to only one slot, so the
+        # plan is internally inconsistent; the reference would silently
+        # double-mask here (its span assert checks ids, not occurrence
+        # identity) — we uphold the defined-error contract instead.
+        # (Fuzz-found r4; real byte-BPE/WordPiece split "A's" and are
+        # unaffected.)
+        raise PLLAlignmentError(
+            f"slot mask spans overlap: prompt={prompt!r} ents={ents!r} "
+            f"positions={mask_positions}"
+        )
     return input_ids, mask_positions
 
 

@@ -416,7 +416,7 @@ def test_spark_equals_sequential_spec_realistic(spark, lm_name):
 # this covers the space between.
 # ---------------------------------------------------------------------------
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from knowledge_harvest_from_lms_spark.lm.fake import get_cached_fake_lm
 from knowledge_harvest_from_lms_spark.lm.fake_tokenizers import (
@@ -455,6 +455,9 @@ def _prompt_and_ents(draw):
 
 @settings(max_examples=250, deadline=None)
 @given(_prompt_and_ents())
+@example(
+    pe=("<ENT0>'s <ENT1> .", ('A', 'A')),
+).via('discovered failure')
 def test_pll_row_plan_fuzz_all_tokenizer_families(pe):
     prompt, ents = pe
     backends = [
