@@ -41,6 +41,12 @@ def main() -> None:
     )
     p.add_argument("--rel-set", default="fixture", help="name for --export-json layout")
     p.add_argument(
+        "--publish-txn", default=None, metavar="DIR",
+        help="atomically publish triples/grounded/edges/vertices into "
+             "a TxnLog at DIR as ONE snapshot commit (external readers "
+             "never see a mixed-generation table set)",
+    )
+    p.add_argument(
         "--search-prompts", action="store_true",
         help="run paraphrase prompt search for relations with no "
              "searched prompts (uses the deterministic offline "
@@ -119,6 +125,17 @@ def main() -> None:
     cat = Catalog(spark, args.warehouse)
     cat.save_triples(out["triples"])
     cat.save_graph(out["edges"], out["vertices"])
+
+    if args.publish_txn:
+        from knowledge_harvest_from_lms_spark.plans.full_pipeline import (
+            publish_outputs_txn,
+        )
+
+        snap = publish_outputs_txn(
+            spark, out, args.publish_txn,
+            meta={"job": "run_harvest", "lm": args.lm},
+        )
+        print(f"published snapshot v{snap} at {args.publish_txn}")
 
     if args.export_json:
         from knowledge_harvest_from_lms_spark.sources.results_json import (

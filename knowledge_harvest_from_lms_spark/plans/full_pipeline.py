@@ -168,3 +168,34 @@ def run_full_pipeline(
         "edges": edges,
         "vertices": vertices,
     }
+
+
+def publish_outputs_txn(
+    spark: SparkSession,
+    outputs: dict[str, DataFrame],
+    root: str,
+    meta: dict | None = None,
+) -> int:
+    """Atomically publish the pipeline's consumer-facing tables
+    (triples, grounded, edges, vertices) into a :class:`~..txn.TxnLog`
+    at ``root`` as ONE commit.
+
+    The per-stage checkpoints under ``base_dir`` are single-table and
+    resume-exact for the PIPELINE itself, but an external reader
+    pointed at them during a re-run can observe a mixed set (new edges
+    with old vertices). Publishing through the log gives downstream
+    consumers the same single-pointer snapshot semantics the streaming
+    ``txn=True`` path has: every table flips together, pinned snapshot
+    reads keep working across republishes, and ``meta`` (e.g. the
+    config fingerprint) records which run produced the snapshot.
+    Returns the committed version (the snapshot id for lineage)."""
+    from ..txn import TxnLog
+
+    pub = {
+        k: outputs[k]
+        for k in ("triples", "grounded", "edges", "vertices")
+        if k in outputs
+    }
+    if not pub:
+        raise ValueError("no publishable tables in outputs")
+    return TxnLog(spark, root).commit(overwrites=pub, meta=meta or {})

@@ -556,3 +556,36 @@ def test_maintain_protects_cdc_cursor(spark, tmp_path):
     assert c2 not in log2.versions()
     with pytest.raises(FileNotFoundError):
         log2.read_changes("ledger", c2)
+
+
+def test_publish_outputs_txn_single_snapshot(spark, tmp_path):
+    """The batch pipeline's consumer-facing tables land as ONE commit:
+    a reader pinned before the republish keeps a consistent set, and
+    the meta records provenance."""
+    from knowledge_harvest_from_lms_spark.plans.full_pipeline import (
+        publish_outputs_txn,
+    )
+
+    out = {
+        "triples": _df(spark, [("t", 1)]),
+        "grounded": _df(spark, [("g", 1)]),
+        "edges": _df(spark, [("e", 1)]),
+        "vertices": _df(spark, [("v", 1)]),
+        "corpus": _df(spark, [("c", 1)]),  # intermediate: not published
+    }
+    root = str(tmp_path / "pub")
+    v1 = publish_outputs_txn(spark, out, root, meta={"cfg_fp": "abc"})
+    log = TxnLog(spark, root)
+    assert set(log.tables()) == {"triples", "grounded", "edges", "vertices"}
+    assert log.latest()[1]["meta"]["cfg_fp"] == "abc"
+    out2 = dict(out, triples=_df(spark, [("t", 2)]), edges=_df(spark, [("e", 2)]))
+    v2 = publish_outputs_txn(spark, out2, root)
+    assert (_rows(log.read("triples")), _rows(log.read("edges"))) == (
+        [("t", 2)], [("e", 2)]
+    )
+    # pinned pre-republish snapshot stays internally consistent
+    assert (_rows(log.read("triples", version=v1)),
+            _rows(log.read("edges", version=v1))) == ([("t", 1)], [("e", 1)])
+    assert v2 == v1 + 1
+    with pytest.raises(ValueError, match="no publishable"):
+        publish_outputs_txn(spark, {"corpus": out["corpus"]}, root)
