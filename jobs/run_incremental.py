@@ -43,6 +43,12 @@ def main() -> None:
     p.add_argument("--reranked", default="/tmp/kg_warehouse/triples_support_ranked")
     p.add_argument("--checkpoints", default="/tmp/kg_checkpoints/incremental")
     p.add_argument("--alpha", type=float, default=0.1)
+    p.add_argument("--txn-totals", action="store_true",
+                   help="make --totals a TxnLog root: the totals upsert and "
+                        "the changed-entity delta commit atomically per "
+                        "micro-batch (the plain layout can lose the delta "
+                        "to a crash between the two writes); the rerank "
+                        "then consumes the delta by CDC")
     p.add_argument("--min-mentions", type=int, default=1)
     p.add_argument("--synth-drop", type=int, default=0,
                    help="write N synthetic pages into --drops first (sandbox)")
@@ -71,7 +77,8 @@ def main() -> None:
     triples = spark.read.parquet(triples_path)
     stream = spark.readStream.schema(WEB_PAGES_SCHEMA).parquet(args.drops)
     q = start_incremental_grounding(
-        spark, stream, triples, args.totals, args.checkpoints, track_changes=True
+        spark, stream, triples, args.totals, args.checkpoints,
+        track_changes=True, txn=args.txn_totals,
     )
     q.awaitTermination()
 

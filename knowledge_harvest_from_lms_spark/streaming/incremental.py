@@ -42,6 +42,7 @@ def start_incremental_grounding(
     checkpoint_dir: str,
     text_col: str = "text",
     track_changes: bool = False,
+    txn: bool = False,
 ):
     """Start (availableNow) the totals-upsert stream; returns the
     StreamingQuery. Totals are ABSOLUTE running counts (the stateful
@@ -51,12 +52,42 @@ def start_incremental_grounding(
     ``track_changes=True`` additionally appends each batch's touched
     entities to ``<totals>.changed`` — the delta feed that lets
     ``incremental_rerank`` re-rank ONLY relations whose corpus support
-    moved, instead of rescoring the whole triple table per drop."""
+    moved, instead of rescoring the whole triple table per drop.
+
+    ``txn=True`` makes ``totals_path`` a :class:`~..txn.TxnLog` root:
+    the merged ``totals`` overwrite and the batch's ``changed``-entity
+    append become ONE commit. The plain layout promotes totals and
+    then appends the delta feed as two separate writes, so a crash
+    between them persists the new totals while LOSING the delta — the
+    affected relations would keep their stale ranking until some other
+    change touched them; the log closes that window (and a crash
+    before the commit replays the batch against the previous
+    snapshot, idempotently). Consumers read via
+    ``TxnLog(sess, totals_path).read("totals")`` and consume the
+    ``changed`` table by CDC (``incremental_rerank_txn``) instead of
+    a delete-after-read feed."""
     counts = streaming_mention_counts(pages_stream, triple_entities(triples), text_col)
 
     def upsert(batch_df, _bid):
         sess = batch_df.sparkSession
         batch_df = batch_df.coalesce(1)
+        if txn:
+            from ..txn import TxnLog
+
+            log = TxnLog(sess, totals_path)
+            if log.has_table("totals"):
+                old = log.read("totals")
+                merged = old.join(
+                    batch_df.select("ent"), "ent", "left_anti"
+                ).unionByName(batch_df)
+            else:
+                merged = batch_df
+            log.commit(
+                overwrites={"totals": merged},
+                appends={"changed": batch_df.select("ent").coalesce(1)},
+                meta={"batch_id": int(_bid)},
+            )
+            return
         # existence via the Hadoop FileSystem API (fsutil), NOT
         # driver-local os.path (totals_path may be s3a://... /
         # hdfs://...) and NOT a bare try/except around the read: a
@@ -237,16 +268,20 @@ def incremental_rerank_txn(
     :func:`incremental_rerank` for that layout.)
 
     The refreshed ranking commits INTO the log as table ``reranked``
-    with its source version in the commit meta — the cursor the next
-    call resumes from. Falls back to a full rescore whenever the
+    with its source version(s) in the commit meta — the cursor the
+    next call resumes from. When ``totals_path`` is itself a TxnLog
+    root (the grounding stream's ``txn=True`` mode), the
+    changed-entity delta is ALSO consumed by CDC against a
+    ``totals_version`` cursor instead of the delete-after-read
+    ``.changed`` feed. Falls back to a full rescore whenever the
     incremental contract can't be proven: no previous ranking, a
-    vacuumed cursor manifest, or a ledger compaction inside the range
+    vacuumed cursor manifest, or a compaction inside either range
     (``read_changes`` raises past a rewrite by design). If the
     harvest stream commits between this function's snapshot and its
     own commit, those batches simply stay ahead of the recorded
     cursor and are picked up next call — over-inclusion at worst,
     never a missed rescore."""
-    from ..txn import TxnLog
+    from ..txn import TxnLog, is_txn_root
     from .relations import _triples_path
 
     log = TxnLog(spark, out_dir)
@@ -264,20 +299,35 @@ def incremental_rerank_txn(
         triples = spark.createDataFrame(
             [], "rel string, ents array<string>, weight double, rank int"
         )
-    totals = (
-        spark.read.parquet(totals_path)
-        if hadoop_exists(spark, totals_path)
-        else spark.createDataFrame([], "ent string, n_mentions long, n_batches long")
+    totals_txn = is_txn_root(spark, totals_path)
+    totals_log = TxnLog(spark, totals_path) if totals_txn else None
+    empty_totals = spark.createDataFrame(
+        [], "ent string, n_mentions long, n_batches long"
     )
+    if totals_txn:
+        totals_v, _ = totals_log.latest()
+        totals = (
+            totals_log.read("totals")
+            if totals_log.has_table("totals")
+            else empty_totals
+        )
+    else:
+        totals_v = 0
+        totals = (
+            spark.read.parquet(totals_path)
+            if hadoop_exists(spark, totals_path)
+            else empty_totals
+        )
 
-    cursor = None
+    cursor = t_cursor = None
     if log.has_table("reranked"):
         for v in reversed(log.versions()):
             meta = log.commit_meta(v)
             if meta is not None and "rerank" in meta:
                 cursor = int(meta["rerank"]["source_version"])
+                t_cursor = int(meta["rerank"].get("totals_version", 0))
                 break
-    delta_rels = None
+    delta_rels = changed = None
     if cursor is not None:
         try:
             delta_rels = (
@@ -290,17 +340,31 @@ def incremental_rerank_txn(
             # manifest aged out of the vacuum window: the append
             # changelog is no longer expressible — rescore everything
             delta_rels = None
-
     changed_path = _changed_path(totals_path)
-    if delta_rels is None:
-        out = rerank_with_support(triples, totals, alpha)
-    else:
-        if hadoop_exists(spark, changed_path):
+    if delta_rels is not None:
+        if totals_txn:
+            try:
+                changed = (
+                    totals_log.read_changes(
+                        "changed", t_cursor, to_version=totals_v
+                    )
+                    .select(F.lower("ent").alias("ent"))
+                    .distinct()
+                    if totals_log.has_table("changed")
+                    else spark.createDataFrame([], "ent string")
+                )
+            except (ValueError, FileNotFoundError):
+                delta_rels = None  # totals log rewritten: full rescore
+        elif hadoop_exists(spark, changed_path):
             changed = spark.read.parquet(changed_path).select(
                 F.lower("ent").alias("ent")
             ).distinct()
         else:
             changed = spark.createDataFrame([], "ent string")
+
+    if delta_rels is None:
+        out = rerank_with_support(triples, totals, alpha)
+    else:
         touched = (
             triples.select("rel", F.explode("ents").alias("ent"))
             .withColumn("ent", F.lower("ent"))
@@ -321,9 +385,14 @@ def incremental_rerank_txn(
 
     log.commit(
         overwrites={"reranked": out},
-        meta={"rerank": {"source_version": int(src_v), "alpha": alpha}},
+        meta={"rerank": {
+            "source_version": int(src_v),
+            "totals_version": int(totals_v),
+            "alpha": alpha,
+        }},
     )
-    hadoop_delete(spark, changed_path)
+    if not totals_txn:
+        hadoop_delete(spark, changed_path)
     return log.read("reranked")
 
 
@@ -332,8 +401,17 @@ def grounded_view(
 ) -> DataFrame:
     """Triples whose EVERY entity has ≥ min_mentions in the totals
     accumulated so far; attaches min/total support (the batch analog
-    of operators/corpus_grounding.ground_triples over the stream)."""
-    totals = spark.read.parquet(totals_path).select("ent", "n_mentions")
+    of operators/corpus_grounding.ground_triples over the stream).
+    ``totals_path`` may be a plain parquet dir or a TxnLog root (the
+    grounding stream's ``txn=True`` mode)."""
+    from ..txn import TxnLog, is_txn_root
+
+    if is_txn_root(spark, totals_path):
+        totals = TxnLog(spark, totals_path).read("totals").select(
+            "ent", "n_mentions"
+        )
+    else:
+        totals = spark.read.parquet(totals_path).select("ent", "n_mentions")
     exploded = triples.select(
         "rel", "ents", "weight", F.explode("ents").alias("ent")
     ).withColumn("ent", F.lower("ent"))

@@ -432,3 +432,94 @@ def test_incremental_rerank_txn_cdc(spark, tmp_path):
     # steady state resumes incrementally after the fallback commit
     vN, mN = log.latest()
     assert mN["meta"]["rerank"]["source_version"] == vN - 1
+
+
+def test_incremental_grounding_txn_atomic_delta(spark, tmp_path):
+    """txn grounding: the totals upsert and the changed-entity delta
+    land as ONE TxnLog commit per micro-batch (the plain layout can
+    crash between the two writes and lose the delta), and the rerank
+    consumes the delta by CDC against its totals_version cursor —
+    entities changed in drop 1 don't re-trigger rescores after drop 2."""
+    from knowledge_harvest_from_lms_spark.sources.web_pages import WEB_PAGES_SCHEMA
+    from knowledge_harvest_from_lms_spark.streaming.incremental import (
+        grounded_view,
+        incremental_rerank_txn,
+        start_incremental_grounding,
+    )
+    from knowledge_harvest_from_lms_spark.txn import TxnLog
+
+    drop = str(tmp_path / "drop")
+    ckpt = str(tmp_path / "ckpt")
+    totals = str(tmp_path / "totals")   # becomes a TxnLog root
+    out = str(tmp_path / "wh")          # harvest root (TxnLog)
+    hlog = TxnLog(spark, out)
+    tlog = TxnLog(spark, totals)
+
+    triples = spark.createDataFrame(
+        [
+            ("AtLocation", ["giraffe", "africa"], 0.4, 2),
+            ("AtLocation", ["unicorn", "atlantis"], 0.6, 1),
+            ("CapableOf", ["bird", "fly"], 0.7, 1),
+            ("CapableOf", ["fish", "sing"], 0.3, 2),
+        ],
+        "rel string, ents array<string>, weight double, rank int",
+    )
+    triples.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("rel").parquet(out + "/triples")
+    hlog.commit(appends={"harvested_rels": spark.createDataFrame(
+        [("AtLocation", 0, 2), ("CapableOf", 0, 2)],
+        "rel string, batch_id long, n_triples long",
+    ).coalesce(1)})
+
+    def write_drop(rows):
+        spark.createDataFrame(
+            [(u, b"", t, "en", __import__("datetime").datetime(2024, 3, 1))
+             for u, t in rows],
+            "url string, html binary, text string, lang string, warc_ts timestamp",
+        ).select(*[f.name for f in WEB_PAGES_SCHEMA.fields]).write.mode(
+            "append"
+        ).parquet(drop)
+
+    def drain():
+        q = start_incremental_grounding(
+            spark, spark.readStream.schema(WEB_PAGES_SCHEMA).parquet(drop),
+            triples, totals, ckpt, txn=True,
+        )
+        q.awaitTermination(120)
+
+    write_drop([("u1", "giraffe africa giraffe africa giraffe africa"),
+                ("u2", "giraffe africa giraffe africa")])
+    drain()
+    # one atomic commit: totals AND changed appeared together
+    v1, m1 = tlog.latest()
+    assert set(m1["tables"]) == {"totals", "changed"}
+    assert sorted(r.ent for r in tlog.read("changed").collect()) == [
+        "africa", "giraffe",
+    ]
+    import os
+    assert not os.path.exists(totals + ".changed")  # no plain feed
+
+    r1 = incremental_rerank_txn(spark, out, totals, alpha=1.0)
+    rows1 = {(r.rel, tuple(r.ents)): r.support_rank for r in r1.collect()}
+    assert rows1[("AtLocation", ("giraffe", "africa"))] == 1  # support flip
+    # cursor recorded both versions
+    meta = hlog.latest()[1]["meta"]["rerank"]
+    assert meta["totals_version"] == v1
+
+    # drop 2 touches only CapableOf entities; AtLocation rows must
+    # carry over byte-identical (drop-1 deltas are behind the cursor)
+    before_at = sorted(map(str, r1.filter("rel = 'AtLocation'").collect()))
+    write_drop([("u3", "fish sing fish sing fish sing fish sing")])
+    drain()
+    r2 = incremental_rerank_txn(spark, out, totals, alpha=1.0)
+    after_at = sorted(map(str, r2.filter("rel = 'AtLocation'").collect()))
+    assert after_at == before_at
+    rows2 = {(r.rel, tuple(r.ents)): r.support_rank for r in r2.collect()}
+    assert rows2[("CapableOf", ("fish", "sing"))] == 1
+
+    # grounded_view reads the txn totals layout
+    g = grounded_view(spark, triples, totals, min_mentions=1)
+    assert {tuple(r.ents) for r in g.collect()} == {
+        ("giraffe", "africa"), ("fish", "sing"),
+    }
