@@ -523,3 +523,86 @@ def test_incremental_grounding_txn_atomic_delta(spark, tmp_path):
     assert {tuple(r.ents) for r in g.collect()} == {
         ("giraffe", "africa"), ("fish", "sing"),
     }
+
+
+def test_txn_lifecycle_soak_incremental_equals_full(spark, tmp_path):
+    """Soak of the whole txn lifecycle: six drops drain through the
+    atomic grounding stream, the CDC rerank consumes after every
+    drop, and maintain() compacts/vacuums mid-stream with a tiny
+    dir threshold. Golden invariant: after EVERY rerank — incremental
+    or fallback-after-compaction — the persisted table equals a
+    from-scratch rerank_with_support over the current totals, and
+    maintenance keeps per-table generation-dir counts bounded."""
+    from knowledge_harvest_from_lms_spark.sources.web_pages import WEB_PAGES_SCHEMA
+    from knowledge_harvest_from_lms_spark.streaming.incremental import (
+        incremental_rerank_txn,
+        rerank_with_support,
+        start_incremental_grounding,
+    )
+    from knowledge_harvest_from_lms_spark.txn import TxnLog, maintain
+
+    drop = str(tmp_path / "drop")
+    ckpt = str(tmp_path / "ckpt")
+    totals = str(tmp_path / "totals")
+    out = str(tmp_path / "wh")
+    hlog, tlog = TxnLog(spark, out), TxnLog(spark, totals)
+
+    triples = spark.createDataFrame(
+        [
+            ("AtLocation", ["giraffe", "africa"], 0.4, 2),
+            ("AtLocation", ["unicorn", "atlantis"], 0.6, 1),
+            ("CapableOf", ["bird", "fly"], 0.7, 1),
+            ("CapableOf", ["fish", "sing"], 0.3, 2),
+            ("HasA", ["tree", "leaf"], 0.5, 1),
+        ],
+        "rel string, ents array<string>, weight double, rank int",
+    )
+    triples.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("rel").parquet(out + "/triples")
+    hlog.commit(appends={"harvested_rels": spark.createDataFrame(
+        [("AtLocation", 0, 2), ("CapableOf", 0, 2), ("HasA", 0, 1)],
+        "rel string, batch_id long, n_triples long",
+    ).coalesce(1)})
+
+    texts = [
+        "giraffe africa giraffe",
+        "fish sing",
+        "tree leaf tree leaf tree leaf",
+        "unicorn atlantis bird fly",
+        "giraffe sing leaf",
+        "africa africa africa fish",
+    ]
+
+    def drain():
+        q = start_incremental_grounding(
+            spark, spark.readStream.schema(WEB_PAGES_SCHEMA).parquet(drop),
+            triples, totals, ckpt, txn=True,
+        )
+        q.awaitTermination(120)
+
+    def norm(df):
+        return sorted(
+            (r.rel, tuple(r.ents), r.support_rank,
+             r.min_ent_mentions, r.support_score)
+            for r in df.collect()
+        )
+
+    for i, text in enumerate(texts):
+        spark.createDataFrame(
+            [(f"u{i}", b"", text, "en",
+              __import__("datetime").datetime(2024, 3, 1))],
+            "url string, html binary, text string, lang string, warc_ts timestamp",
+        ).select(*[f.name for f in WEB_PAGES_SCHEMA.fields]).write.mode(
+            "append"
+        ).parquet(drop)
+        drain()
+        got = incremental_rerank_txn(spark, out, totals, alpha=1.0)
+        want = rerank_with_support(triples, tlog.read("totals"), alpha=1.0)
+        assert norm(got) == norm(want), f"divergence after drop {i}"
+        if i % 2 == 1:  # mid-stream maintenance with a tiny threshold
+            for log in (tlog, hlog):
+                maintain(log, max_dirs=2, retain=2)
+            assert all(len(d) <= 2 for d in tlog.tables().values())
+        # dir growth stays bounded across the whole run
+        assert all(len(d) <= 4 for d in tlog.tables().values())

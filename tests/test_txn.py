@@ -589,3 +589,27 @@ def test_publish_outputs_txn_single_snapshot(spark, tmp_path):
     assert v2 == v1 + 1
     with pytest.raises(ValueError, match="no publishable"):
         publish_outputs_txn(spark, {"corpus": out["corpus"]}, root)
+
+
+def test_schema_evolution_and_relocation(spark, tmp_path):
+    """Additive schema evolution: generations written before a column
+    existed surface it as nulls under the latest recorded schema (the
+    read() contract). Relocation: generation paths are root-relative,
+    so moving the whole group directory keeps every read working."""
+    import shutil
+
+    root = str(tmp_path / "g")
+    log = TxnLog(spark, root)
+    log.commit(appends={"ledger": _df(spark, [("a", 1)])})
+    log.commit(appends={"ledger": spark.createDataFrame(
+        [("b", 2, "x")], "k string, v long, tag string"
+    )})
+    got = {r.k: (r.v, r.tag) for r in log.read("ledger").collect()}
+    assert got == {"a": (1, None), "b": (2, "x")}
+    # CDC reads use the recorded schema too
+    assert {r.k for r in log.read_changes("ledger", 1).collect()} == {"b"}
+
+    shutil.move(root, str(tmp_path / "moved"))
+    log2 = TxnLog(spark, str(tmp_path / "moved"))
+    got2 = {r.k: (r.v, r.tag) for r in log2.read("ledger").collect()}
+    assert got2 == got
