@@ -1,0 +1,111 @@
+"""Repetition quality filters + URL canonicalization — hand-computed
+semantics checks (the sf-scale versions are oracle-checked via
+q48/q49 in test_oracle_parity)."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from knowledge_harvest_from_lms_spark.functions.urls import canonicalize_url
+from knowledge_harvest_from_lms_spark.operators.textstats import (
+    line_repetition_columns,
+    ngram_repetition_stats,
+)
+
+
+def test_line_repetition_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            # 4 non-blank lines (blank + whitespace-only excluded),
+            # "x" occurs twice -> 2 dup positions of 4; chars 2 of 4
+            Row(doc_id=0, text="x\ny\nx\n  \n\nz"),
+            # no duplicates
+            Row(doc_id=1, text="aa\nbb"),
+            # all duplicates, longer lines
+            Row(doc_id=2, text="abc\nabc\nabc"),
+            # blank-only text -> guarded zeros, no NaN/div-by-zero
+            Row(doc_id=3, text="\n \n"),
+        ]
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in line_repetition_columns(df).collect()
+    }
+    assert rows[0]["dup_line_frac"] == 0.5
+    assert rows[0]["dup_line_char_frac"] == 0.5
+    assert rows[1]["dup_line_frac"] == 0.0
+    assert rows[1]["dup_line_char_frac"] == 0.0
+    assert rows[2]["dup_line_frac"] == 1.0
+    assert rows[2]["dup_line_char_frac"] == 1.0
+    assert rows[3]["dup_line_frac"] == 0.0
+    assert rows[3]["dup_line_char_frac"] == 0.0
+
+
+def test_ngram_repetition_hand_computed(spark):
+    # "a b a b c": 9 chars, 5 tokens, 5 non-space chars
+    #   2-grams: "a b" x2, "b a", "b c" -> 4 positions, top cnt 2,
+    #     top gram non-space chars 2 -> top_char_frac 2*2/5 = 0.8,
+    #     dup positions 2/4 = 0.5
+    #   3-grams: "a b a", "b a b", "a b c" -> all unique
+    df = spark.createDataFrame([Row(doc_id=0, text="a b a b c")])
+    out = {
+        (r["doc_id"], r["n"]): r
+        for r in ngram_repetition_stats(df, ns=(2, 3)).collect()
+    }
+    g2 = out[(0, 2)]
+    assert g2["n_grams"] == 4
+    assert g2["top_gram"] == "a b"
+    assert g2["top_gram_count"] == 2
+    assert g2["top_char_frac"] == 0.8
+    assert g2["dup_gram_frac"] == 0.5
+    g3 = out[(0, 3)]
+    assert g3["n_grams"] == 3
+    assert g3["top_gram_count"] == 1
+    assert g3["dup_gram_frac"] == 0.0
+
+
+def test_ngram_repetition_short_and_ties(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="solo"),  # 1 token: no 2-gram row
+            # tie at cnt=1 between "a b" and "b z": lexicographically
+            # greatest gram wins (matches the oracle's ORDER BY)
+            Row(doc_id=1, text="a b z"),
+            # overlap can push top_char_frac past 1.0 (documented)
+            Row(doc_id=2, text="a a a a"),
+        ]
+    )
+    out = ngram_repetition_stats(df, ns=(2,)).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert 0 not in by_id
+    assert by_id[1]["top_gram"] == "b z"
+    # doc 2: 3 positions of "a a", 2 non-space gram chars, 4 doc chars
+    assert by_id[2]["top_char_frac"] == 1.5
+    assert by_id[2]["dup_gram_frac"] == 1.0
+
+
+def test_canonicalize_url_cases(spark):
+    cases = [
+        # scheme+host lowered, default port dropped, fragment dropped
+        ("HTTPS://WWW.Example.COM:443/A/B#frag", "https://www.example.com/A/B"),
+        # http default port; path case preserved
+        ("HTTP://h.example:80/Path", "http://h.example/Path"),
+        # non-default port survives
+        ("https://h.example:8443/x", "https://h.example:8443/x"),
+        # tracking params dropped, rest sorted; emptied query drops '?'
+        (
+            "https://h.example/p?utm_source=a&b=2&a=1&gclid=z",
+            "https://h.example/p?a=1&b=2",
+        ),
+        ("https://h.example/p?utm_campaign=x&fbclid=y", "https://h.example/p"),
+        # empty path -> "/"
+        ("https://h.example?z=1&a=2", "https://h.example/?a=2&z=1"),
+        ("https://h.example", "https://h.example/"),
+        # query value case preserved; param ORDER normalized only
+        ("https://h.example/p?B=UPPER&a=x", "https://h.example/p?B=UPPER&a=x"),
+    ]
+    df = spark.createDataFrame([Row(url=u) for u, _ in cases])
+    got = [
+        r[0]
+        for r in df.select(canonicalize_url(F.col("url"))).collect()
+    ]
+    assert got == [want for _, want in cases]
