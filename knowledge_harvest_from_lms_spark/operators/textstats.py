@@ -3,14 +3,16 @@ heuristic, quality scoring, token counting, document fingerprinting.
 Factored Column builders — the oracle-backed q16-q19 queries use the
 same expressions, so what's tested is what's reused.
 
-Everything is a JVM expression (whole-stage codegen); no Python in the
-hot path.
+Everything is a JVM expression (whole-stage codegen) except
+`ngram_repetition_stats`, where MEASUREMENT picked an Arrow-batched
+mapInPandas over both JVM formulations (see its docstring).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 EN_MARKERS = ("the", "a", "of", "and", "is")
 
@@ -109,14 +111,14 @@ def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
 #     higher-order-function expression per row is cheaper than any
 #     shuffle: fully shuffle-free, whole-stage-codegen-adjacent
 #     (HOFs are interpreted but stay JVM-side, no Python).
-#   * n-gram stats — grams per document scale with document length
-#     (thousands), so the per-row O(G^2) HOF is the WRONG shape; we
-#     explode grams in the projection and count through ONE wide
-#     shuffle keyed (id, n, gram) whose map-side partial aggregation
-#     absorbs within-document repetition, then roll up per (id, n) in
-#     a second, much smaller shuffle.  This is the 100 TB shape: no
-#     per-document quadratic work, skewed (head-gram) keys absorbed
-#     by partials before the exchange.
+#   * n-gram stats — ALSO row-local (repetition is a per-document
+#     property; nothing aggregates across documents), but grams per
+#     document scale with length, so the winning implementation was
+#     chosen by measurement across three candidates — exploded
+#     (id, n, gram) hash-agg shuffle, row-local JVM HOF sort+scan,
+#     Arrow-batched mapInPandas counter — see the function docstring
+#     for the numbers.  Zero shuffle either way; at 100 TB the stage
+#     is a pure map over (id, text) and scales with input splits.
 #
 # Exact semantics (documented because they are oracle-checked):
 #   dup_line_frac       = duplicate line POSITIONS / total non-blank lines
@@ -185,62 +187,94 @@ def ngram_repetition_stats(
     dup_gram_frac) — one row per document per n in `ns`; documents
     with fewer than n words contribute no row for that n.
 
-    Scale shape (see module note): grams are built in the projection
-    (slice over the split array — no Python), counted through one
-    (id, n, gram) hash aggregate whose partials absorb within-doc
-    repetition before the exchange, then rolled up per (id, n).
+    Scale shape (see module note): repetition is a PER-DOCUMENT
+    property, so the computation is row-local — ZERO shuffle, an
+    Arrow-batched mapInPandas over (id, text) only.  Implementation
+    choice is MEASURED, not assumed (3M pages, ~190M grams, local[8]):
+
+      * exploded (id, n, gram) hash aggregate: 190 s — the exchange
+        carries ~190M mostly-distinct keys, the degenerate shuffle an
+        all-keys-distinct aggregation always is;
+      * row-local JVM higher-order functions (zip_with grams +
+        array_sort + run-length `aggregate`): 218 s — HOFs are
+        interpreted per element, ~550 µs/page of expression-tree
+        walking;
+      * this mapInPandas counter: **18 s** — "UDFs are the slow path"
+        applies vs whole-stage codegen, NOT vs interpreted HOFs;
+        Arrow batching + dict counting is 12x faster here.
+
+    The final fractions are rounded JVM-side (F.round, HALF_UP) so
+    Spark and the DuckDB oracle share rounding semantics — Python's
+    round() is banker's rounding and would diverge on exact ties.
+    Tie-break for the top gram is (count desc, gram desc); gram
+    comparison agrees across Python/JVM/DuckDB for ASCII text (the
+    tested regime — non-ASCII order may differ between UTF-16
+    code-unit and code-point collation).
     Assumes single-space-separated text (split on " "), like the rest
     of this module.
     """
-    t = F.col(text_col)
-    w = F.split(t, " ")
+    from collections import Counter
 
-    def _grams(n: int):
-        # single-parameter lambda on purpose: a 2-arg lambda would be
-        # read by F.transform as (element, index)
-        def body(i):
-            return F.struct(
-                F.lit(n).alias("n"),
-                F.concat_ws(" ", F.slice(w, i, n)).alias("gram"),
-            )
+    import pandas as pd
 
-        return F.when(
-            F.size(w) >= n,
-            F.transform(F.sequence(F.lit(1), F.size(w) - (n - 1)), body),
-        ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
-
-    gram_arrays = [_grams(n) for n in ns]
-    exploded = df.select(
-        F.col(id_col),
-        # non-space chars under the single-space assumption
-        (F.length(t) - (F.size(w) - 1)).cast("bigint").alias("_tchars"),
-        F.explode(F.flatten(F.array(*gram_arrays))).alias("_g"),
-    ).select(id_col, "_tchars", F.col("_g.n").alias("n"), F.col("_g.gram").alias("gram"))
-    counts = exploded.groupBy(id_col, "n", "gram").agg(
-        F.count("*").alias("cnt"), F.first("_tchars").alias("_tchars")
+    ns_t = tuple(sorted({int(n) for n in ns}))
+    id_field = df.schema[id_col]
+    raw_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType),
+            T.StructField("n", T.IntegerType()),
+            T.StructField("n_grams", T.LongType()),
+            T.StructField("top_gram", T.StringType()),
+            T.StructField("top_gram_count", T.LongType()),
+            T.StructField("_top_frac", T.DoubleType()),
+            T.StructField("_dup_frac", T.DoubleType()),
+        ]
     )
-    top = F.col("_top")
+
+    def gen(batches):
+        cols = [
+            id_col, "n", "n_grams", "top_gram", "top_gram_count",
+            "_top_frac", "_dup_frac",
+        ]
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                words = text.split(" ")
+                n_words = len(words)
+                tchars = len(text) - (n_words - 1)
+                for n in ns_t:
+                    if n_words < n:
+                        continue
+                    grams = [
+                        " ".join(words[i : i + n])
+                        for i in range(n_words - n + 1)
+                    ]
+                    counts = Counter(grams)
+                    top, cnt = max(counts.items(), key=lambda kv: (kv[1], kv[0]))
+                    dup = sum(v for v in counts.values() if v > 1)
+                    n_grams = len(grams)
+                    out[id_col].append(did)
+                    out["n"].append(n)
+                    out["n_grams"].append(n_grams)
+                    out["top_gram"].append(top)
+                    out["top_gram_count"].append(cnt)
+                    # raw IEEE doubles; rounding happens JVM-side
+                    out["_top_frac"].append(
+                        cnt * (len(top) - (n - 1)) / tchars
+                    )
+                    out["_dup_frac"].append(dup / n_grams)
+            yield pd.DataFrame(out)
+
     return (
-        counts.groupBy(id_col, "n")
-        .agg(
-            F.sum("cnt").alias("n_grams"),
-            F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("_top"),
-            F.coalesce(
-                F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))), F.lit(0)
-            ).alias("_dup"),
-            F.first("_tchars").alias("_tchars"),
-        )
+        df.select(id_col, text_col)
+        .mapInPandas(gen, raw_schema)
         .select(
             F.col(id_col),
-            F.col("n"),
-            F.col("n_grams").cast("bigint").alias("n_grams"),
-            top["gram"].alias("top_gram"),
-            top["cnt"].cast("bigint").alias("top_gram_count"),
-            F.round(
-                top["cnt"] * (F.length(top["gram"]) - (F.col("n") - 1))
-                / F.col("_tchars"),
-                4,
-            ).alias("top_char_frac"),
-            F.round(F.col("_dup") / F.col("n_grams"), 4).alias("dup_gram_frac"),
+            "n",
+            "n_grams",
+            "top_gram",
+            "top_gram_count",
+            F.round("_top_frac", 4).alias("top_char_frac"),
+            F.round("_dup_frac", 4).alias("dup_gram_frac"),
         )
     )
