@@ -1,3 +1,3 @@
-from . import scoring, stopwords, textops
+from . import scoring, stopwords, textops, urls
 
-__all__ = ["textops", "scoring", "stopwords"]
+__all__ = ["textops", "scoring", "stopwords", "urls"]
