@@ -203,7 +203,18 @@ class TxnLog:
         a fresh generation dir (reading the PREVIOUS generations —
         safe, they are immutable), then ONE manifest rename makes
         every change visible together. Returns the committed version
-        (the snapshot id recorded in stage manifests / lineage)."""
+        (the snapshot id recorded in stage manifests / lineage).
+
+        Storage contract (same as Iceberg's HadoopCatalog): the
+        filesystem must provide ATOMIC no-overwrite rename. HDFS
+        does; object stores with put-if-absent can emulate it; a raw
+        local filesystem approximates it (Hadoop's RawLocalFileSystem
+        checks-then-renames, and rename(2) silently replaces), so two
+        concurrent SAME-VERSION commits from separate processes on
+        local disk have a narrow lost-update window the single-writer
+        streaming deployment never exercises. In-process concurrency
+        (two TxnLog instances) is detected deterministically — see
+        tests/test_txn.py::test_concurrent_commit_detected."""
         base_v, base = self.latest()
         v = base_v + 1
         tables = {t: list(d) for t, d in base["tables"].items()}
