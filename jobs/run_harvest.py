@@ -47,6 +47,14 @@ def main() -> None:
              "never see a mixed-generation table set)",
     )
     p.add_argument(
+        "--clean-corpus", default=None, metavar="JSON",
+        help="enable the corpus-hygiene stage (canonical-URL "
+             "latest-fetch dedup + Gopher quality gate) between "
+             "extraction and harvest; value is 'default' for Gopher "
+             "table-A1 thresholds or a JSON dict of overrides, e.g. "
+             '\'{"min_words": 20, "max_dup_5gram_frac": null}\'',
+    )
+    p.add_argument(
         "--search-prompts", action="store_true",
         help="run paraphrase prompt search for relations with no "
              "searched prompts (uses the deterministic offline "
@@ -120,7 +128,18 @@ def main() -> None:
     else:
         pages = synth_web_pages(spark, 500)
 
-    out = run_full_pipeline(spark, relations, pages, args.checkpoints, cfg)
+    clean = None
+    if args.clean_corpus:
+        import json as _json
+
+        clean = (
+            True
+            if args.clean_corpus == "default"
+            else _json.loads(args.clean_corpus)
+        )
+    out = run_full_pipeline(
+        spark, relations, pages, args.checkpoints, cfg, clean_corpus=clean
+    )
 
     cat = Catalog(spark, args.warehouse)
     cat.save_triples(out["triples"])

@@ -153,14 +153,18 @@ def gopher_quality_filter(
     text_col: str = "text",
     thresholds: dict[str, float | None] | None = None,
     keep_only: bool = False,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Evaluate the Gopher rule set per document (module docstring).
 
-    Returns (id, keep, failed_rules, <11 signal columns>); with
-    ``keep_only=True`` the dropped rows are filtered out and only
-    (id, keep) semantics matter — the signals still ride along for
-    downstream auditing. Signals are raw doubles (UN-rounded: they
-    feed threshold comparisons, not an equality oracle).
+    Returns (id, keep, failed_rules, <11 signal columns>,
+    *passthrough); with ``keep_only=True`` the dropped rows are
+    filtered out and only (id, keep) semantics matter — the signals
+    still ride along for downstream auditing. ``passthrough`` columns
+    (which may include ``text_col``) are echoed through the Arrow
+    batch so a filter stage needs NO join-back against its input.
+    Signals are raw doubles (UN-rounded: they feed threshold
+    comparisons, not an equality oracle).
     """
     import pandas as pd
 
@@ -170,6 +174,7 @@ def gopher_quality_filter(
     if unknown:
         raise ValueError(f"unknown quality rules: {sorted(unknown)}")
 
+    passthrough = tuple(c for c in passthrough if c != id_col)
     id_field = df.schema[id_col]
     schema = T.StructType(
         [
@@ -178,25 +183,33 @@ def gopher_quality_filter(
             T.StructField("failed_rules", T.ArrayType(T.StringType())),
         ]
         + [T.StructField(name, dt) for name, dt in _STAT_FIELDS]
+        + [df.schema[c] for c in passthrough]
     )
     stat_names = [name for name, _ in _STAT_FIELDS]
+    in_cols = [id_col, text_col] + [c for c in passthrough if c != text_col]
 
     def gen(batches):
         for pdf in batches:
             cols: dict[str, list] = {
                 id_col: [], "keep": [], "failed_rules": [],
                 **{k: [] for k in stat_names},
+                **{c: [] for c in passthrough},
             }
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                sig = _doc_signals(text)
+            # positional zip, not itertuples: pandas mangles column
+            # names that aren't valid identifiers
+            for vals in zip(*(pdf[c] for c in in_cols)):
+                rec = dict(zip(in_cols, vals))
+                sig = _doc_signals(rec[text_col])
                 fails = _failed_rules(sig, th)
                 if keep_only and fails:
                     continue
-                cols[id_col].append(did)
+                cols[id_col].append(rec[id_col])
                 cols["keep"].append(not fails)
                 cols["failed_rules"].append(fails)
                 for k in stat_names:
                     cols[k].append(sig[k])
+                for c in passthrough:
+                    cols[c].append(rec[c])
             pdf_out = pd.DataFrame(cols)
             # an all-filtered batch yields an EMPTY frame whose
             # columns default to float64 — pin the list column to
@@ -204,4 +217,4 @@ def gopher_quality_filter(
             pdf_out["failed_rules"] = pdf_out["failed_rules"].astype(object)
             yield pdf_out
 
-    return df.select(id_col, text_col).mapInPandas(gen, schema)
+    return df.select(*in_cols).mapInPandas(gen, schema)

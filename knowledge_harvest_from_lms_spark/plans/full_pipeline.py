@@ -41,7 +41,19 @@ def run_full_pipeline(
     base_dir: str,
     cfg: HarvestConfig | None = None,
     min_mentions: int = 0,
+    clean_corpus: bool | dict | None = None,
 ) -> dict[str, DataFrame]:
+    """``clean_corpus`` adds a Common-Crawl-hygiene stage between
+    extraction and everything that consumes the corpus: URL
+    canonicalization + latest-fetch-wins dedup per canonical page
+    (recrawls and tracking-param spellings collapse, preserving the
+    per-url byte-identity invariant on the SURVIVING fetch), then the
+    Gopher quality gate (operators/quality_filter.py). Pass ``True``
+    for Gopher defaults or a thresholds dict to override; the stage
+    fingerprint carries the thresholds, and downstream corpus
+    consumers' fingerprints carry the clean fingerprint — toggling
+    cleaning can never resume a stale grounded/candidates checkpoint.
+    """
     import os
 
     cfg = cfg or HarvestConfig()
@@ -56,6 +68,45 @@ def run_full_pipeline(
         lambda: extract_text(web_pages, passthrough=("warc_ts", "lang")),
         fingerprint=_fp("extract", cfg.seed),
     )
+
+    clean_fp = ""
+    if clean_corpus:
+        from ..functions.urls import canonicalize_url
+        from ..operators.quality_filter import gopher_quality_filter
+
+        th = clean_corpus if isinstance(clean_corpus, dict) else {}
+        clean_fp = _fp("clean", sorted(th.items()))
+
+        def _clean():
+            from pyspark.sql.window import Window as W
+
+            c = corpus.withColumn(
+                "canonical_url", canonicalize_url(F.col("url"))
+            )
+            # latest fetch of each canonical page wins; url breaks
+            # exact-timestamp ties deterministically
+            pick = W.partitionBy("canonical_url").orderBy(
+                F.col("warc_ts").desc(), F.col("url")
+            )
+            c = (
+                c.withColumn("_rn", F.row_number().over(pick))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            return gopher_quality_filter(
+                c,
+                id_col="canonical_url",
+                text_col="extracted_text",
+                thresholds=th,
+                keep_only=True,
+                passthrough=(
+                    "url", "warc_ts", "lang", "extracted_text", "text_sha256",
+                ),
+            )
+
+        corpus = run_stage(
+            spark, base_dir, "15_clean", _clean, fingerprint=clean_fp,
+        )
 
     pw = run_stage(
         spark, base_dir, "20_prompt_weights",
@@ -96,21 +147,32 @@ def run_full_pipeline(
             if cfg.ground_beam_to_corpus == "per_relation"
             else "grounded"
         )
+    # Fingerprints ACCUMULATE downstream: every stage's fingerprint
+    # folds in the fingerprints of the stages it reads, so a change
+    # anywhere upstream (corpus cleaning toggled, min_mentions moved)
+    # invalidates exactly the suffix of the pipeline that consumed it
+    # — resuming a stale checkpoint past a changed input is the bug
+    # class the r3 pagerank-fingerprint review caught, closed here for
+    # the whole chain. (candidates consume the corpus only when beam
+    # grounding is on, so clean_fp enters cand_fp only then.)
+    cand_fp = _fp(cfg_fp, ground_tag, clean_fp if allowed_token_ids is not None else "")
     cand = run_stage(
         spark, base_dir, "30_candidates",
         lambda: finalize_candidates(
             search_ent_tuples(spark, pw, relations, cfg, allowed_token_ids), cfg
         ),
-        fingerprint=_fp(cfg_fp, ground_tag),
+        fingerprint=cand_fp,
     )
 
+    triples_fp = _fp(cfg_fp, cand_fp)
     triples = run_stage(
         spark, base_dir, "40_triples",
         lambda: rescore_and_rank(cand, pw, cfg),
-        fingerprint=cfg_fp,
+        fingerprint=triples_fp,
         partition_by=["rel"],
     )
 
+    grounded_fp = _fp(cfg_fp, min_mentions, clean_fp, triples_fp)
     grounded = run_stage(
         spark, base_dir, "50_grounded",
         lambda: ground_triples(
@@ -118,7 +180,7 @@ def run_full_pipeline(
             corpus.withColumnRenamed("extracted_text", "text"),
             min_mentions=min_mentions,
         ),
-        fingerprint=_fp(cfg_fp, min_mentions),
+        fingerprint=grounded_fp,
     )
 
     def _graph():
@@ -127,8 +189,9 @@ def run_full_pipeline(
         )
         return g["edges"]
 
+    edges_fp = _fp(grounded_fp, "graph")
     edges = run_stage(
-        spark, base_dir, "60_edges", _graph, fingerprint=_fp(cfg_fp, "graph"),
+        spark, base_dir, "60_edges", _graph, fingerprint=edges_fp,
         partition_by=["rel"],
     )
     vertices = run_stage(
@@ -136,7 +199,7 @@ def run_full_pipeline(
         lambda: edges.select(F.col("src_id").alias("ent_id"), F.col("src").alias("ent"))
         .union(edges.select(F.col("dst_id"), F.col("dst")))
         .distinct(),
-        fingerprint=_fp(cfg_fp, "vertices"),
+        fingerprint=_fp(edges_fp, "vertices"),
     )
 
     pr_iters, pr_damping = 5, 0.85
@@ -149,7 +212,7 @@ def run_full_pipeline(
         # fingerprint carries the actual parameters (like min_mentions
         # above): changing damping must invalidate the checkpoint, not
         # silently resume stale ranks (review r3)
-        fingerprint=_fp(cfg_fp, f"pagerank-{pr_iters}-{pr_damping}"),
+        fingerprint=_fp(edges_fp, f"pagerank-{pr_iters}-{pr_damping}"),
     )
     # inner join: 61_vertices is the distinct endpoint set of the SAME
     # edge table 62_ranks ran over, so every vertex has a rank; a left

@@ -71,3 +71,74 @@ def test_pr_harness(outputs, spark):
     )
     pr0 = precision_recall_at_k(produced, shifted, k=50).collect()
     assert all(r.precision == 0.0 and r.recall == 0.0 for r in pr0)
+
+
+def test_clean_corpus_stage(spark, tmp_path):
+    """clean_corpus=…: canonical-URL latest-fetch dedup + quality gate
+    run as a checkpointed stage; downstream stages consume the
+    cleaned corpus."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    rels = fixture_relations(spark).filter("rel = 'AtLocation'")
+    base_pages = synth_web_pages(spark, 60, seed=7, n_partitions=2)
+    ts = datetime.datetime(2024, 1, 1)
+    later = datetime.datetime(2024, 2, 1)
+    extra = [
+        # two fetches of ONE canonical page under messy spellings —
+        # the LATER fetch must be the survivor
+        Row(
+            url="HTTPS://Dup.Example.COM:443/page?utm_source=x&a=1",
+            warc_ts=ts,
+            html=b"<html><body>old fetch words for the stale crawl body</body></html>",
+            text="", lang="en",
+        ),
+        Row(
+            url="https://dup.example.com/page?a=1",
+            warc_ts=later,
+            html=b"<html><body>newest fetch words for the fresh crawl body</body></html>",
+            text="", lang="en",
+        ),
+        # symbol junk: 10/10 words are '#' -> max_symbol_ratio fires
+        Row(
+            url="https://junk.example.com/symbols",
+            warc_ts=ts,
+            html=b"<html><body># # # # # # # # # #</body></html>",
+            text="", lang="en",
+        ),
+    ]
+    pages = base_pages.unionByName(
+        spark.createDataFrame(extra, base_pages.schema)
+    )
+    # synthetic pages are ~33 words: keep the targeted rules, disable
+    # the ones a tiny corpus can't satisfy
+    th = {
+        "min_words": 3,
+        "min_alpha_word_frac": None,
+        "max_top_2gram_char_frac": None,
+        "max_top_3gram_char_frac": None,
+        "max_top_4gram_char_frac": None,
+        "max_dup_5gram_frac": None,
+        "max_dup_10gram_frac": None,
+    }
+    out = run_full_pipeline(
+        spark, rels, pages, str(tmp_path), CFG, clean_corpus=th
+    )
+    corpus = out["corpus"].collect()
+    by_canon = {}
+    for r in corpus:
+        by_canon.setdefault(r.canonical_url, []).append(r)
+    # 60 synth urls (already canonical, all distinct) + 1 dedup
+    # survivor; junk dropped
+    assert len(corpus) == 61
+    dup = by_canon["https://dup.example.com/page?a=1"]
+    assert len(dup) == 1
+    assert "newest fetch" in dup[0].extracted_text
+    assert dup[0].url == "https://dup.example.com/page?a=1"
+    assert not any("junk.example.com" in c for c in by_canon)
+    # gate verdict columns ride along for auditing
+    assert all(r.keep for r in corpus)
+    # downstream stages ran over the cleaned corpus
+    assert out["triples"].count() > 0
+    assert out["grounded"].count() > 0
