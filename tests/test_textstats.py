@@ -109,3 +109,34 @@ def test_canonicalize_url_cases(spark):
         for r in df.select(canonicalize_url(F.col("url"))).collect()
     ]
     assert got == [want for _, want in cases]
+
+
+def test_canonicalize_url_idempotent(spark):
+    """canonicalize(canonicalize(u)) == canonicalize(u) over randomly
+    structured messy URLs — a canonical KEY must be a fixed point, or
+    repeated normalization (e.g. re-ingesting already-clean tables)
+    would split dedup groups."""
+    import random
+
+    rng = random.Random(13)
+    schemes = ["http://", "https://", "HTTP://", "HTTPS://"]
+    hosts = ["Example.COM", "a.b.example", "X-Y.example", "example.com"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/A/b", "/p%20q", "/trailing/"]
+    queries = [
+        "", "?a=1", "?b=2&a=1", "?utm_source=x", "?a=1&utm_medium=m&b=2",
+        "?gclid=G&z=Z", "?B=UP&a=low", "?dup=1&dup=2",
+    ]
+    frags = ["", "#f", "#Sec tion"]
+    urls = [
+        rng.choice(schemes) + rng.choice(hosts) + rng.choice(ports)
+        + rng.choice(paths) + rng.choice(queries) + rng.choice(frags)
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([Row(url=u) for u in urls])
+    once = canonicalize_url(F.col("url")).alias("c1")
+    out = df.select(F.col("url"), once).select(
+        "url", "c1", canonicalize_url(F.col("c1")).alias("c2")
+    )
+    bad = out.filter(F.col("c1") != F.col("c2")).collect()
+    assert not bad, f"non-idempotent: {[(r.url, r.c1, r.c2) for r in bad[:5]]}"
