@@ -34,15 +34,30 @@ def ingest_pages(
     checkpoint_dir: str,
     watermark: str = "1 hour",
     available_now: bool = True,
+    canonical: bool = False,
 ):
     """Start (and with available_now=True, drain) the ingest stream.
-    Returns the StreamingQuery."""
-    stream = (
-        read_page_stream(spark, drop_dir)
-        .withWatermark("warc_ts", watermark)
-        .dropDuplicatesWithinWatermark(["url"])
-        .withColumn("day", F.to_date("warc_ts"))
+    Returns the StreamingQuery.
+
+    ``canonical=True`` dedupes on the CANONICAL url
+    (functions/urls.py) instead of the raw spelling, so
+    tracking-param / case / default-port respins of one page collapse
+    within the watermark window; the ``canonical_url`` column is kept
+    in the table as the downstream dedup/grouping key. Off by
+    default: flipping the dedup key changes which rows an existing
+    checkpointed stream would admit."""
+    stream = read_page_stream(spark, drop_dir).withWatermark(
+        "warc_ts", watermark
     )
+    if canonical:
+        from ..functions.urls import canonicalize_url
+
+        stream = stream.withColumn(
+            "canonical_url", canonicalize_url(F.col("url"))
+        ).dropDuplicatesWithinWatermark(["canonical_url"])
+    else:
+        stream = stream.dropDuplicatesWithinWatermark(["url"])
+    stream = stream.withColumn("day", F.to_date("warc_ts"))
     writer = (
         stream.writeStream.format("parquet")
         .option("path", table_path)

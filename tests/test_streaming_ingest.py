@@ -606,3 +606,44 @@ def test_txn_lifecycle_soak_incremental_equals_full(spark, tmp_path):
             assert all(len(d) <= 2 for d in tlog.tables().values())
         # dir growth stays bounded across the whole run
         assert all(len(d) <= 4 for d in tlog.tables().values())
+
+
+def test_ingest_canonical_dedup(spark, tmp_path):
+    """canonical=True: messy respins of one page (tracking params,
+    case, default port) collapse to ONE ingested row per canonical
+    url within the watermark."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from knowledge_harvest_from_lms_spark.sources.web_pages import (
+        WEB_PAGES_SCHEMA,
+    )
+
+    drop = str(tmp_path / "drop")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        Row(url="https://site.example/p?a=1", warc_ts=ts,
+            html=b"<html><body>x</body></html>", text="", lang="en"),
+        Row(url="HTTPS://Site.Example:443/p?utm_source=m&a=1", warc_ts=ts,
+            html=b"<html><body>x</body></html>", text="", lang="en"),
+        Row(url="https://site.example/p?a=1&fbclid=F", warc_ts=ts,
+            html=b"<html><body>x</body></html>", text="", lang="en"),
+        Row(url="https://other.example/q", warc_ts=ts,
+            html=b"<html><body>y</body></html>", text="", lang="en"),
+    ]
+    spark.createDataFrame(rows, WEB_PAGES_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(drop)
+    q = ingest_pages(spark, drop, table, ckpt, available_now=True,
+                     canonical=True)
+    q.awaitTermination(120)
+    out = spark.read.parquet(table).collect()
+    assert len(out) == 2
+    canon = sorted(r.canonical_url for r in out)
+    assert canon == [
+        "https://other.example/q",
+        "https://site.example/p?a=1",
+    ]
