@@ -140,3 +140,27 @@ def test_canonicalize_url_idempotent(spark):
     )
     bad = out.filter(F.col("c1") != F.col("c2")).collect()
     assert not bad, f"non-idempotent: {[(r.url, r.c1, r.c2) for r in bad[:5]]}"
+
+
+def test_canonicalize_url_hostile_inputs_total(spark):
+    """The canonicalizer is TOTAL on junk input — a 100 TB crawl
+    contains every malformed spelling imaginable, and a null/crash in
+    a scan-fused projection kills the whole stage. Schemeless inputs
+    pass through (with query-param normalization only); nothing
+    yields null."""
+    cases = [
+        ("", "/"),
+        ("not a url", "not a url"),
+        ("no-scheme/path?b=2&a=1#f", "no-scheme/path?a=1&b=2"),
+        ("ftp://Host/X", "ftp://host/X"),  # non-http scheme: lowered, port rules don't apply
+        ("https://", "https:///"),
+        ("https://h.example/p?", "https://h.example/p"),
+        ("https://h.example/p?&&", "https://h.example/p"),
+        ("https://h.example:443", "https://h.example/"),
+        ("https://h/p#a#b", "https://h/p"),
+        ("  https://h/p", "  https://h/p"),  # leading junk: no authority match, passthrough
+    ]
+    df = spark.createDataFrame([Row(url=u) for u, _ in cases])
+    got = [r[0] for r in df.select(canonicalize_url(F.col("url"))).collect()]
+    assert got == [want for _, want in cases]
+    assert all(g is not None for g in got)
