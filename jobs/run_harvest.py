@@ -137,6 +137,12 @@ def main() -> None:
             if args.clean_corpus == "default"
             else _json.loads(args.clean_corpus)
         )
+        if clean is None or clean is False:
+            raise SystemExit(
+                "--clean-corpus given but parses to null/false — use "
+                "'default', '{}' (defaults, no overrides) or a JSON "
+                "threshold dict"
+            )
     out = run_full_pipeline(
         spark, relations, pages, args.checkpoints, cfg, clean_corpus=clean
     )

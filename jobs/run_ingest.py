@@ -61,9 +61,19 @@ def main() -> None:
         watermark=args.watermark, canonical=args.canonical,
     )
     q.awaitTermination()
-    out = spark.read.parquet(args.table)
-    n = out.count()
-    days = out.select("day").distinct().count()
+    # a drain that admitted no rows is a normal cron outcome (job
+    # scheduled before the first drop lands). The streaming sink
+    # still creates the table dir with only _spark_metadata inside,
+    # so an existence check is not enough — the schema-less read
+    # itself must be tolerated. Report 0, don't crash.
+    from pyspark.errors import AnalysisException
+
+    try:
+        out = spark.read.parquet(args.table)
+        n = out.count()
+        days = out.select("day").distinct().count()
+    except AnalysisException:
+        n = days = 0
     print(f"web_pages={n} rows across {days} day partitions at {args.table}")
 
 

@@ -64,6 +64,7 @@ def _doc_signals(text: str) -> dict[str, float]:
     the Spark path and the tests' independent expectations."""
     from collections import Counter
 
+    text = text or ""  # NULL text -> empty: the gate must be total
     words = text.split(" ")
     n_words = len(words)
     tchars = len(text) - (n_words - 1)
@@ -79,7 +80,11 @@ def _doc_signals(text: str) -> dict[str, float]:
         if n_words
         else 0.0
     )
-    lines = [ln for ln in text.split("\n") if ln.strip()]
+    # strip(" ") not strip(): line_repetition_columns blanks lines
+    # with F.trim, which removes ASCII SPACES only — a tab-only line
+    # counts as non-blank in both paths or the documented consistency
+    # between the two operators breaks
+    lines = [ln for ln in text.split("\n") if ln.strip(" ")]
     if lines:
         counts = Counter(lines)
         dup_lines = [ln for ln in lines if counts[ln] > 1]

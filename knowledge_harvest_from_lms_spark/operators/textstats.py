@@ -239,6 +239,9 @@ def ngram_repetition_stats(
         for pdf in batches:
             out: dict[str, list] = {k: [] for k in cols}
             for did, text in zip(pdf[id_col], pdf[text_col]):
+                # NULL text arrives as None through Arrow — treat as
+                # empty (dirty corpora are this operator's habitat)
+                text = text or ""
                 words = text.split(" ")
                 n_words = len(words)
                 tchars = len(text) - (n_words - 1)
@@ -258,9 +261,14 @@ def ngram_repetition_stats(
                     out["n_grams"].append(n_grams)
                     out["top_gram"].append(top)
                     out["top_gram_count"].append(cnt)
-                    # raw IEEE doubles; rounding happens JVM-side
+                    # raw IEEE doubles; rounding happens JVM-side.
+                    # tchars == 0 on whitespace-only text (every
+                    # token empty) — emit 0.0, never divide: one
+                    # hostile doc must not kill the stage
                     out["_top_frac"].append(
                         cnt * (len(top) - (n - 1)) / tchars
+                        if tchars > 0
+                        else 0.0
                     )
                     out["_dup_frac"].append(dup / n_grams)
             yield pd.DataFrame(out)

@@ -70,7 +70,10 @@ def run_full_pipeline(
     )
 
     clean_fp = ""
-    if clean_corpus:
+    # identity check, not truthiness: clean_corpus={} means "clean
+    # with pure Gopher defaults, no overrides" and must NOT silently
+    # skip the stage the caller asked for
+    if clean_corpus is not None and clean_corpus is not False:
         from ..functions.urls import canonicalize_url
         from ..operators.quality_filter import gopher_quality_filter
 

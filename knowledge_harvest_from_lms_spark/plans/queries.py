@@ -2151,9 +2151,11 @@ WHERE imp_rank <= 50
 def q48_ngram_repetition(spark, sf_dir):
     """Per-document word-n-gram repetition signals (n=2,3) over the
     documents table — the Gopher repetition quality filters
-    (operators/textstats.py: grams explode in the projection, ONE
-    (doc, n, gram) hash-aggregate shuffle with map-side partials, then
-    a small per-(doc, n) rollup). Oracle recomputes gram counts via a
+    (operators/textstats.py: repetition is a per-document property,
+    so the stage is a row-local Arrow-batched mapInPandas counter
+    with ZERO shuffle — implementation picked by measurement over two
+    JVM shapes, see the operator docstring; only the JVM-side round()
+    projection follows the map). Oracle recomputes gram counts via a
     DuckDB list comprehension + window."""
     from ..operators.textstats import ngram_repetition_stats
 
@@ -2194,8 +2196,9 @@ ranked AS (
   FROM counts)
 SELECT doc_id, CAST(n AS INT) AS n, CAST(n_grams AS BIGINT) AS n_grams,
        gram AS top_gram, CAST(cnt AS BIGINT) AS top_gram_count,
-       ROUND(cnt * CAST(length(gram) - (n - 1) AS DOUBLE) / tchars, 4)
-         AS top_char_frac,
+       CASE WHEN tchars > 0
+            THEN ROUND(cnt * CAST(length(gram) - (n - 1) AS DOUBLE) / tchars, 4)
+            ELSE 0.0 END AS top_char_frac,
        ROUND(CAST(dup AS DOUBLE) / n_grams, 4) AS dup_gram_frac
 FROM ranked WHERE rk = 1
 """

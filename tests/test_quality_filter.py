@@ -131,3 +131,29 @@ def test_doc_signals_edge_cases():
     assert sig["alpha_word_frac"] == 0.0
     sig = _doc_signals("a a a a")
     assert sig["top_2gram_char_frac"] > 1.0  # overlap, documented
+
+
+def test_gate_hostile_docs_total(spark):
+    """NULL text and whitespace-only text go through the gate without
+    crashing (review r4); they fail min_words/alpha rules, they don't
+    fail the JOB."""
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text=None), Row(doc_id=1, text="   ")]
+    )
+    rows = {r["doc_id"]: r for r in gopher_quality_filter(df).collect()}
+    assert not rows[0]["keep"] and not rows[1]["keep"]
+    assert rows[0]["failed_rules"]  # defined verdicts, not exceptions
+
+
+def test_tab_only_lines_consistent_with_textstats(spark):
+    """strip(' ') vs F.trim alignment (review r4): a duplicated
+    tab-only line is non-blank in BOTH operators, so dup-line signals
+    agree."""
+    from knowledge_harvest_from_lms_spark.operators.textstats import (
+        line_repetition_columns,
+    )
+
+    df = spark.createDataFrame([Row(doc_id=0, text="a\n\t\n\t\nb")])
+    gate = gopher_quality_filter(df).collect()[0]
+    ts = line_repetition_columns(df).collect()[0]
+    assert round(gate["dup_line_frac"], 4) == ts["dup_line_frac"] == 0.5

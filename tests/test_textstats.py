@@ -164,3 +164,27 @@ def test_canonicalize_url_hostile_inputs_total(spark):
     got = [r[0] for r in df.select(canonicalize_url(F.col("url"))).collect()]
     assert got == [want for _, want in cases]
     assert all(g is not None for g in got)
+
+
+def test_ngram_repetition_hostile_docs_total(spark):
+    """Whitespace-only and NULL texts must not kill the stage (review
+    r4): tchars==0 emits 0.0 fractions, None behaves as empty."""
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=" "),      # 2 empty tokens, tchars=0
+            Row(doc_id=1, text="  "),     # 3 empty tokens, tchars=0
+            Row(doc_id=2, text=None),     # NULL
+            Row(doc_id=3, text="a b a"),  # control
+        ]
+    )
+    rows = {
+        (r["doc_id"], r["n"]): r
+        for r in ngram_repetition_stats(df, ns=(2,)).collect()
+    }
+    # whitespace-only docs DO have 2-gram positions (empty tokens) but
+    # zero char mass -> defined 0.0, not a crash
+    assert rows[(0, 2)]["top_char_frac"] == 0.0
+    assert rows[(1, 2)]["top_char_frac"] == 0.0
+    assert (2, 2) not in rows  # NULL -> empty -> 1 token -> no row
+    # "a b" and "b a" tie at cnt 1 -> lexicographically greatest wins
+    assert rows[(3, 2)]["top_gram"] == "b a"
