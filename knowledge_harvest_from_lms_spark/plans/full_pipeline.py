@@ -12,7 +12,6 @@ row counts + per-partition counts (lineage metrics A9).
 from __future__ import annotations
 
 import hashlib
-import json
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

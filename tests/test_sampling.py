@@ -2,7 +2,6 @@
 row-for-row oracle; these pin the properties the oracle can't)."""
 
 import pytest
-from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from knowledge_harvest_from_lms_spark.operators.sampling import (
