@@ -37,6 +37,8 @@ GOPHER_DEFAULTS: dict[str, float | None] = {
     "min_alpha_word_frac": 0.80,      # words containing >=1 alphabetic char
     "max_dup_line_frac": 0.30,
     "max_dup_line_char_frac": 0.20,
+    "max_dup_para_frac": 0.30,
+    "max_dup_para_char_frac": 0.20,
     "max_top_2gram_char_frac": 0.20,
     "max_top_3gram_char_frac": 0.18,
     "max_top_4gram_char_frac": 0.16,
@@ -51,6 +53,8 @@ _STAT_FIELDS = [
     ("alpha_word_frac", T.DoubleType()),
     ("dup_line_frac", T.DoubleType()),
     ("dup_line_char_frac", T.DoubleType()),
+    ("dup_para_frac", T.DoubleType()),
+    ("dup_para_char_frac", T.DoubleType()),
     ("top_2gram_char_frac", T.DoubleType()),
     ("top_3gram_char_frac", T.DoubleType()),
     ("top_4gram_char_frac", T.DoubleType()),
@@ -80,22 +84,23 @@ def _doc_signals(text: str) -> dict[str, float]:
         if n_words
         else 0.0
     )
-    # strip(" ") not strip(): line_repetition_columns blanks lines
+    # strip(" ") not strip(): the textstats unit kernel blanks units
     # with F.trim, which removes ASCII SPACES only — a tab-only line
     # counts as non-blank in both paths or the documented consistency
     # between the two operators breaks
-    lines = [ln for ln in text.split("\n") if ln.strip(" ")]
-    if lines:
-        counts = Counter(lines)
-        dup_lines = [ln for ln in lines if counts[ln] > 1]
-        out["dup_line_frac"] = len(dup_lines) / len(lines)
-        lchars = sum(len(ln) for ln in lines)
-        out["dup_line_char_frac"] = (
-            sum(len(ln) for ln in dup_lines) / lchars if lchars else 0.0
-        )
-    else:
-        out["dup_line_frac"] = 0.0
-        out["dup_line_char_frac"] = 0.0
+    for sep, prefix in (("\n", "line"), ("\n\n", "para")):
+        units = [u for u in text.split(sep) if u.strip(" ")]
+        if units:
+            counts = Counter(units)
+            dups = [u for u in units if counts[u] > 1]
+            out[f"dup_{prefix}_frac"] = len(dups) / len(units)
+            uchars = sum(len(u) for u in units)
+            out[f"dup_{prefix}_char_frac"] = (
+                sum(len(u) for u in dups) / uchars if uchars else 0.0
+            )
+        else:
+            out[f"dup_{prefix}_frac"] = 0.0
+            out[f"dup_{prefix}_char_frac"] = 0.0
     for n in (2, 3, 4):
         key = f"top_{n}gram_char_frac"
         if n_words < n or tchars <= 0:
@@ -142,6 +147,8 @@ def _failed_rules(sig: dict[str, float], th: dict[str, float | None]) -> list[st
     for rule in (
         "max_dup_line_frac",
         "max_dup_line_char_frac",
+        "max_dup_para_frac",
+        "max_dup_para_char_frac",
         "max_top_2gram_char_frac",
         "max_top_3gram_char_frac",
         "max_top_4gram_char_frac",
@@ -162,7 +169,7 @@ def gopher_quality_filter(
 ) -> DataFrame:
     """Evaluate the Gopher rule set per document (module docstring).
 
-    Returns (id, keep, failed_rules, <11 signal columns>,
+    Returns (id, keep, failed_rules, <13 signal columns>,
     *passthrough); with ``keep_only=True`` the dropped rows are
     filtered out and only (id, keep) semantics matter — the signals
     still ride along for downstream auditing. ``passthrough`` columns

@@ -138,41 +138,54 @@ def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
 # gram so Spark's max(struct) and the oracle's ORDER BY agree.
 
 
-def line_repetition_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Append dup_line_frac / dup_line_char_frac (see module note).
-
-    Shuffle-free: one pass, nested JVM higher-order functions over the
-    per-row line array (O(L^2) per row — lines per doc are tens, and
-    the alternative is an explode + two shuffles per document batch).
-    Blank / whitespace-only lines are excluded before counting.
-    """
+def _unit_repetition_columns(
+    df: DataFrame, text_col: str, sep: str, prefix: str
+) -> DataFrame:
+    """Shared kernel for line ("\\n") and paragraph ("\\n\\n") dup
+    fractions: nested JVM higher-order functions over the per-row
+    unit array (O(U^2) per row — units per doc are tens, and the
+    alternative is an explode + two shuffles per document batch).
+    Blank / space-only units are excluded before counting."""
     t = F.col(text_col)
-    nonblank = F.filter(F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0)
-    lines = F.col("_lines")
+    nonblank = F.filter(F.split(t, sep), lambda x: F.length(F.trim(x)) > 0)
+    units = F.col("_units")
     dups = F.filter(
-        lines,
-        lambda x: F.size(F.filter(lines, lambda y: y == x)) > 1,
+        units,
+        lambda x: F.size(F.filter(units, lambda y: y == x)) > 1,
     )
     chars = lambda arr: F.aggregate(  # noqa: E731 — local expr builder
         arr, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
     )
     out = (
-        df.withColumn("_lines", nonblank)
-        .withColumn("_dup_lines", dups)
+        df.withColumn("_units", nonblank)
+        .withColumn("_dup_units", dups)
         .withColumns(
             {
-                "dup_line_frac": F.when(
-                    F.size(lines) > 0,
-                    F.round(F.size(F.col("_dup_lines")) / F.size(lines), 4),
+                f"dup_{prefix}_frac": F.when(
+                    F.size(units) > 0,
+                    F.round(F.size(F.col("_dup_units")) / F.size(units), 4),
                 ).otherwise(F.lit(0.0)),
-                "dup_line_char_frac": F.when(
-                    chars(lines) > 0,
-                    F.round(chars(F.col("_dup_lines")) / chars(lines), 4),
+                f"dup_{prefix}_char_frac": F.when(
+                    chars(units) > 0,
+                    F.round(chars(F.col("_dup_units")) / chars(units), 4),
                 ).otherwise(F.lit(0.0)),
             }
         )
     )
-    return out.drop("_lines", "_dup_lines")
+    return out.drop("_units", "_dup_units")
+
+
+def line_repetition_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append dup_line_frac / dup_line_char_frac (see module note)."""
+    return _unit_repetition_columns(df, text_col, "\n", "line")
+
+
+def paragraph_repetition_columns(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Append dup_para_frac / dup_para_char_frac — Gopher's paragraph
+    rules (paragraphs split on blank lines, "\\n\\n")."""
+    return _unit_repetition_columns(df, text_col, "\n\n", "para")
 
 
 def ngram_repetition_stats(

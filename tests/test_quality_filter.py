@@ -157,3 +157,21 @@ def test_tab_only_lines_consistent_with_textstats(spark):
     gate = gopher_quality_filter(df).collect()[0]
     ts = line_repetition_columns(df).collect()[0]
     assert round(gate["dup_line_frac"], 4) == ts["dup_line_frac"] == 0.5
+
+
+def test_paragraph_rules_in_gate(spark):
+    """Gopher's dup-paragraph rules fire in the gate and agree with
+    paragraph_repetition_columns."""
+    from knowledge_harvest_from_lms_spark.operators.textstats import (
+        paragraph_repetition_columns,
+    )
+
+    filler = " ".join(f"w{i}" for i in range(30))
+    text = f"{filler}\n\n{filler}\n\nunique tail paragraph"
+    df = spark.createDataFrame([Row(doc_id=0, text=text)])
+    gate = gopher_quality_filter(df).collect()[0]
+    ts = paragraph_repetition_columns(df).collect()[0]
+    assert round(gate["dup_para_frac"], 4) == ts["dup_para_frac"]
+    assert round(gate["dup_para_char_frac"], 4) == ts["dup_para_char_frac"]
+    assert "max_dup_para_frac" in gate["failed_rules"]
+    assert "max_dup_para_char_frac" in gate["failed_rules"]

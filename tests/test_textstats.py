@@ -188,3 +188,22 @@ def test_ngram_repetition_hostile_docs_total(spark):
     assert (2, 2) not in rows  # NULL -> empty -> 1 token -> no row
     # "a b" and "b a" tie at cnt 1 -> lexicographically greatest wins
     assert rows[(3, 2)]["top_gram"] == "b a"
+
+
+def test_paragraph_repetition_hand_computed(spark):
+    from knowledge_harvest_from_lms_spark.operators.textstats import (
+        paragraph_repetition_columns,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # paragraphs: ["a b\nc", "a b\nc", "d"] (5+5+1 chars) ->
+            # 2 dup of 3 positions; 10 of 11 chars
+            Row(doc_id=0, text="a b\nc\n\na b\nc\n\nd"),
+            Row(doc_id=1, text="solo paragraph"),
+        ]
+    )
+    rows = {r["doc_id"]: r for r in paragraph_repetition_columns(df).collect()}
+    assert rows[0]["dup_para_frac"] == 0.6667
+    assert rows[0]["dup_para_char_frac"] == 0.9091
+    assert rows[1]["dup_para_frac"] == 0.0
