@@ -378,3 +378,77 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos") >= min_cos)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
+
+
+def dedup_paragraphs_across_docs(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_para_chars: int = 0,
+):
+    """Cross-document paragraph dedup (the C4 / RefinedWeb move):
+    every distinct paragraph survives exactly ONCE corpus-wide — at
+    its first occurrence by (id, position) — and every other copy is
+    cut out of its document; texts are reassembled from the
+    survivors. Returns (id, text, n_paras_kept) with text '' when a
+    document lost every paragraph (row preserved: silent row loss
+    would corrupt downstream per-doc joins).
+
+    Scale shape: boilerplate is the SKEW case here — a footer
+    paragraph can occur in 10^9 documents. A window
+    (row_number over paragraph) would put all those copies in one
+    reducer partition; instead the winner per paragraph is a plain
+    ``min(struct(id, pos))`` AGGREGATE, whose map-side partial min
+    collapses the hot key before the exchange — and because the
+    aggregate's output IS the surviving occurrence, there is no
+    join-back: reassembly is one further groupBy on the (uniform) id.
+    Two skew-safe shuffles total for a corpus-wide dedup.
+
+    ``min_para_chars`` drops short paragraphs from CONSIDERATION as
+    dedup keys is NOT what it does — short paragraphs below the bound
+    are kept verbatim in every document (never deduped): cutting
+    every "Yes." reply corpus-wide is rarely the intent.
+    """
+    i, t = F.col(id_col), F.col(text_col)
+    paras = (
+        df.select(
+            i,
+            F.posexplode(F.split(F.coalesce(t, F.lit("")), "\n\n")).alias(
+                "pos", "para"
+            ),
+        )
+        .filter(F.length(F.trim(F.col("para"))) > 0)
+    )
+    long_p = paras.filter(F.length("para") >= min_para_chars)
+    short_p = paras.filter(F.length("para") < min_para_chars)
+    winners = long_p.groupBy("para").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w")
+    )
+    kept = winners.select(
+        F.col(f"w.{id_col}").alias(id_col),
+        F.col("w.pos").alias("pos"),
+        "para",
+    )
+    if min_para_chars > 0:
+        kept = kept.unionByName(short_p)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_paras_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            "\n\n",
+        ).alias("_text"),
+    )
+    return (
+        df.select(i)
+        .join(rebuilt, id_col, "left")
+        .select(
+            i,
+            F.coalesce(F.col("_text"), F.lit("")).alias(text_col),
+            F.coalesce(F.col("n_paras_kept"), F.lit(0)).cast("bigint").alias(
+                "n_paras_kept"
+            ),
+        )
+    )

@@ -171,3 +171,72 @@ def test_minhash_pairs_sound_and_exact_complete_via_duckdb(spark):
     exact = {k for k, j in true_jac.items() if j >= 1.0 - 1e-12}
     assert exact, "expected at least one exact-gram-set pair at sf0.001"
     assert exact <= got, exact - got
+
+
+def test_paragraph_dedup_across_docs(spark):
+    """Cross-doc paragraph dedup: first occurrence by (id, pos) wins,
+    texts reassemble in order, empty docs survive as rows."""
+    from pyspark.sql import Row
+
+    from knowledge_harvest_from_lms_spark.operators.dedup import (
+        dedup_paragraphs_across_docs,
+    )
+
+    boiler = "subscribe to the newsletter"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"alpha one\n\n{boiler}\n\nalpha two"),
+            Row(doc_id=2, text=f"{boiler}\n\nbeta body"),
+            Row(doc_id=3, text=boiler),          # loses its only para
+            Row(doc_id=4, text=None),            # NULL text
+        ]
+    )
+    out = {r.doc_id: r for r in dedup_paragraphs_across_docs(df).collect()}
+    assert out[1].text == f"alpha one\n\n{boiler}\n\nalpha two"
+    assert out[1].n_paras_kept == 3
+    assert out[2].text == "beta body"            # boiler cut, order kept
+    assert out[2].n_paras_kept == 1
+    assert out[3].text == "" and out[3].n_paras_kept == 0
+    assert out[4].text == "" and out[4].n_paras_kept == 0  # row preserved
+
+
+def test_paragraph_dedup_min_chars_keeps_short(spark):
+    """Paragraphs below min_para_chars are kept VERBATIM everywhere —
+    never used as dedup keys (cutting every 'Yes.' corpus-wide is not
+    the intent)."""
+    from pyspark.sql import Row
+
+    from knowledge_harvest_from_lms_spark.operators.dedup import (
+        dedup_paragraphs_across_docs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="Yes.\n\nlong paragraph body here"),
+            Row(doc_id=2, text="Yes.\n\nother body"),
+        ]
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup_paragraphs_across_docs(df, min_para_chars=10).collect()
+    }
+    assert out[1].text.startswith("Yes.")
+    assert out[2].text.startswith("Yes.")  # short para kept in BOTH
+
+
+def test_paragraph_dedup_skew_safe_plan(spark):
+    """The winner per paragraph is a partial-agg min, not a window
+    over the paragraph key — no Window node in the plan (a hot
+    boilerplate paragraph must collapse map-side)."""
+    from pyspark.sql import Row
+
+    from knowledge_harvest_from_lms_spark.operators.dedup import (
+        dedup_paragraphs_across_docs,
+    )
+
+    df = spark.createDataFrame([Row(doc_id=1, text="a\n\nb")])
+    plan = (
+        dedup_paragraphs_across_docs(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
