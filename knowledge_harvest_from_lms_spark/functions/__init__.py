@@ -1,3 +1,3 @@
-from . import scoring, stopwords, textops, urls
+from . import pii, scoring, stopwords, textops, urls
 
-__all__ = ["textops", "scoring", "stopwords", "urls"]
+__all__ = ["textops", "scoring", "stopwords", "urls", "pii"]

@@ -1,0 +1,94 @@
+"""PII redaction + benchmark decontamination (q52/q53 carry the
+oracle replays; these pin the properties the oracles can't)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from knowledge_harvest_from_lms_spark.functions.pii import (
+    pii_counts,
+    redact_pii,
+)
+from knowledge_harvest_from_lms_spark.operators.decontaminate import (
+    contamination_hits,
+    decontaminate,
+    word_ngrams,
+)
+
+
+def test_redact_pii_cases(spark):
+    cases = [
+        ("mail me at a.b+c@host.example.org now",
+         "mail me at <EMAIL> now"),
+        ("server 192.168.0.1 and 10.0.0.255 up",
+         "server <IP> and <IP> up"),
+        ("call +49 151 1234 5678 today", "call <PHONE> today"),
+        # email wins before the phone pass can eat its digits
+        ("x +4915112345678@h.example.de y", "x <EMAIL> y"),
+        # version strings: no 4th octet -> not an IP; no +CC -> not a phone
+        ("v1.2.3 released, build 123 456 789", "v1.2.3 released, build 123 456 789"),
+        ("", ""),
+    ]
+    df = spark.createDataFrame([Row(t=a) for a, _ in cases])
+    got = [r[0] for r in df.select(redact_pii(F.col("t"))).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_redact_pii_kinds_subset_and_counts(spark):
+    df = spark.createDataFrame(
+        [Row(t="a@b.example and 1.2.3.4 and +1 234 5678 90")]
+    )
+    only_email = df.select(
+        redact_pii(F.col("t"), kinds=("email",)).alias("r")
+    ).collect()[0]["r"]
+    assert "<EMAIL>" in only_email and "1.2.3.4" in only_email
+    with pytest.raises(ValueError, match="unknown pii kinds"):
+        redact_pii(F.col("t"), kinds=("ssn",))
+    counts = df.select(
+        *[c.alias(k) for k, c in pii_counts(F.col("t")).items()]
+    ).collect()[0]
+    assert counts["email"] == 1 and counts["ipv4"] == 1 and counts["phone"] == 1
+
+
+def test_word_ngrams_short_doc(spark):
+    df = spark.createDataFrame([Row(t="a b"), Row(t="a b c")])
+    out = [r[0] for r in df.select(word_ngrams(F.col("t"), 3)).collect()]
+    assert out[0] == []
+    assert out[1] == ["a b c"]
+
+
+def test_contamination_hash_equals_string_join(spark):
+    """The xxhash64-keyed scale path flags exactly the same documents
+    as the exact string join (no collisions at this size; the hash
+    variant exists to keep a 10M-gram benchmark broadcastable)."""
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="completely unrelated text with other words"),
+            Row(doc_id=3, text="a quick brown fox jumps again today"),
+        ]
+    )
+    bench = spark.createDataFrame(
+        [Row(text="said the quick brown fox jumps and left")]
+    )
+    exact = {
+        (r.doc_id, r.n_contaminated_grams)
+        for r in contamination_hits(docs, bench, n=5, hash_grams=False).collect()
+    }
+    hashed = {
+        (r.doc_id, r.n_contaminated_grams)
+        for r in contamination_hits(docs, bench, n=5, hash_grams=True).collect()
+    }
+    assert exact == hashed
+    assert {d for d, _ in exact} == {1}  # 5-gram overlap only in doc 1
+
+    clean = decontaminate(docs, bench, n=5)
+    assert {r.doc_id for r in clean.collect()} == {2, 3}
+
+
+def test_contamination_counts_every_hit_gram(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b c d e f")])
+    bench = spark.createDataFrame([Row(text="a b c d e f")])
+    hits = contamination_hits(docs, bench, n=5, hash_grams=False).collect()
+    # grams: "a b c d e", "b c d e f" -> both shared
+    assert hits[0].n_contaminated_grams == 2
