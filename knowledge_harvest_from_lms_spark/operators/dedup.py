@@ -400,14 +400,18 @@ def dedup_paragraphs_across_docs(
     reducer partition; instead the winner per paragraph is a plain
     ``min(struct(id, pos))`` AGGREGATE, whose map-side partial min
     collapses the hot key before the exchange — and because the
-    aggregate's output IS the surviving occurrence, there is no
-    join-back: reassembly is one further groupBy on the (uniform) id.
-    Two skew-safe shuffles total for a corpus-wide dedup.
+    aggregate's output IS the surviving occurrence, the survivors
+    need no join against the exploded paragraphs. Plan cost,
+    honestly: the paragraph-key aggregate exchange, the per-doc
+    reassembly exchange, and a final ids-only (column-pruned source
+    re-scan) left join that preserves fully-deduped documents as
+    rows; with ``min_para_chars > 0`` the exploded-paragraph subtree
+    feeds two consumers (winners + kept-short) and is computed twice
+    unless the caller persists upstream.
 
-    ``min_para_chars`` drops short paragraphs from CONSIDERATION as
-    dedup keys is NOT what it does — short paragraphs below the bound
-    are kept verbatim in every document (never deduped): cutting
-    every "Yes." reply corpus-wide is rarely the intent.
+    ``min_para_chars``: paragraphs below the bound are kept verbatim
+    in every document and never used as dedup keys — cutting every
+    "Yes." reply corpus-wide is rarely the intent.
     """
     i, t = F.col(id_col), F.col(text_col)
     paras = (
@@ -418,11 +422,12 @@ def dedup_paragraphs_across_docs(
             ),
         )
         .filter(F.length(F.trim(F.col("para"))) > 0)
+        .withColumn("_short", F.length("para") < F.lit(min_para_chars))
     )
-    long_p = paras.filter(F.length("para") >= min_para_chars)
-    short_p = paras.filter(F.length("para") < min_para_chars)
-    winners = long_p.groupBy("para").agg(
-        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w")
+    winners = (
+        paras.filter(~F.col("_short"))
+        .groupBy("para")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w"))
     )
     kept = winners.select(
         F.col(f"w.{id_col}").alias(id_col),
@@ -430,7 +435,9 @@ def dedup_paragraphs_across_docs(
         "para",
     )
     if min_para_chars > 0:
-        kept = kept.unionByName(short_p)
+        kept = kept.unionByName(
+            paras.filter(F.col("_short")).select(id_col, "pos", "para")
+        )
     rebuilt = kept.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_paras_kept"),
         F.array_join(

@@ -147,12 +147,19 @@ def perplexity_filter(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Keep documents scoring at or below ``max_ppl`` (CCNet keeps
-    the low-perplexity head/middle of the distribution)."""
-    kept = score_perplexity(docs, model, id_col, text_col).filter(
-        F.col("ppl") <= max_ppl
+    """Drop documents scoring ABOVE ``max_ppl`` (CCNet keeps the
+    low-perplexity head/middle of the distribution).
+
+    Implemented as an anti-join against the too-high set, so
+    documents with no score row (fewer than two tokens — nothing to
+    judge) PASS THROUGH: shortness is the Gopher gate's min_words
+    rule, not this filter's job. (A semi-join on the kept set would
+    silently destroy every short document regardless of threshold —
+    review r4.)"""
+    bad = score_perplexity(docs, model, id_col, text_col).filter(
+        F.col("ppl") > max_ppl
     )
-    return docs.join(kept.select(id_col), id_col, "leftsemi")
+    return docs.join(bad.select(id_col), id_col, "left_anti")
 
 
 def held_out_ppl(model: dict, docs: DataFrame, text_col: str = "text") -> float:

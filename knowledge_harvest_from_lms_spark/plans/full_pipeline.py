@@ -77,7 +77,14 @@ def run_full_pipeline(
         from ..operators.quality_filter import gopher_quality_filter
 
         th = clean_corpus if isinstance(clean_corpus, dict) else {}
-        clean_fp = _fp("clean", sorted(th.items()))
+        # fingerprint the EFFECTIVE rule set (defaults merged), not
+        # just the overrides: a change to GOPHER_DEFAULTS (e.g. the
+        # r4 paragraph rules) must invalidate resumed 15_clean
+        # checkpoints, or an old run dir silently serves outputs
+        # filtered by the old rules with the old schema (review r4)
+        from ..operators.quality_filter import GOPHER_DEFAULTS
+
+        clean_fp = _fp("clean", sorted({**GOPHER_DEFAULTS, **th}.items()))
 
         def _clean():
             from pyspark.sql.window import Window as W

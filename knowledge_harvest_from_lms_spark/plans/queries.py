@@ -2443,11 +2443,14 @@ def q52_pii_redaction(spark, sf_dir):
 
 
 def _q52_sql() -> str:
-    from ..functions.pii import PII_PATTERNS
+    from ..functions.pii import PII_PATTERNS, oracle_replacement
 
-    em, em_t = PII_PATTERNS["email"]
-    ip, ip_t = PII_PATTERNS["ipv4"]
-    ph, ph_t = PII_PATTERNS["phone"]
+    em, ip, ph = (PII_PATTERNS[k][0] for k in ("email", "ipv4", "phone"))
+    em_r, ip_r, ph_r = (
+        oracle_replacement(k) for k in ("email", "ipv4", "phone")
+    )
+    # counts are taken on the PROGRESSIVELY redacted text, mirroring
+    # functions/pii.pii_counts exactly (one span, one kind)
     return f"""
 WITH msgs AS (
   SELECT doc_id,
@@ -2457,17 +2460,16 @@ WITH msgs AS (
          || '.0.' || CAST(doc_id % 100 AS VARCHAR)
          || ' call +1 555 0' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
          || ' 22 end' AS msg
-  FROM documents)
+  FROM documents),
+s1 AS (SELECT doc_id, msg,
+              regexp_replace(msg, '{em}', '{em_r}', 'g') AS t1 FROM msgs),
+s2 AS (SELECT *, regexp_replace(t1, '{ip}', '{ip_r}', 'g') AS t2 FROM s1)
 SELECT doc_id,
-       regexp_replace(
-         regexp_replace(
-           regexp_replace(msg, '{em}', '{em_t}', 'g'),
-           '{ip}', '{ip_t}', 'g'),
-         '{ph}', '{ph_t}', 'g') AS redacted,
+       regexp_replace(t2, '{ph}', '{ph_r}', 'g') AS redacted,
        CAST(len(regexp_extract_all(msg, '{em}')) AS BIGINT) AS n_email,
-       CAST(len(regexp_extract_all(msg, '{ip}')) AS BIGINT) AS n_ipv4,
-       CAST(len(regexp_extract_all(msg, '{ph}')) AS BIGINT) AS n_phone
-FROM msgs
+       CAST(len(regexp_extract_all(t1, '{ip}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(t2, '{ph}')) AS BIGINT) AS n_phone
+FROM s2
 """
 
 

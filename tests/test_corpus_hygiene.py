@@ -27,6 +27,10 @@ def test_redact_pii_cases(spark):
         ("x +4915112345678@h.example.de y", "x <EMAIL> y"),
         # version strings: no 4th octet -> not an IP; no +CC -> not a phone
         ("v1.2.3 released, build 123 456 789", "v1.2.3 released, build 123 456 789"),
+        # review r4: letter/dot-preceded quads and >255 octets are NOT IPs
+        ("release v10.2.3.4 and 2.14.1.300 notes", "release v10.2.3.4 and 2.14.1.300 notes"),
+        # consecutive IPs both redact (leading boundary is CAPTURED, not consumed zero-width)
+        ("pair 1.2.3.4 5.6.7.8 done", "pair <IP> <IP> done"),
         ("", ""),
     ]
     df = spark.createDataFrame([Row(t=a) for a, _ in cases])
@@ -48,6 +52,18 @@ def test_redact_pii_kinds_subset_and_counts(spark):
         *[c.alias(k) for k, c in pii_counts(F.col("t")).items()]
     ).collect()[0]
     assert counts["email"] == 1 and counts["ipv4"] == 1 and counts["phone"] == 1
+
+
+def test_pii_counts_no_double_count(spark):
+    """One span, one kind (review r4): the digit run inside a +CC
+    email local part is counted as email ONLY — counts agree with
+    what redact_pii replaces."""
+    df = spark.createDataFrame([Row(t="x +4915112345678@h.example.de y")])
+    counts = df.select(
+        *[c.alias(k) for k, c in pii_counts(F.col("t")).items()]
+    ).collect()[0]
+    assert counts["email"] == 1
+    assert counts["phone"] == 0 and counts["ipv4"] == 0
 
 
 def test_word_ngrams_short_doc(spark):

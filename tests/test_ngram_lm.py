@@ -83,3 +83,21 @@ def test_held_out_ppl_and_bad_k(spark):
     assert held_out_ppl(model, in_domain) < held_out_ppl(model, gibberish)
     with pytest.raises(ValueError, match="smoothing k"):
         train_bigram_lm(ref, k=0.0)
+
+
+def test_filter_passes_unscoreable_docs(spark):
+    """Docs with <2 tokens have nothing to judge and PASS (review
+    r4): shortness is the quality gate's min_words rule, not the
+    perplexity filter's."""
+    ref = spark.createDataFrame([Row(text="a b c")])
+    model = train_bigram_lm(ref)
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c"),
+            Row(doc_id=2, text="solo"),
+            Row(doc_id=3, text=""),
+            Row(doc_id=4, text=None),
+        ]
+    )
+    kept = perplexity_filter(docs, model, max_ppl=1e9)
+    assert {r.doc_id for r in kept.collect()} == {1, 2, 3, 4}
