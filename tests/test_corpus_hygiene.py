@@ -108,3 +108,41 @@ def test_contamination_counts_every_hit_gram(spark):
     hits = contamination_hits(docs, bench, n=5, hash_grams=False).collect()
     # grams: "a b c d e", "b c d e f" -> both shared
     assert hits[0].n_contaminated_grams == 2
+
+
+def test_boilerplate_removal_semantics(spark):
+    """Host-frequency boilerplate: a line on >50% of a host's pages
+    is stripped host-wide; content lines survive; in-page repetition
+    can't fake frequency; other hosts keep the same string."""
+    from knowledge_harvest_from_lms_spark.operators.boilerplate import (
+        boilerplate_lines,
+        remove_boilerplate_lines,
+    )
+
+    nav = "cookie banner"
+    rows = [
+        # host A: 3 pages, nav on all -> boilerplate
+        Row(host="a", url=1, text=f"{nav}\ncontent one"),
+        Row(host="a", url=2, text=f"{nav}\ncontent two"),
+        Row(host="a", url=3, text=f"{nav}\ncontent three"),
+        # host B: nav on 1 of 3 pages only -> NOT boilerplate there,
+        # even repeated within the one page (countDistinct url)
+        Row(host="b", url=4, text=f"{nav}\n{nav}\n{nav}\nbody"),
+        Row(host="b", url=5, text="other body"),
+        Row(host="b", url=6, text="third body"),
+        # a page that is ALL boilerplate survives as an empty row
+        Row(host="a", url=7, text=nav),
+    ]
+    pages = spark.createDataFrame(rows)
+    bp = boilerplate_lines(pages, max_frac=0.5).collect()
+    assert [(r.host, r.line) for r in bp] == [("a", nav)]
+    out = {r.url: r for r in remove_boilerplate_lines(pages).collect()}
+    assert out[1].text == "content one" and out[1].n_lines_kept == 1
+    assert out[4].text == f"{nav}\n{nav}\n{nav}\nbody"  # host b untouched
+    assert out[7].text == "" and out[7].n_lines_kept == 0  # row preserved
+    assert len(out) == 7
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_frac"):
+        boilerplate_lines(pages, max_frac=0.0)
