@@ -7,6 +7,14 @@ signals (`textstats`), corpus-wide paragraph dedup (`dedup`), and
 per-HOST frequency-based boilerplate (here) each catch a different
 duplication structure.
 
+NOTE on composition: this operator needs line-PRESERVING text.
+`operators/extract_text.py` deliberately collapses all whitespace to
+single spaces (byte-identity contract with the reference), so its
+output carries no newlines — run boilerplate removal on a
+line-preserving extraction (or raw text) BEFORE such a collapse, not
+after; it is intentionally not wired into the pipeline's 15_clean
+stage for exactly this reason.
+
 Scale shape: line frequencies are a two-phase aggregate on
 (host, line) with countDistinct(page) — partial aggregation absorbs
 the hot keys (a chain's shared footer across 10^6 pages of one

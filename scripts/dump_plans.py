@@ -40,6 +40,7 @@ SHOW = {
     "q51_paragraph_dedup": "r4 cross-doc paragraph dedup: winner per paragraph is a partial-agg min (NO Window node — a hot boilerplate key would pin one reducer), reassembly groupBy on the uniform doc key, ids-only row-preserving join",
     "q53_decontamination": "r4 decontamination: corpus grams built in the projection (zipped shifted slices), benchmark gram set BROADCAST — BroadcastHashJoin, no corpus-side gram shuffle; per-doc count agg",
     "q54_perplexity_scores": "r4 bigram-LM perplexity: model is a DataFrame; score join is a shuffle equi-join on (w1,w2) with the probe side pre-collapsed per doc (head bigrams are AQE skew-split candidates); training aggregates feed it in the same plan",
+    "q55_boilerplate_removal": "r4 host boilerplate: two-phase countDistinct on (host,line) (partials absorb a shared footer), LEFT ANTI join for removal, uniform-key reassembly + ids-only row-preserving join",
 }
 
 
