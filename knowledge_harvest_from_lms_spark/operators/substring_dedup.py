@@ -1,0 +1,149 @@
+"""Exact-substring span deduplication (the Lee et al. 2021
+"Deduplicating Training Data Makes Language Models Better" move,
+re-expressed relationally): any word k-gram that occurs more than
+once corpus-wide marks its k-token span as duplicated text; every
+occurrence EXCEPT the globally first one (by (doc_id, pos)) is
+removed, so exactly one copy of each duplicated passage survives.
+Overlapping flagged windows merge naturally — removal is a set union
+of token positions, not an interval algebra.
+
+The paper builds a suffix array over the concatenated corpus; a
+suffix array is a single-machine data structure and the wrong shape
+for a 10^12-doc table. The relational equivalent is three shuffles,
+each with map-side partial aggregation:
+
+  1. gram stats  — groupBy(gram key) over the posexploded k-gram
+     stream: count + min(struct(doc_id, pos)) (the winner). With
+     ``hash_grams=True`` the key is ``xxhash64(gram)`` — 8 bytes a
+     gram instead of a k-word string, the same tradeoff as
+     `decontaminate.py` (a 64-bit collision removes an innocent
+     span; acceptable for a drop-filter, never used to keep text).
+  2. flag join   — occurrences ⋈ duplicated-gram stats on the hash
+     key. The build side holds ONLY grams with count >= min_count
+     (boilerplate passages — tiny vs the corpus gram stream);
+     AQE's skew-join splits the hot grams that motivated this
+     operator in the first place.
+  3. reassembly  — flagged spans explode into token positions
+     (k-fold amplification of FLAGGED spans only), distinct, one
+     left-anti join against the token stream, one groupBy(doc) to
+     rebuild. Same row-preserving reassembly contract as
+     `boilerplate.remove_boilerplate_lines`: a fully-duplicated doc
+     stays a row with empty text.
+
+Tokens are defined as single-space splits (the extract_text
+contract); documents shorter than k tokens generate no grams and
+are never touched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .decontaminate import word_ngrams
+
+
+def duplicated_gram_positions(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """(id, pos, n_occurrences) for every NON-FIRST occurrence of a
+    word k-gram that appears at least ``min_count`` times
+    corpus-wide. ``pos`` is the 0-based start token index; the
+    globally first occurrence (lexicographic (doc_id, pos)) is the
+    kept copy and is NOT returned."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    occ = docs.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams(F.col(text_col), k)).alias("pos", "gram"),
+    )
+    if hash_grams:
+        occ = occ.select(id_col, "pos", F.xxhash64("gram").alias("g"))
+    else:
+        occ = occ.select(id_col, "pos", F.col("gram").alias("g"))
+    stats = (
+        occ.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.min(
+                F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))
+            ).alias("first"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+    return (
+        occ.join(stats, "g")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("first.i"))
+                & (F.col("pos") == F.col("first.p"))
+            )
+        )
+        .select(id_col, "pos", "n_occurrences")
+    )
+
+
+def dedup_substrings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Remove every duplicated k-token span except its globally first
+    occurrence; returns (id, text, n_tokens_kept, n_tokens_removed)
+    with text rebuilt from surviving tokens in original order (''
+    when everything was duplicated — row preserved)."""
+    flagged = duplicated_gram_positions(
+        docs, id_col, text_col, k, min_count, hash_grams
+    )
+    removed = flagged.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+        ).alias("pos"),
+    ).distinct()
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), " ")).alias(
+            "pos", "tok"
+        ),
+    )
+    kept = toks.join(removed, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("_text"),
+    )
+    totals = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), " "))
+        .cast("bigint")
+        .alias("_n_tokens"),
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_text"), F.lit("")).alias(text_col),
+            F.coalesce(F.col("n_tokens_kept"), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens_kept"),
+            (F.col("_n_tokens") - F.coalesce(F.col("n_tokens_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_tokens_removed"),
+        )
+    )

@@ -2646,6 +2646,160 @@ FROM pages p LEFT JOIN rebuilt r ON p.host = r.host AND p.url = r.url
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact-substring span dedup (Lee et al. 2021, relationally)
+# ---------------------------------------------------------------------------
+
+def q56_substring_dedup(spark, sf_dir):
+    """operators/substring_dedup.py end-to-end: like q51/q53/q55,
+    BOTH sides synthesize the same duplication structure — a
+    10-word slogan shared by doc_id%7 is spliced between two unique
+    char slices, so its word 5-grams repeat corpus-wide and every
+    occurrence except the globally first is span-removed.
+    hash_grams=False so the oracle replays the string-keyed join;
+    the xxhash64 scale variant is pytest-equivalence-checked."""
+    from ..operators.substring_dedup import dedup_substrings
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring(t, 1, 60),
+            F.lit(" shared slogan phrase number "),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(" appears in many documents verbatim "),
+            F.substring(t, 61, 40),
+        ).alias("text"),
+    )
+    return dedup_substrings(
+        synth, "doc_id", "text", k=5, min_count=2, hash_grams=False
+    )
+
+
+Q56_SQL = """
+WITH docs AS (
+  SELECT doc_id,
+         substr(text, 1, 60) || ' shared slogan phrase number '
+           || CAST(doc_id % 7 AS VARCHAR)
+           || ' appears in many documents verbatim '
+           || substr(text, 61, 40) AS text
+  FROM documents),
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs),
+occ AS (
+  SELECT doc_id, pos, gram FROM (
+    SELECT doc_id,
+           unnest([{'pos': i - 1, 'gram': array_to_string(w[i:i+4], ' ')}
+                   for i in range(1, len(w) - 3)],
+                  recursive := true)
+    FROM w WHERE len(w) >= 5)),
+flag AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           count(*) OVER (PARTITION BY gram) AS c,
+           ROW_NUMBER() OVER (PARTITION BY gram
+                              ORDER BY doc_id, pos) AS rk
+    FROM occ)
+  WHERE c >= 2 AND rk > 1),
+rem AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT doc_id, unnest([pos, pos+1, pos+2, pos+3, pos+4]) AS pos
+    FROM flag)),
+toks AS (
+  SELECT doc_id, pos, tok FROM (
+    SELECT doc_id,
+           unnest([{'pos': i - 1, 'tok': w[i]}
+                   for i in range(1, len(w) + 1)],
+                  recursive := true)
+    FROM w)),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM toks t ANTI JOIN rem r ON t.doc_id = r.doc_id AND t.pos = r.pos),
+rebuilt AS (
+  SELECT doc_id,
+         string_agg(tok, ' ' ORDER BY pos) AS text,
+         CAST(count(*) AS BIGINT) AS n_tokens_kept
+  FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, len(w) AS n FROM w)
+SELECT t.doc_id,
+       COALESCE(r.text, '') AS text,
+       COALESCE(r.n_tokens_kept, 0) AS n_tokens_kept,
+       CAST(t.n - COALESCE(r.n_tokens_kept, 0) AS BIGINT) AS n_tokens_removed
+FROM tot t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance scoring (hashed-ngram target-vs-raw log ratio)
+# ---------------------------------------------------------------------------
+
+def q57_dsir_scores(spark, sf_dir):
+    """operators/dsir.py fit+score end-to-end: target model on the
+    doc_id%10==0 slice, raw model on the remainder, every document
+    scored. hasher='portable' + buckets=512 so the oracle replays
+    the feature hashing, both model fits, the add-k smoothing and
+    the unseen-bucket floor exactly (q54's rounding recipe)."""
+    from ..operators.dsir import dsir_log_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 10 == 0)
+    raw = docs.filter(F.col("doc_id") % 10 != 0)
+    return dsir_log_ratio(
+        docs, target, raw, "doc_id", "text",
+        buckets=512, k=0.5, hasher="portable",
+    )
+
+
+_Q57_BUCKET = """CAST(LIST_REDUCE(
+           LIST_PREPEND(CAST(0 AS BIGINT),
+             LIST_TRANSFORM(STRING_SPLIT(gram, ''),
+                            c -> CAST(ASCII(c) AS BIGINT))),
+           (acc, x) -> (acc * 31 + x) % 1000000007) % 512 AS INT)"""
+
+Q57_SQL = f"""
+WITH feats AS (
+  SELECT doc_id, unnest(w) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  UNION ALL
+  SELECT doc_id,
+         unnest([array_to_string(w[i:i+1], ' ')
+                 for i in range(1, len(w))]) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  WHERE len(w) >= 2),
+fb AS (
+  SELECT doc_id, {_Q57_BUCKET} AS bucket FROM feats),
+tcnt AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM fb
+  WHERE doc_id % 10 = 0 GROUP BY bucket),
+rcnt AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM fb
+  WHERE doc_id % 10 <> 0 GROUP BY bucket),
+tots AS (
+  SELECT (SELECT CAST(COALESCE(sum(n), 0) AS DOUBLE) FROM tcnt) AS t_tot,
+         (SELECT CAST(COALESCE(sum(n), 0) AS DOUBLE) FROM rcnt) AS r_tot),
+model AS (
+  SELECT COALESCE(t.bucket, r.bucket) AS bucket,
+         round(ln((COALESCE(t.n, 0) + 0.5) / (tots.t_tot + 256.0))
+             - ln((COALESCE(r.n, 0) + 0.5) / (tots.r_tot + 256.0)),
+               9) AS logr
+  FROM tcnt t FULL OUTER JOIN rcnt r ON t.bucket = r.bucket
+  CROSS JOIN tots),
+pc AS (
+  SELECT doc_id, bucket, count(*) AS n FROM fb GROUP BY doc_id, bucket),
+scored AS (
+  SELECT p.doc_id, p.n,
+         COALESCE(m.logr,
+                  round(ln(0.5 / (tots.t_tot + 256.0))
+                      - ln(0.5 / (tots.r_tot + 256.0)), 9)) AS logr
+  FROM pc p LEFT JOIN model m ON p.bucket = m.bucket
+  CROSS JOIN tots)
+SELECT doc_id,
+       CAST(sum(n) AS BIGINT) AS n_feats,
+       round(sum(n * logr) / sum(n), 6) AS avg_log_ratio
+FROM scored GROUP BY doc_id
+"""
+
+
 def q98_graph_materialize(spark, sf_dir):
     """Entity canonicalization + edge aggregation with the xxhash64
     vertex ids, under an aggregate + contract oracle (r4 — was
@@ -2775,11 +2929,12 @@ def q91_bertnet_triples(spark, sf_dir):
 # replay oracles on synthesized PII / benchmark slices; q54 bigram-LM
 # perplexity — full train+score replay on the real documents table;
 # q55 host-boilerplate removal — full replay on synthesized
-# multi-line pages) and the 4
+# multi-line pages; q56 exact-substring span dedup / q57 DSIR
+# importance scoring — full fit+score replay oracles) and the 4
 # declared rows-only contracts
 # (q90/q91/q97/q98 — each carries a STRONGER exact-spec pytest than
 # a rows-only driver row). scripts/check_correctness.py still gates
-# ALL 65 (CORRECTNESS_selfcheck.json).
+# ALL 67 (CORRECTNESS_selfcheck.json).
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -2838,6 +2993,8 @@ QUERIES = {
     "q53_decontamination": q53_decontamination,
     "q54_perplexity_scores": q54_perplexity_scores,
     "q55_boilerplate_removal": q55_boilerplate_removal,
+    "q56_substring_dedup": q56_substring_dedup,
+    "q57_dsir_scores": q57_dsir_scores,
     "q40_minhash_exact_clusters": q40_minhash_exact_clusters,
     "q28_salted_word_count": q28_salted_word_count,
     "q31_intersect": q31_intersect,
@@ -2904,6 +3061,8 @@ ORACLES = {
     "q53_decontamination": Q53_SQL,
     "q54_perplexity_scores": Q54_SQL,
     "q55_boilerplate_removal": Q55_SQL,
+    "q56_substring_dedup": Q56_SQL,
+    "q57_dsir_scores": Q57_SQL,
     "q92_simhash_pairs": Q92_SQL,
     "q93_minhash_dedup_pairs": Q93_SQL,
     "q95_extract_text_manifest": Q95_SQL,
