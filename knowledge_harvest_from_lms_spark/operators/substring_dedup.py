@@ -12,17 +12,20 @@ suffix array is a single-machine data structure and the wrong shape
 for a 10^12-doc table. The relational equivalent is three shuffles,
 each with map-side partial aggregation:
 
-  1. gram stats  — groupBy(gram key) over the posexploded k-gram
-     stream: count + min(struct(doc_id, pos)) (the winner). With
+  1. gram counts — groupBy(gram key) count over the posexploded
+     k-gram stream (HashAggregate, map-side partials). With
      ``hash_grams=True`` the key is ``xxhash64(gram)`` — 8 bytes a
      gram instead of a k-word string, the same tradeoff as
      `decontaminate.py` (a 64-bit collision removes an innocent
      span; acceptable for a drop-filter, never used to keep text).
-  2. flag join   — occurrences ⋈ duplicated-gram stats on the hash
-     key. The build side holds ONLY grams with count >= min_count
-     (boilerplate passages — tiny vs the corpus gram stream);
-     AQE's skew-join splits the hot grams that motivated this
-     operator in the first place.
+  2. flag join   — occurrences ⋈ duplicated-gram counts on the hash
+     key; the join output is hash-partitioned by gram, so the
+     winner aggregate (min(struct(doc_id,pos)) — sort-based, which
+     is why it runs AFTER the count filter, over only the
+     duplicated occurrences) and the winner join add no further
+     exchange. The duplicated set is tiny vs the corpus gram
+     stream; AQE's skew-join splits the hot grams that motivated
+     this operator in the first place.
   3. reassembly  — flagged spans explode into token positions
      (k-fold amplification of FLAGGED spans only), distinct, one
      left-anti join against the token stream, one groupBy(doc) to
@@ -68,18 +71,26 @@ def duplicated_gram_positions(
         occ = occ.select(id_col, "pos", F.xxhash64("gram").alias("g"))
     else:
         occ = occ.select(id_col, "pos", F.col("gram").alias("g"))
-    stats = (
+    # Count FIRST (plain count -> HashAggregate with map-side partials
+    # over the full gram stream), and only then compute the winning
+    # occurrence: min(struct) is a sort-based aggregate in Spark, so
+    # it must see only the DUPLICATED occurrences (a small fraction of
+    # a mostly-unique corpus gram stream), never the whole stream.
+    counts = (
         occ.groupBy("g")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
-            F.min(
-                F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))
-            ).alias("first"),
-        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
         .filter(F.col("n_occurrences") >= min_count)
     )
+    # dup_occ comes out of this join hash-partitioned by g, so the
+    # winner aggregate and the winner join below add NO new exchange.
+    dup_occ = occ.join(counts, "g")
+    winners = dup_occ.groupBy("g").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))
+        ).alias("first")
+    )
     return (
-        occ.join(stats, "g")
+        dup_occ.join(winners, "g")
         .filter(
             ~(
                 (F.col(id_col) == F.col("first.i"))

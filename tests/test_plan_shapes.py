@@ -268,3 +268,39 @@ def test_q44_linking_no_fuzzy_product(spark):
     assert "levenshtein" in plan.lower()  # verify stays JVM-side
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, node
+
+
+def test_q56_substring_dedup_shape(spark):
+    """Substring dedup (r4): the winner min(struct) is sort-based, so
+    it must aggregate only the DUPLICATED occurrences — the full gram
+    stream's count aggregate stays a HashAggregate; no Python nodes,
+    no cartesian anywhere."""
+    plan = plan_of(QUERIES["q56_substring_dedup"](spark, SF_SMALL), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
+    # the ONLY sort aggregates are the winner-min pair (partial+final)
+    # downstream of the >= min_count filter, never the raw gram count
+    sort_aggs = [
+        l for l in plan.splitlines() if "SortAggregate" in l
+    ]
+    assert len(sort_aggs) == 2, plan
+    assert all("min(struct" in l for l in sort_aggs), plan
+
+
+def test_q57_dsir_model_broadcast(spark):
+    """DSIR scoring: the fitted model (bounded by the bucket count, a
+    config constant) and the 1-row totals must BROADCAST into the
+    probe stream — the corpus-side feature stream never shuffles for
+    the score join; everything stays JVM-side."""
+    plan = plan_of(QUERIES["q57_dsir_scores"](spark, SF_SMALL), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
+    # probe side: exactly two exchanges — the per-(doc,bucket) partial
+    # count and the final per-doc aggregate (model-fit exchanges are
+    # on bucket-bounded inputs)
+    joins = [l for l in plan.splitlines() if "BroadcastHashJoin" in l]
+    assert any("LeftOuter" in l for l in joins), plan
