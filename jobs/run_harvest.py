@@ -55,6 +55,12 @@ def main() -> None:
              '\'{"min_words": 20, "max_dup_5gram_frac": null}\'',
     )
     p.add_argument(
+        "--substring-dedup", default=None, metavar="JSON",
+        help="enable exact-substring span dedup (Lee et al. 2021) "
+             "after cleaning; value is 'default' (k=10, min_count=2) "
+             "or a JSON dict, e.g. '{\"k\": 8}'",
+    )
+    p.add_argument(
         "--search-prompts", action="store_true",
         help="run paraphrase prompt search for relations with no "
              "searched prompts (uses the deterministic offline "
@@ -143,8 +149,23 @@ def main() -> None:
                 "'default', '{}' (defaults, no overrides) or a JSON "
                 "threshold dict"
             )
+    subdedup = None
+    if args.substring_dedup:
+        import json as _json
+
+        subdedup = (
+            True
+            if args.substring_dedup == "default"
+            else _json.loads(args.substring_dedup)
+        )
+        if subdedup is None or subdedup is False:
+            raise SystemExit(
+                "--substring-dedup given but parses to null/false — "
+                "use 'default', '{}' or a JSON dict like '{\"k\": 8}'"
+            )
     out = run_full_pipeline(
-        spark, relations, pages, args.checkpoints, cfg, clean_corpus=clean
+        spark, relations, pages, args.checkpoints, cfg, clean_corpus=clean,
+        substring_dedup=subdedup,
     )
 
     cat = Catalog(spark, args.warehouse)

@@ -108,11 +108,17 @@ def dedup_substrings(
     k: int = 8,
     min_count: int = 2,
     hash_grams: bool = True,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Remove every duplicated k-token span except its globally first
-    occurrence; returns (id, text, n_tokens_kept, n_tokens_removed)
-    with text rebuilt from surviving tokens in original order (''
-    when everything was duplicated — row preserved)."""
+    occurrence; returns (id, *passthrough, text, n_tokens_kept,
+    n_tokens_removed) with text rebuilt from surviving tokens in
+    original order ('' when everything was duplicated — row
+    preserved). ``passthrough`` columns ride the row-preserving side
+    of the reassembly join (ids + metadata only — never the body)."""
+    bad = set(passthrough) & {id_col, text_col}
+    if bad:
+        raise ValueError(f"passthrough collides with id/text cols: {bad}")
     flagged = duplicated_gram_positions(
         docs, id_col, text_col, k, min_count, hash_grams
     )
@@ -141,6 +147,7 @@ def dedup_substrings(
     )
     totals = docs.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), " "))
         .cast("bigint")
         .alias("_n_tokens"),
@@ -149,6 +156,7 @@ def dedup_substrings(
         totals.join(rebuilt, id_col, "left")
         .select(
             id_col,
+            *[F.col(c) for c in passthrough],
             F.coalesce(F.col("_text"), F.lit("")).alias(text_col),
             F.coalesce(F.col("n_tokens_kept"), F.lit(0))
             .cast("bigint")

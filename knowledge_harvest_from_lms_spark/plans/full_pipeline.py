@@ -41,6 +41,7 @@ def run_full_pipeline(
     cfg: HarvestConfig | None = None,
     min_mentions: int = 0,
     clean_corpus: bool | dict | None = None,
+    substring_dedup: bool | dict | None = None,
 ) -> dict[str, DataFrame]:
     """``clean_corpus`` adds a Common-Crawl-hygiene stage between
     extraction and everything that consumes the corpus: URL
@@ -52,6 +53,16 @@ def run_full_pipeline(
     fingerprint carries the thresholds, and downstream corpus
     consumers' fingerprints carry the clean fingerprint — toggling
     cleaning can never resume a stale grounded/candidates checkpoint.
+
+    ``substring_dedup`` adds the Lee-et-al exact-substring span
+    removal (operators/substring_dedup.py) after cleaning: pass
+    ``True`` for defaults or ``{"k": ..., "min_count": ...}``. This
+    stage REWRITES surviving text (duplicated spans drop out), so it
+    deliberately runs after the byte-identity-preserving clean stage
+    and recomputes ``text_sha256`` over the deduped text — the
+    invariant "text_sha256 == sha2(extracted_text)" holds at every
+    stage boundary. Its fingerprint chains into every downstream
+    corpus consumer like clean's does.
     """
     import os
 
@@ -115,6 +126,36 @@ def run_full_pipeline(
 
         corpus = run_stage(
             spark, base_dir, "15_clean", _clean, fingerprint=clean_fp,
+        )
+
+    if substring_dedup is not None and substring_dedup is not False:
+        from ..operators.substring_dedup import dedup_substrings
+
+        sd = substring_dedup if isinstance(substring_dedup, dict) else {}
+        unknown = set(sd) - {"k", "min_count"}
+        if unknown:
+            raise ValueError(f"unknown substring_dedup options: {unknown}")
+        sd_k, sd_min = sd.get("k", 10), sd.get("min_count", 2)
+        # chains clean_fp so toggling EITHER hygiene stage invalidates
+        # this one and (via clean_fp below) every downstream consumer
+        clean_fp = _fp("subdedup", sd_k, sd_min, clean_fp)
+        _corpus_in = corpus
+
+        def _subdedup():
+            pt = tuple(
+                c for c in _corpus_in.columns
+                if c not in ("url", "extracted_text", "text_sha256")
+            )
+            out = dedup_substrings(
+                _corpus_in, id_col="url", text_col="extracted_text",
+                k=sd_k, min_count=sd_min, passthrough=pt,
+            )
+            return out.withColumn(
+                "text_sha256", F.sha2("extracted_text", 256)
+            )
+
+        corpus = run_stage(
+            spark, base_dir, "17_subdedup", _subdedup, fingerprint=clean_fp,
         )
 
     pw = run_stage(

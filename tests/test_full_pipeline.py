@@ -142,3 +142,64 @@ def test_clean_corpus_stage(spark, tmp_path):
     # downstream stages ran over the cleaned corpus
     assert out["triples"].count() > 0
     assert out["grounded"].count() > 0
+
+
+def test_substring_dedup_stage(spark, tmp_path):
+    """substring_dedup=…: Lee-et-al span removal runs as checkpointed
+    stage 17_subdedup after cleaning; the globally-first copy of a
+    duplicated passage survives, later copies lose exactly the span,
+    and text_sha256 is recomputed over the deduped text."""
+    import datetime
+    import hashlib
+
+    from pyspark.sql import Row
+
+    rels = fixture_relations(spark).filter("rel = 'AtLocation'")
+    base_pages = synth_web_pages(spark, 40, seed=11, n_partitions=2)
+    ts = datetime.datetime(2024, 1, 1)
+    shared = "widely copied passage that repeats across crawl pages"
+    extra = [
+        Row(
+            url="https://a.example.com/first",
+            warc_ts=ts,
+            html=f"<html><body>alpha opening {shared} alpha tail</body></html>".encode(),
+            text="", lang="en",
+        ),
+        Row(
+            url="https://b.example.com/second",
+            warc_ts=ts,
+            html=f"<html><body>beta opening {shared} beta tail</body></html>".encode(),
+            text="", lang="en",
+        ),
+    ]
+    pages = base_pages.unionByName(
+        spark.createDataFrame(extra, base_pages.schema)
+    )
+    out = run_full_pipeline(
+        spark, rels, pages, str(tmp_path), CFG,
+        substring_dedup={"k": 5, "min_count": 2},
+    )
+    corpus = {r.url: r for r in out["corpus"].collect()}
+    assert len(corpus) == 42
+    a = corpus["https://a.example.com/first"]
+    b = corpus["https://b.example.com/second"]
+    # a < b lexicographically -> a holds the kept copy
+    assert shared in a.extracted_text
+    assert shared not in b.extracted_text
+    # the boundary gram "opening widely copied passage that" is ALSO
+    # shared (both pages say "... opening <shared> ..."), so the
+    # removed span extends one token left of the planted passage
+    assert b.extracted_text == "beta beta tail"
+    assert b.n_tokens_removed == len(shared.split(" ")) + 1
+    # byte-identity invariant holds post-rewrite
+    for r in (a, b):
+        assert r.text_sha256 == hashlib.sha256(
+            r.extracted_text.encode()
+        ).hexdigest()
+    # downstream consumed the deduped corpus
+    assert out["triples"].count() > 0
+    with pytest.raises(ValueError, match="unknown substring_dedup"):
+        run_full_pipeline(
+            spark, rels, pages, str(tmp_path), CFG,
+            substring_dedup={"kk": 5},
+        )
