@@ -32,6 +32,9 @@ N_REAL_ROWS = 1_500  # real-transformer-math PLL (each row ~1 GFLOP;
 # 4_000 in the first r4 run spent ~34 min at local[2] — the ratio
 # doesn't need that much integration time)
 N_PAGES = 3_000_000
+N_SUB_DOCS = 750_000  # substring-dedup docs (30 words each -> ~20M
+# gram occurrences through two shuffles; every 5th doc carries a
+# shared passage so the flagged/explode path has real volume)
 # N vs 4N. A mapInPandas stage at local[L] keeps ~2L threads busy
 # (L JVM Arrow feeders + L Python workers), so on this host's 16
 # PHYSICAL cores (32 SMT-logical) the levels must satisfy 2*4N <= 16
@@ -232,6 +235,67 @@ def run_level(cpus: int) -> dict:
         link_pass(ment)
         link_runs.append(round(time.time() - t0, 3))
     link_sec = min(link_runs)
+
+    # 3b. exact-substring span dedup (r4, q56 machinery): the OTHER
+    # shuffle-bound workload — gram-count aggregate + flag join over
+    # an (id, pos, xxhash64) occurrence stream, then position
+    # anti-join + reassembly groupBy. Docs are 30 stub-vocab words;
+    # every 5th doc embeds a shared 12-word passage, so the flagged
+    # set (and the k-fold position explode) carries real volume.
+    from knowledge_harvest_from_lms_spark.operators.substring_dedup import (
+        dedup_substrings,
+    )
+
+    n_docs = N_SUB_DOCS
+    sub_path = f"/tmp/kg_bench_subdedup_{n_docs}"
+    if not os.path.exists(sub_path + "/_SUCCESS"):
+        # hash-based word picks: a LINEAR index (31*id + 7i) % V makes
+        # every Vth doc byte-identical (V=127) and flags 99.99% of the
+        # corpus — xxhash64 keeps docs unique so the duplicated set is
+        # the planted 1-in-5 passage plus rare birthday collisions
+        word_at = lambda expr: F.element_at(  # noqa: E731
+            warr, (F.pmod(F.xxhash64(expr), F.lit(V)) + 1).cast("int")
+        )
+        wordseq = lambda lo, hi: F.array_join(  # noqa: E731
+            F.transform(
+                F.sequence(F.lit(lo), F.lit(hi)),
+                lambda i: word_at(F.col("id") * 31 + i),
+            ),
+            " ",
+        )
+        shared = " ".join(words[i * 13 % V] for i in range(12))
+        (
+            spark.range(n_docs)
+            .select(
+                "id",
+                F.when(
+                    F.col("id") % 5 == 0,
+                    F.concat(
+                        wordseq(0, 9), F.lit(" " + shared + " "),
+                        wordseq(22, 29),
+                    ),
+                )
+                .otherwise(wordseq(0, 29))
+                .alias("text"),
+            )
+            .repartition(128)
+            .write.mode("overwrite")
+            .parquet(sub_path)
+        )
+    sub_docs = spark.read.parquet(sub_path)
+
+    def sub_pass(df):
+        dedup_substrings(
+            df, id_col="id", text_col="text", k=5, min_count=2
+        ).write.format("noop").mode("overwrite").save()
+
+    sub_pass(sub_docs.limit(20_000))  # warm codegen + shuffle machinery
+    sub_runs = []
+    for _ in range(3):
+        t0 = time.time()
+        sub_pass(sub_docs)
+        sub_runs.append(round(time.time() - t0, 3))
+    sub_sec = min(sub_runs)
     spark.stop()
     return {
         "cpus": cpus,
@@ -261,6 +325,10 @@ def run_level(cpus: int) -> dict:
         "link_sec": round(link_sec, 3),
         "link_runs": link_runs,
         "link_mentions_per_sec": round(n_ment / link_sec, 1),
+        "sub_docs": n_docs,
+        "sub_sec": round(sub_sec, 3),
+        "sub_runs": sub_runs,
+        "sub_docs_per_sec": round(n_docs / sub_sec, 1),
     }
 
 
@@ -402,6 +470,7 @@ def main() -> None:
     corpus_eff = (r_hi["corpus_pages_per_sec"] / r_lo["corpus_pages_per_sec"]) / ratio
     rep_eff = (r_hi["rep_pages_per_sec"] / r_lo["rep_pages_per_sec"]) / ratio
     link_eff = (r_hi["link_mentions_per_sec"] / r_lo["link_mentions_per_sec"]) / ratio
+    sub_eff = (r_hi["sub_docs_per_sec"] / r_lo["sub_docs_per_sec"]) / ratio
     calibs = [r_lo["host_calib_sha256_per_sec"], r_hi["host_calib_sha256_per_sec"]]
     calib_drift = round(max(calibs) / max(1, min(calibs)) - 1.0, 3)
     if calib_drift > 0.15:
@@ -436,6 +505,11 @@ def main() -> None:
             "mentions_per_sec_n": r_lo["link_mentions_per_sec"],
             "mentions_per_sec_4n": r_hi["link_mentions_per_sec"],
             "efficiency": round(link_eff, 3),
+        },
+        "substring_dedup": {
+            "docs_per_sec_n": r_lo["sub_docs_per_sec"],
+            "docs_per_sec_4n": r_hi["sub_docs_per_sec"],
+            "efficiency": round(sub_eff, 3),
         },
         "host_calib_drift": calib_drift,
         "detail": results,
@@ -512,6 +586,17 @@ def main() -> None:
             "embarrassingly-parallel PLL stage, this workload is\n"
             "shuffle-bound (two equi-join shuffles per pass), so it is\n"
             "the honest stress test of the exchange machinery.\n\n"
+            "## 3b. Exact-substring span dedup (q56 machinery, "
+            f"{r_lo['sub_docs']:,} docs, ~39M gram occurrences)\n\n"
+            "Lee-et-al span removal (operators/substring_dedup.py):\n"
+            "gram-count HashAggregate + flag join on xxhash64 gram keys,\n"
+            "flagged-span position explode, anti-join + reassembly —\n"
+            "pure-JVM and shuffle-bound like §3 but aggregate-heavy\n"
+            "rather than join-heavy.\n\n"
+            "| level | docs/sec | sec |\n|---|---|---|\n"
+            f"| local[{LEVELS[0]}] | {r_lo['sub_docs_per_sec']:,} | {r_lo['sub_sec']} |\n"
+            f"| local[{LEVELS[1]}] | {r_hi['sub_docs_per_sec']:,} | {r_hi['sub_sec']} |\n\n"
+            f"**Scaling efficiency (N→4N): {sub_eff:.3f}**\n\n"
             + _ekar_section()
             + _txn_section()
             + "Raw numbers:\n\n```json\n"

@@ -27,11 +27,14 @@ each with map-side partial aggregation:
      stream; AQE's skew-join splits the hot grams that motivated
      this operator in the first place.
   3. reassembly  — flagged spans explode into token positions
-     (k-fold amplification of FLAGGED spans only), distinct, one
-     left-anti join against the token stream, one groupBy(doc) to
-     rebuild. Same row-preserving reassembly contract as
-     `boilerplate.remove_boilerplate_lines`: a fully-duplicated doc
-     stays a row with empty text.
+     (k-fold amplification of FLAGGED spans only), distinct, and
+     ONLY the affected documents pay tokenize + anti-join +
+     collect_list rebuild (semi/anti routing against the affected-id
+     set, which AQE broadcasts when small); untouched documents pass
+     through without reassembly — at a realistic duplication rate the
+     expensive object-aggregate sees a sliver of the corpus. Same
+     row-preserving contract as `boilerplate.remove_boilerplate_lines`:
+     a fully-duplicated doc stays a row with empty text.
 
 Tokens are defined as single-space splits (the extract_text
 contract); documents shorter than k tokens generate no grams and
@@ -128,7 +131,33 @@ def dedup_substrings(
             F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
         ).alias("pos"),
     ).distinct()
-    toks = docs.select(
+    # `removed` feeds FOUR consumers (affected-id anti/semi routing,
+    # the kept anti-join) and Catalyst clones the whole gram pipeline
+    # per consumer — no ReusedExchange fires across the clones
+    # (measured: 4x recompute of the two corpus-scale shuffles). A
+    # lazy localCheckpoint collapses them to one RDD computed once;
+    # its payload is only the flagged (id, pos) set.
+    removed = removed.localCheckpoint(eager=False)
+    # Only AFFECTED documents pay tokenize + anti-join + collect_list
+    # reassembly; everything else passes through untouched. In a real
+    # corpus the affected fraction is small, so the expensive
+    # object-aggregate runs over a sliver of the table — and the
+    # affected-ids set is exactly what AQE broadcasts for the
+    # semi/anti routing joins when it is small.
+    affected = removed.select(id_col).distinct()
+    n_tokens = (
+        F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), " "))
+        .cast("bigint")
+    )
+    untouched = docs.join(affected, id_col, "left_anti").select(
+        F.col(id_col),
+        *[F.col(c) for c in passthrough],
+        F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        n_tokens.alias("n_tokens_kept"),
+        F.lit(0).cast("bigint").alias("n_tokens_removed"),
+    )
+    hit_docs = docs.join(affected, id_col, "left_semi")
+    toks = hit_docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), " ")).alias(
             "pos", "tok"
@@ -145,17 +174,15 @@ def dedup_substrings(
             " ",
         ).alias("_text"),
     )
-    totals = docs.select(
-        F.col(id_col),
-        *[F.col(c) for c in passthrough],
-        F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), " "))
-        .cast("bigint")
-        .alias("_n_tokens"),
-    )
-    return (
-        totals.join(rebuilt, id_col, "left")
+    repaired = (
+        hit_docs.select(
+            F.col(id_col),
+            *[F.col(c) for c in passthrough],
+            n_tokens.alias("_n_tokens"),
+        )
+        .join(rebuilt, id_col, "left")
         .select(
-            id_col,
+            F.col(id_col),
             *[F.col(c) for c in passthrough],
             F.coalesce(F.col("_text"), F.lit("")).alias(text_col),
             F.coalesce(F.col("n_tokens_kept"), F.lit(0))
@@ -166,3 +193,4 @@ def dedup_substrings(
             .alias("n_tokens_removed"),
         )
     )
+    return untouched.unionByName(repaired)

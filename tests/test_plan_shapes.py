@@ -271,22 +271,38 @@ def test_q44_linking_no_fuzzy_product(spark):
 
 
 def test_q56_substring_dedup_shape(spark):
-    """Substring dedup (r4): the winner min(struct) is sort-based, so
-    it must aggregate only the DUPLICATED occurrences — the full gram
-    stream's count aggregate stays a HashAggregate; no Python nodes,
-    no cartesian anywhere."""
+    """Substring dedup (r4), asserted in two layers.
+
+    Gram layer (duplicated_gram_positions): the winner min(struct) is
+    sort-based, so it must aggregate only the DUPLICATED occurrences —
+    the full gram stream's count aggregate stays a HashAggregate.
+
+    Assembly layer (q56 top plan): the flagged-position set feeds four
+    consumers; it must appear as a SHARED checkpointed RDD scan (one
+    computation), never as per-branch re-inlined copies of the gram
+    pipeline (Catalyst clones subtrees per consumer and no
+    ReusedExchange fires across clones — measured 4x recompute, 2x
+    wall-clock, before the lazy localCheckpoint)."""
+    from knowledge_harvest_from_lms_spark.operators.substring_dedup import (
+        duplicated_gram_positions,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    gram_plan = plan_of(
+        duplicated_gram_positions(docs, k=5, min_count=2), "simple"
+    )
+    sort_aggs = [l for l in gram_plan.splitlines() if "SortAggregate" in l]
+    assert len(sort_aggs) == 2, gram_plan
+    assert all("min(struct" in l for l in sort_aggs), gram_plan
+    assert "HashAggregate" in gram_plan  # the raw gram count
+
     plan = plan_of(QUERIES["q56_substring_dedup"](spark, SF_SMALL), "simple")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, node
-    # the ONLY sort aggregates are the winner-min pair (partial+final)
-    # downstream of the >= min_count filter, never the raw gram count
-    sort_aggs = [
-        l for l in plan.splitlines() if "SortAggregate" in l
-    ]
-    assert len(sort_aggs) == 2, plan
-    assert all("min(struct" in l for l in sort_aggs), plan
+    assert "ExistingRDD" in plan, plan      # checkpointed flagged set
+    assert "SortAggregate" not in plan, plan  # gram pipeline not re-inlined
 
 
 def test_q57_dsir_model_broadcast(spark):
