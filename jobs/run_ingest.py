@@ -38,6 +38,11 @@ def main() -> None:
     p.add_argument("--canonical", action="store_true",
                    help="dedup on the canonical url (functions/urls.py) "
                         "and keep canonical_url in the table")
+    p.add_argument("--quality", default=None, metavar="JSON",
+                   help="gate pages at ingest with the Gopher rule set "
+                        "(one fused extract+gate Arrow pass; junk never "
+                        "lands in the table). 'default' or a JSON "
+                        "threshold-override dict")
     p.add_argument("--synth-drop", type=int, default=0,
                    help="write N synthetic pages into --drops first (sandbox)")
     p.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 16)))
@@ -56,9 +61,22 @@ def main() -> None:
             args.drops
         )
 
+    quality = False
+    if args.quality:
+        import json as _json
+
+        quality = (
+            True if args.quality == "default" else _json.loads(args.quality)
+        )
+        if quality is None or quality is False:
+            raise SystemExit(
+                "--quality given but parses to null/false — use "
+                "'default', '{}' or a JSON threshold dict"
+            )
     q = ingest_pages(
         spark, args.drops, args.table, args.checkpoints,
         watermark=args.watermark, canonical=args.canonical,
+        quality=quality,
     )
     q.awaitTermination()
     # a drain that admitted no rows is a normal cron outcome (job

@@ -2800,6 +2800,86 @@ FROM scored GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Trainable char-n-gram language ID (naive-Bayes profiles)
+# ---------------------------------------------------------------------------
+
+def q58_langid_train_predict(spark, sf_dir):
+    """operators/langid_model.py train+score+argmax end-to-end: like
+    q51/q55/q56, BOTH sides synthesize the class structure — three
+    'languages' (doc_id%3) get distinctive char-trigram markers
+    appended to the document prefix; profiles train on the
+    doc_id%10<8 slice and every document is classified."""
+    from ..operators.langid_model import predict_lang, train_langid
+
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("doc_id") % 3
+    marker = (
+        F.when(c == 0, F.lit(" zq alpha qz zq alpha qz"))
+        .when(c == 1, F.lit(" vx beta xv vx beta xv"))
+        .otherwise(F.lit(" wk gamma kw wk gamma kw"))
+    )
+    synth = docs.select(
+        "doc_id",
+        F.concat(F.substring("text", 1, 50), marker).alias("text"),
+        F.concat(F.lit("c"), c.cast("string")).alias("lang"),
+    )
+    model = train_langid(synth.filter(F.col("doc_id") % 10 < 8))
+    return predict_lang(synth, model)
+
+
+Q58_SQL = """
+WITH docs AS (
+  SELECT doc_id,
+         substr(text, 1, 50) ||
+           CASE doc_id % 3
+             WHEN 0 THEN ' zq alpha qz zq alpha qz'
+             WHEN 1 THEN ' vx beta xv vx beta xv'
+             ELSE ' wk gamma kw wk gamma kw' END AS text,
+         'c' || CAST(doc_id % 3 AS VARCHAR) AS lang
+  FROM documents),
+rg AS (
+  SELECT lang, gram FROM (
+    SELECT lang,
+           unnest([substr(text, i, 3)
+                   for i in range(1, length(text) - 1)]) AS gram
+    FROM docs WHERE doc_id % 10 < 8 AND length(text) >= 3)),
+counts AS (SELECT lang, gram, count(*) AS c_lg FROM rg GROUP BY lang, gram),
+tot AS (SELECT lang, count(*) AS c_lang FROM rg GROUP BY lang),
+v AS (SELECT count(DISTINCT gram) + 1 AS V FROM rg),
+model AS (
+  SELECT c.lang, c.gram,
+         round(ln((c.c_lg + 0.5) / (t.c_lang + 0.5 * v.V)), 9) AS logp
+  FROM counts c JOIN tot t USING (lang) CROSS JOIN v),
+probe AS (
+  SELECT doc_id, gram, count(*) AS n_g FROM (
+    SELECT doc_id,
+           unnest([substr(text, i, 3)
+                   for i in range(1, length(text) - 1)]) AS gram
+    FROM docs WHERE length(text) >= 3)
+  GROUP BY doc_id, gram),
+scored AS (
+  SELECT x.doc_id, x.lang, x.n_g,
+         COALESCE(m.logp,
+                  round(ln(0.5 / (x.c_lang + 0.5 * v.V)), 9)) AS logp
+  FROM (SELECT p.doc_id, t.lang, t.c_lang, p.gram, p.n_g
+        FROM probe p CROSS JOIN tot t) x
+  LEFT JOIN model m ON x.lang = m.lang AND x.gram = m.gram
+  CROSS JOIN v),
+agg AS (
+  SELECT doc_id, lang,
+         CAST(sum(n_g) AS BIGINT) AS n_grams,
+         round(sum(n_g * logp) / sum(n_g), 6) AS avg_logp
+  FROM scored GROUP BY doc_id, lang),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY avg_logp DESC, lang) AS rk
+  FROM agg)
+SELECT doc_id, lang AS pred_lang, avg_logp, n_grams
+FROM ranked WHERE rk = 1
+"""
+
+
 def q98_graph_materialize(spark, sf_dir):
     """Entity canonicalization + edge aggregation with the xxhash64
     vertex ids, under an aggregate + contract oracle (r4 — was
@@ -2930,11 +3010,12 @@ def q91_bertnet_triples(spark, sf_dir):
 # perplexity — full train+score replay on the real documents table;
 # q55 host-boilerplate removal — full replay on synthesized
 # multi-line pages; q56 exact-substring span dedup / q57 DSIR
-# importance scoring — full fit+score replay oracles) and the 4
+# importance scoring — full fit+score replay oracles; q58 trainable
+# char-trigram language ID — train+score+argmax replay) and the 4
 # declared rows-only contracts
 # (q90/q91/q97/q98 — each carries a STRONGER exact-spec pytest than
 # a rows-only driver row). scripts/check_correctness.py still gates
-# ALL 67 (CORRECTNESS_selfcheck.json).
+# ALL 68 (CORRECTNESS_selfcheck.json).
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -2995,6 +3076,7 @@ QUERIES = {
     "q55_boilerplate_removal": q55_boilerplate_removal,
     "q56_substring_dedup": q56_substring_dedup,
     "q57_dsir_scores": q57_dsir_scores,
+    "q58_langid_train_predict": q58_langid_train_predict,
     "q40_minhash_exact_clusters": q40_minhash_exact_clusters,
     "q28_salted_word_count": q28_salted_word_count,
     "q31_intersect": q31_intersect,
@@ -3063,6 +3145,7 @@ ORACLES = {
     "q55_boilerplate_removal": Q55_SQL,
     "q56_substring_dedup": Q56_SQL,
     "q57_dsir_scores": Q57_SQL,
+    "q58_langid_train_predict": Q58_SQL,
     "q92_simhash_pairs": Q92_SQL,
     "q93_minhash_dedup_pairs": Q93_SQL,
     "q95_extract_text_manifest": Q95_SQL,

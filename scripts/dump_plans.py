@@ -41,8 +41,9 @@ SHOW = {
     "q53_decontamination": "r4 decontamination: corpus grams built in the projection (zipped shifted slices), benchmark gram set BROADCAST — BroadcastHashJoin, no corpus-side gram shuffle; per-doc count agg",
     "q54_perplexity_scores": "r4 bigram-LM perplexity: model is a DataFrame; score join is a shuffle equi-join on (w1,w2) with the probe side pre-collapsed per doc (head bigrams are AQE skew-split candidates); training aggregates feed it in the same plan",
     "q55_boilerplate_removal": "r4 host boilerplate: two-phase countDistinct on (host,line) (partials absorb a shared footer), LEFT ANTI join for removal, uniform-key reassembly + ids-only row-preserving join",
-    "q56_substring_dedup": "r4 exact-substring span dedup: gram COUNT first (HashAggregate partials over the full stream), winner min(struct) — sort-based — only over the duplicated remainder; flag/winner joins reuse the gram partitioning; span explode amplifies flagged spans only, then distinct + LEFT ANTI + uniform-key reassembly",
+    "q56_substring_dedup": "r4 exact-substring span dedup: gram COUNT first (HashAggregate partials over the full stream), winner min(struct) — sort-based — only over the duplicated remainder, both behind the lazily-checkpointed flagged set (shared RDD scan in this plan — Catalyst would otherwise clone the gram pipeline per consumer, measured 4x); semi/anti ROUTING so only affected docs pay tokenize + collect_list reassembly",
     "q57_dsir_scores": "r4 DSIR importance scoring: both model fits are bucket-bounded aggregates; the model + 1-row totals BROADCAST into the probe feature stream (no corpus-side score shuffle); per-doc aggregate is the only big exchange",
+    "q58_langid_train_predict": "r4 trainable char-ngram langid: profiles/totals are reference-bounded; scoring crosses distinct doc-gram counts with the broadcast langs dim (bounded constant fan-out), floor in the join projection; per-doc argmax is a uniform-key WindowGroupLimit",
 }
 
 

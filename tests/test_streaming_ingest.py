@@ -647,3 +647,64 @@ def test_ingest_canonical_dedup(spark, tmp_path):
         "https://other.example/q",
         "https://site.example/p?a=1",
     ]
+
+
+def test_ingest_quality_gate(spark, tmp_path):
+    """--quality: the fused extract+Gopher Arrow pass admits only
+    pages whose extracted text passes the rule set; schema unchanged;
+    junk never lands in the table."""
+    import datetime
+
+    import pytest
+    from pyspark.sql import Row
+
+    from knowledge_harvest_from_lms_spark.sources.web_pages import (
+        WEB_PAGES_SCHEMA,
+    )
+
+    drop = str(tmp_path / "drop")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    ts = datetime.datetime(2024, 5, 1)
+    good_body = " ".join(f"steady word{i} flow" for i in range(20))
+    rows = [
+        Row(url="https://ok.example.com/a", warc_ts=ts,
+            html=f"<html><body>{good_body}</body></html>".encode(),
+            text="", lang="en"),
+        # 10/10 words are '#': max_symbol_ratio fires
+        Row(url="https://junk.example.com/sym", warc_ts=ts,
+            html=b"<html><body># # # # # # # # # #</body></html>",
+            text="", lang="en"),
+        # empty body: min_words fires
+        Row(url="https://junk.example.com/empty", warc_ts=ts,
+            html=b"<html><body></body></html>",
+            text="", lang="en"),
+    ]
+    spark.createDataFrame(rows, WEB_PAGES_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(drop)
+
+    th = {
+        "min_words": 3,
+        "min_alpha_word_frac": None,
+        "max_top_2gram_char_frac": None,
+        "max_top_3gram_char_frac": None,
+        "max_top_4gram_char_frac": None,
+        "max_dup_5gram_frac": None,
+        "max_dup_10gram_frac": None,
+    }
+    q = ingest_pages(
+        spark, drop, table, ckpt, available_now=True, quality=th
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(table)
+    urls = [r["url"] for r in out.select("url").collect()]
+    assert urls == ["https://ok.example.com/a"]
+    # stored schema unchanged (original cols + day partition)
+    assert set(out.columns) == {"url", "warc_ts", "html", "text", "lang", "day"}
+
+    with pytest.raises(ValueError, match="unknown quality rules"):
+        ingest_pages(
+            spark, drop, table, str(tmp_path / "ckpt2"),
+            available_now=True, quality={"nope": 1},
+        )
