@@ -316,7 +316,11 @@ def materialize_graph(
     )
     edges = (
         e.groupBy("src", "rel", "dst")
-        .agg(F.sum("weight").alias("weight"), F.count(F.lit(1)).alias("n_mentions"))
+        # round-9 at every weight-sum publication: merge order follows
+        # shuffle fetch order, raw float sums wobble in the last ulp
+        # run-to-run (txn-parity flake)
+        .agg(F.round(F.sum("weight"), 9).alias("weight"),
+             F.count(F.lit(1)).alias("n_mentions"))
         .withColumn("src_id", F.xxhash64("src"))
         .withColumn("dst_id", F.xxhash64("dst"))
     )
@@ -431,7 +435,8 @@ def merge_into_graph(
             "dst_ent",
         )
         .groupBy("src", "rel", "dst", "src_id", "dst_id")
-        .agg(F.sum("weight").alias("weight"), F.count(F.lit(1)).alias("n_mentions"))
+        .agg(F.round(F.sum("weight"), 9).alias("weight"),
+             F.count(F.lit(1)).alias("n_mentions"))
     )
     edges = (
         existing_edges.select(
@@ -441,7 +446,7 @@ def merge_into_graph(
             "src", "rel", "dst", "src_id", "dst_id", "weight", "n_mentions"
         ))
         .groupBy("src", "rel", "dst", "src_id", "dst_id")
-        .agg(F.sum("weight").alias("weight"),
+        .agg(F.round(F.sum("weight"), 9).alias("weight"),
              F.sum("n_mentions").alias("n_mentions"))
         .select("src", "rel", "dst", "weight", "n_mentions", "src_id", "dst_id")
     )

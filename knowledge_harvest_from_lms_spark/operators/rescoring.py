@@ -82,9 +82,14 @@ def rescore_and_rank(
         make_variant_score_fn(cfg.lm, cfg.seed), schema=VARIANT_SCHEMA
     )
 
+    # round-9 AT the aggregate: the sum's merge order follows shuffle
+    # fetch order, so raw floats wobble in the last ulp run-to-run —
+    # enough to flip a near-tie at the top-n boundary between two
+    # otherwise-identical runs (seen as the txn-parity flake). Ranks,
+    # the softmax and every publication must see the rounded value.
     ens = scored.groupBy("rel", "ek", "variant_id").agg(
         F.first("ents_var").alias("ents_var"),
-        F.sum(F.col("weight") * F.col("score")).alias("ens_score"),
+        F.round(F.sum(F.col("weight") * F.col("score")), 9).alias("ens_score"),
     )
     best = W.partitionBy("rel", "ek").orderBy(
         F.desc("ens_score"), F.asc("variant_id")
@@ -96,7 +101,9 @@ def rescore_and_rank(
     e = F.exp(F.col("ens_score") - F.max("ens_score").over(part))
     return (
         top.withColumn("rank", F.row_number().over(rankw))
-        .withColumn("weight", e / F.sum(e).over(part))
+        # round-9: the window sum also merges in fetch order (same
+        # rationale as ens_score above)
+        .withColumn("weight", F.round(e / F.sum(e).over(part), 9))
         .select(
             "rel",
             F.col("ents_var").alias("ents"),

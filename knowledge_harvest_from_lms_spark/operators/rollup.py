@@ -1,0 +1,133 @@
+"""Hypertable-style continuous aggregates: multi-grain time rollups
+with partial re-aggregation and affected-bucket incremental refresh
+(the TimescaleDB continuous-aggregate / materialized-rollup shape).
+
+The two moves that matter at 100 TB of events:
+
+1. **Coarser grains re-aggregate PARTIALS, never raw rows.** The
+   hourly table stores decomposable partial states (count, sum, min,
+   max — avg is derived as sum/count at read time, exactly like
+   Spark's own partial aggregation protocol). Daily then reads
+   |hourly| rows, monthly reads |daily| — each level is ~2-3 orders
+   of magnitude smaller than the base table, so the whole hierarchy
+   costs barely more than the finest grain.
+
+2. **Refresh recomputes only AFFECTED buckets.** A late-arriving /
+   corrected delta batch touches a handful of (keys, bucket) groups;
+   `refresh_affected` recomputes those groups from the base table
+   (one partition-prunable scan — bucket predicates align with a
+   `days(ts)`-partitioned layout) and splices them into the
+   materialized table with an anti-join. Everything untouched is
+   never read, matching the incremental discipline of
+   `streaming/incremental.py`.
+
+Bucket arithmetic is integer epoch-seconds division (UTC session tz)
+— replayable in any engine; q63 verifies the hourly→daily partial
+re-aggregation against a direct raw-rows GROUP BY in DuckDB, pinning
+losslessness of the hierarchy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# decomposable partial states; avg/rate are DERIVED at read time
+_PARTIALS = ("n", "sum_v", "min_v", "max_v")
+
+
+def time_bucket(ts: Column, width_s: int) -> Column:
+    """Bucket start (timestamp, same wall-clock family as the input)
+    — floor(epoch / width) * width, the time_bucket(width, ts) of
+    TimescaleDB. Integer arithmetic: engine-replayable."""
+    if width_s <= 0:
+        raise ValueError(f"width_s must be positive, got {width_s}")
+    t = ts.cast("timestamp")
+    start = (
+        F.floor(F.unix_micros(t) / F.lit(width_s * 1_000_000))
+        * F.lit(width_s * 1_000_000)
+    ).cast("long")
+    # always NTZ: bucket columns from any input flavor stay
+    # join-compatible across grains (session tz is UTC)
+    return F.timestamp_micros(start).cast("timestamp_ntz")
+
+
+def bucket_aggregate(
+    events: DataFrame,
+    keys: list[str],
+    value_col: str,
+    ts_col: str = "ts",
+    width_s: int = 3600,
+) -> DataFrame:
+    """Finest-grain partial table: (keys..., bucket, n, sum_v, min_v,
+    max_v). ONE map-side-combining aggregate over the base table —
+    the only place raw rows are ever read."""
+    return (
+        events.withColumn("bucket", time_bucket(F.col(ts_col), width_s))
+        .groupBy(*keys, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast("double")).alias("sum_v"),
+            F.min(F.col(value_col).cast("double")).alias("min_v"),
+            F.max(F.col(value_col).cast("double")).alias("max_v"),
+        )
+    )
+
+
+def rollup_partials(
+    finer: DataFrame, keys: list[str], width_s: int
+) -> DataFrame:
+    """Re-bucket a finer partial table to a coarser grain WITHOUT
+    touching raw rows: counts/sums add, mins/maxes fold. `width_s`
+    must be a multiple of the finer grain for exact containment."""
+    return (
+        finer.withColumn("bucket", time_bucket(F.col("bucket"), width_s))
+        .groupBy(*keys, "bucket")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_v").alias("sum_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+    )
+
+
+def read_stats(partials: DataFrame) -> DataFrame:
+    """Materialize the derived measures (avg) on top of the partial
+    states — the 'finalize' step, applied at ANY grain."""
+    return partials.withColumn(
+        "avg_v", F.round(F.col("sum_v") / F.col("n"), 9)
+    )
+
+
+def refresh_affected(
+    base: DataFrame,
+    materialized: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    value_col: str,
+    ts_col: str = "ts",
+    width_s: int = 3600,
+) -> DataFrame:
+    """Incremental continuous-aggregate refresh: recompute ONLY the
+    (keys, bucket) groups the delta touches, keep every other
+    materialized row as-is. `base` must already contain the delta's
+    rows (refresh runs after the append). Bucket membership is a
+    broadcast-friendly distinct set — |touched buckets|, not |rows|."""
+    touched = (
+        delta.withColumn("bucket", time_bucket(F.col(ts_col), width_s))
+        .select(*keys, "bucket")
+        .distinct()
+    )
+    recomputed = bucket_aggregate(
+        base.join(
+            F.broadcast(touched.select("bucket").distinct()),
+            time_bucket(F.col(ts_col), width_s) == F.col("bucket"),
+            "left_semi",
+        ),
+        keys, value_col, ts_col, width_s,
+    ).join(F.broadcast(touched), [*keys, "bucket"], "left_semi")
+    kept = materialized.join(
+        F.broadcast(touched), [*keys, "bucket"], "left_anti"
+    )
+    return kept.unionByName(recomputed)

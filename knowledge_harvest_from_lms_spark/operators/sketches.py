@@ -1,0 +1,140 @@
+"""Mergeable distinct-count sketches: k-minimum-values (KMV).
+
+`approx_count_distinct` gives Spark an HLL, but its register layout
+is opaque — it cannot be persisted per partition/day and re-merged in
+SQL, and no second engine can replay it. KMV (Bar-Yossef et al. 2002;
+the theta-sketch core) is the simplest MERGEABLE alternative: hash
+every key into [0, M), keep the k smallest distinct hashes; then
+
+    est = (k - 1) * M / h_(k)        (h_(k) = k-th smallest hash)
+
+with relative error ~ 1/sqrt(k-2). Everything about it is exact set
+algebra, so sketches union by re-taking the k smallest of the
+concatenation — associative, commutative, idempotent — and a DuckDB
+oracle can replay the whole pipeline row-for-row (q61).
+
+Plan shape: the k-min runs as a rank-limit window DIRECTLY on the
+raw (group, hash) stream — dense_rank (duplicate-hash safe) <= k,
+which Spark compiles to WindowGroupLimit with a map-side PARTIAL
+top-k per input partition BEFORE the shuffle: shuffle volume is
+~k rows per partition per group, the map-combine a hand-built sketch
+accumulator would do (a distinct-first plan would instead shuffle
+every distinct (group, hash) pair). The <= k*dups survivors then
+dedup and rank into the |groups| * k sketch table at trivial cost.
+
+Hashers mirror operators/sampling.py: "xxhash64" (JVM, codegen — the
+production path) and "portable" (polynomial, DuckDB-replayable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+_M = 1_000_000_007          # portable-hash modulus == hash space size
+_M_XX = 2**64               # xxhash64 mapped to [0, 2^64) via unsigned
+
+
+# (multiplier, xor-shift) avalanche rounds after the polynomial fold.
+# The fold alone leaves short keys on a low-dimensional lattice —
+# fine for q50's mod-1000 bucketing, fatal for k-min ORDER statistics
+# (a 10k-int key set read ~2x low). Each round is a multiply mod M
+# (bijective spread; operands < 2^62, exact BIGINT in both engines)
+# then h ^= h >> s (breaks the arithmetic-progression structure).
+_MIX_ROUNDS = ((2246822519, 15), (2654435761, 13), (3266489917, 16))
+
+
+def _avalanche(h: Column) -> Column:
+    for a, s in _MIX_ROUNDS:
+        h = (h * F.lit(a)) % F.lit(_M)
+        h = h.bitwiseXOR(F.shiftright(h, s))
+    # xor can land in [M, 2^30): one last multiplicative fold back
+    # (residual collisions are birthday-level, ~1e-9 of pairs)
+    return (h * F.lit(97)) % F.lit(_M)
+
+
+def kmv_hash(key: Column, seed: int = 0, hasher: str = "portable") -> Column:
+    """Stable hash of `key` in [0, M). Collisions under-count
+    distincts; M = 1e9+7 (portable) keeps them negligible below ~1e8
+    distincts per group — use "xxhash64" (M = 2^64) beyond that."""
+    if hasher == "portable":
+        s = F.concat(key.cast("string"), F.lit(f"#{int(seed)}"))
+        fold = F.aggregate(
+            F.transform(F.split(s, ""), lambda c: F.ascii(c).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: (acc * 31 + x) % F.lit(_M),
+        )
+        return _avalanche(fold)
+    if hasher == "xxhash64":
+        h = F.xxhash64(key.cast("string"), F.lit(int(seed)))
+        # signed 64-bit -> [0, 2^64) order-preservingly: flip the sign
+        # bit. Decimal(20,0) holds the unsigned range exactly (2^63
+        # exceeds a Java long literal, hence the string literal).
+        return (
+            h.cast("decimal(20,0)")
+            + F.lit("9223372036854775808").cast("decimal(20,0)")
+        )
+    raise ValueError(f"unknown hasher {hasher!r} (portable|xxhash64)")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    key: Column,
+    k: int = 64,
+    seed: int = 0,
+    hasher: str = "portable",
+) -> DataFrame:
+    """Per-group KMV sketch: (group_cols..., pos, h) with pos = 1..k
+    over the k smallest DISTINCT hashes. A group with fewer than k
+    distinct keys keeps them all (its estimate is then exact)."""
+    if k < 3:
+        raise ValueError(f"k must be >= 3 for the estimator, got {k}")
+    hashed = df.select(*group_cols, kmv_hash(key, seed, hasher).alias("h"))
+    return _kmin(hashed, group_cols, k)
+
+
+def _kmin(hashes: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    w = W.partitionBy(*group_cols).orderBy(F.asc("h"))
+    # dense_rank (not row_number): duplicate hashes of the same key
+    # must not eat sketch slots — and it keeps the WindowGroupLimit
+    # map-side partial applicable on the raw duplicated stream.
+    survivors = (
+        hashes.withColumn("_dr", F.dense_rank().over(w))
+        .filter(F.col("_dr") <= k)
+        .select(*group_cols, "h")
+        .distinct()
+    )
+    return survivors.withColumn("pos", F.row_number().over(w))
+
+
+def kmv_merge(
+    sketches: list[DataFrame], group_cols: list[str], k: int
+) -> DataFrame:
+    """Union KMV sketches (same k, seed, hasher) into one: distinct
+    hashes, re-take the k smallest per group. The lossless union of
+    the underlying sets restricted back to k — the property that lets
+    per-partition / per-day sketches roll up to any coarser grain."""
+    allh = sketches[0].select(*group_cols, "h")
+    for s in sketches[1:]:
+        allh = allh.unionByName(s.select(*group_cols, "h"))
+    return _kmin(allh, group_cols, k)
+
+
+def kmv_estimate(
+    sketch: DataFrame, group_cols: list[str], k: int,
+    hasher: str = "portable",
+) -> DataFrame:
+    """(group_cols..., n_kept, est_distinct). Groups that filled the
+    sketch use (k-1)*M/h_(k); under-full groups are exact (= n_kept)."""
+    space = float(_M if hasher == "portable" else _M_XX)
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max(F.when(F.col("pos") == k, F.col("h"))).alias("h_k"),
+    )
+    est = F.when(
+        F.col("h_k").isNotNull(),
+        F.round((F.lit(k - 1)) * F.lit(space) / F.col("h_k").cast("double"), 3),
+    ).otherwise(F.col("n_kept").cast("double"))
+    return agg.select(*group_cols, "n_kept", est.alias("est_distinct"))

@@ -2880,6 +2880,250 @@ FROM ranked WHERE rk = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Temporal joins: as-of and range (operators/temporal_join.py)
+# ---------------------------------------------------------------------------
+
+def q59_asof_join(spark, sf_dir):
+    """asof_join end-to-end on events: every view gets the latest
+    prior purchase (same user) within a 1-day tolerance. The oracle
+    is an INDEPENDENT implementation — DuckDB's native ASOF LEFT
+    JOIN — not a replay of the union+window construction, so the two
+    engines cross-validate the semantics, not just the arithmetic."""
+    from ..operators.temporal_join import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round("value", 2).alias("purchase_value")
+    )
+    out = asof_join(
+        views, purchases, on="user_id", tolerance_s=86400.0
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_r").alias("purchase_ts"),
+        "purchase_value",
+    )
+
+
+Q59_SQL = """
+WITH views AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+purchases AS (
+  SELECT user_id, ts, max(round(value, 2)) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+matched AS (
+  SELECT v.event_id, v.user_id, v.ts,
+         p.ts AS purchase_ts, p.purchase_value
+  FROM views v ASOF LEFT JOIN purchases p
+    ON v.user_id = p.user_id AND v.ts >= p.ts)
+SELECT event_id, user_id, ts,
+       CASE WHEN date_diff('microsecond', purchase_ts, ts)
+                 <= 86400000000 THEN purchase_ts END AS purchase_ts,
+       CASE WHEN date_diff('microsecond', purchase_ts, ts)
+                 <= 86400000000 THEN purchase_value END AS purchase_value
+FROM matched
+"""
+
+
+def q60_range_join(spark, sf_dir):
+    """range_join end-to-end: each purchase opens a window of
+    `value` minutes; every same-user click inside it matches. Spark
+    runs the grid-cell equi-join plan (1h cells); the oracle is the
+    naive inequality join — again independent implementations."""
+    from ..operators.temporal_join import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    end = F.timestamp_micros(
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        + F.round(F.col("value") * 60e6).cast("long")
+    ).cast(ev.schema["ts"].dataType)
+    intervals = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("start"),
+        end.alias("end"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    return range_join(clicks, intervals, on="user_id").select(
+        "click_id", "purchase_id", "ts", "start", "end"
+    )
+
+
+Q60_SQL = """
+WITH iv AS (
+  SELECT user_id, ts AS start,
+         ts + to_microseconds(CAST(round(value * 60000000) AS BIGINT))
+           AS "end",
+         event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, ts, event_id AS click_id
+  FROM events WHERE event_type = 'click')
+SELECT c.click_id, iv.purchase_id, c.ts, iv.start, iv."end"
+FROM c JOIN iv ON c.user_id = iv.user_id
+               AND c.ts >= iv.start AND c.ts <= iv."end"
+"""
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch (operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+def q61_kmv_distinct(spark, sf_dir):
+    """kmv_sketch + kmv_estimate over events (distinct users per
+    event type, k=64) joined with the exact count — the oracle
+    replays hash, k-min set, estimator AND exactness in SQL, so a
+    sketch bug shows up as a value mismatch, not a tolerance miss."""
+    from ..operators.sketches import kmv_estimate, kmv_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, ["event_type"], F.col("user_id"), k=64)
+    est = kmv_estimate(sk, ["event_type"], k=64)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "n_kept", "est_distinct", "exact_distinct"
+    )
+
+
+Q61_SQL = """
+WITH h0 AS (
+  SELECT event_type,
+         LIST_REDUCE(
+           LIST_PREPEND(CAST(0 AS BIGINT),
+             LIST_TRANSFORM(
+               STRING_SPLIT(CAST(user_id AS VARCHAR) || '#0', ''),
+               c -> CAST(ASCII(c) AS BIGINT))),
+           (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+  FROM events),
+h1 AS (SELECT event_type, xor((h * 2246822519) % 1000000007,
+              ((h * 2246822519) % 1000000007) >> 15) AS h FROM h0),
+h2 AS (SELECT event_type, xor((h * 2654435761) % 1000000007,
+              ((h * 2654435761) % 1000000007) >> 13) AS h FROM h1),
+h3 AS (SELECT event_type, xor((h * 3266489917) % 1000000007,
+              ((h * 3266489917) % 1000000007) >> 16) AS h FROM h2),
+-- distinct on the FINAL hash, as the sketch does (a post-avalanche
+-- collision must collapse to one slot in both engines)
+hashed AS (SELECT DISTINCT event_type, (h * 97) % 1000000007 AS h FROM h3),
+kmin AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS pos
+  FROM hashed),
+sk AS (SELECT * FROM kmin WHERE pos <= 64),
+est AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_kept,
+         CASE WHEN max(CASE WHEN pos = 64 THEN h END) IS NOT NULL
+              THEN round(63 * 1000000007.0
+                         / max(CASE WHEN pos = 64 THEN h END), 3)
+              ELSE CAST(count(*) AS DOUBLE) END AS est_distinct
+  FROM sk GROUP BY event_type),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY event_type)
+SELECT est.event_type, n_kept, est_distinct, exact_distinct
+FROM est JOIN exact USING (event_type)
+"""
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup semantic dedup (operators/semantic_dedup.py)
+# ---------------------------------------------------------------------------
+
+def q62_semantic_dedup(spark, sf_dir):
+    """semantic_dedup end-to-end: embeddings + planted exact copies
+    (vec_id+10000 for vec_id<50, the q96/q99 planting convention).
+    k=8 deterministic centroids, tau=0.95 — real pairs top out at
+    cos 0.51 (measured), so every planted copy must be flagged and
+    nothing else. The oracle replays centroid choice, cosine argmax
+    assignment and the dominated-by-earlier rule brute-force."""
+    from ..operators.semantic_dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    return semantic_dedup(emb.unionByName(planted), k=8, tau=0.95)
+
+
+Q62_SQL = """
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, CAST(embedding AS DOUBLE[]) FROM embeddings
+  WHERE vec_id < 50),
+cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, e AS ce
+  FROM emb ORDER BY vec_id LIMIT 8),
+assigned AS (
+  SELECT vec_id, cluster, e FROM (
+    SELECT emb.vec_id, cents.cluster, emb.e,
+           ROW_NUMBER() OVER (
+             PARTITION BY emb.vec_id
+             ORDER BY round(LIST_COSINE_SIMILARITY(emb.e, cents.ce), 9)
+                      DESC, cents.cluster) AS rk
+    FROM emb CROSS JOIN cents)
+  WHERE rk = 1),
+dups AS (
+  SELECT DISTINCT a.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+   AND round(LIST_COSINE_SIMILARITY(a.e, b.e), 9) >= 0.95)
+SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster,
+       (d.vec_id IS NOT NULL) AS is_dup
+FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hypertable continuous-aggregate rollup (operators/rollup.py)
+# ---------------------------------------------------------------------------
+
+def q63_hypertable_rollup(spark, sf_dir):
+    """Daily stats per event type computed the hypertable way —
+    hourly PARTIALS re-aggregated to daily, never touching raw rows
+    twice — while the oracle aggregates the raw table directly in
+    one GROUP BY: hash-equality pins the hierarchy as lossless."""
+    from ..operators.rollup import bucket_aggregate, rollup_partials
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = bucket_aggregate(ev, ["event_type"], "value", width_s=3600)
+    daily = rollup_partials(hourly, ["event_type"], 86400)
+    # avg_v (read_stats) is sum_v/n — fully determined by the two
+    # pinned columns, and its quotient can land EXACTLY on a .5e-6
+    # boundary where Spark (HALF_UP) and DuckDB disagree by one ulp
+    # of the rounding grid, so it stays out of the hash surface
+    return daily.select(
+        "event_type",
+        "bucket",
+        "n",
+        F.round("sum_v", 6).alias("sum_v"),
+        "min_v",
+        "max_v",
+    )
+
+
+Q63_SQL = """
+SELECT event_type,
+       make_timestamp(CAST(floor(epoch_us(ts) / 86400000000)
+                           AS BIGINT) * 86400000000) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS sum_v,
+       min(value) AS min_v,
+       max(value) AS max_v
+FROM events GROUP BY 1, 2
+"""
+
+
 def q98_graph_materialize(spark, sf_dir):
     """Entity canonicalization + edge aggregation with the xxhash64
     vertex ids, under an aggregate + contract oracle (r4 — was
@@ -3011,11 +3255,15 @@ def q91_bertnet_triples(spark, sf_dir):
 # q55 host-boilerplate removal — full replay on synthesized
 # multi-line pages; q56 exact-substring span dedup / q57 DSIR
 # importance scoring — full fit+score replay oracles; q58 trainable
-# char-trigram language ID — train+score+argmax replay) and the 4
-# declared rows-only contracts
+# char-trigram language ID — train+score+argmax replay; q59/q60
+# as-of + range joins — INDEPENDENT-implementation oracles, DuckDB's
+# native ASOF JOIN and the naive inequality join vs Spark's
+# union+window and grid-cell plans; q61 KMV sketch — full
+# hash+k-min+estimator replay; q62 SemDeDup — planted-copy
+# brute-force replay) and the 4 declared rows-only contracts
 # (q90/q91/q97/q98 — each carries a STRONGER exact-spec pytest than
 # a rows-only driver row). scripts/check_correctness.py still gates
-# ALL 68 (CORRECTNESS_selfcheck.json).
+# ALL 73 (CORRECTNESS_selfcheck.json).
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -3077,6 +3325,11 @@ QUERIES = {
     "q56_substring_dedup": q56_substring_dedup,
     "q57_dsir_scores": q57_dsir_scores,
     "q58_langid_train_predict": q58_langid_train_predict,
+    "q59_asof_join": q59_asof_join,
+    "q60_range_join": q60_range_join,
+    "q61_kmv_distinct": q61_kmv_distinct,
+    "q62_semantic_dedup": q62_semantic_dedup,
+    "q63_hypertable_rollup": q63_hypertable_rollup,
     "q40_minhash_exact_clusters": q40_minhash_exact_clusters,
     "q28_salted_word_count": q28_salted_word_count,
     "q31_intersect": q31_intersect,
@@ -3146,6 +3399,11 @@ ORACLES = {
     "q56_substring_dedup": Q56_SQL,
     "q57_dsir_scores": Q57_SQL,
     "q58_langid_train_predict": Q58_SQL,
+    "q59_asof_join": Q59_SQL,
+    "q60_range_join": Q60_SQL,
+    "q61_kmv_distinct": Q61_SQL,
+    "q62_semantic_dedup": Q62_SQL,
+    "q63_hypertable_rollup": Q63_SQL,
     "q92_simhash_pairs": Q92_SQL,
     "q93_minhash_dedup_pairs": Q93_SQL,
     "q95_extract_text_manifest": Q95_SQL,

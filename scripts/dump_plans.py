@@ -44,6 +44,11 @@ SHOW = {
     "q56_substring_dedup": "r4 exact-substring span dedup: gram COUNT first (HashAggregate partials over the full stream), winner min(struct) — sort-based — only over the duplicated remainder, both behind the lazily-checkpointed flagged set (shared RDD scan in this plan — Catalyst would otherwise clone the gram pipeline per consumer, measured 4x); semi/anti ROUTING so only affected docs pay tokenize + collect_list reassembly",
     "q57_dsir_scores": "r4 DSIR importance scoring: both model fits are bucket-bounded aggregates; the model + 1-row totals BROADCAST into the probe feature stream (no corpus-side score shuffle); per-doc aggregate is the only big exchange",
     "q58_langid_train_predict": "r4 trainable char-ngram langid: profiles/totals are reference-bounded; scoring crosses distinct doc-gram counts with the broadcast langs dim (bounded constant fan-out), floor in the join projection; per-doc argmax is a uniform-key WindowGroupLimit",
+    "q59_asof_join": "r4 as-of join: union-tagged interleave + ONE window per key (last ignorenulls) — no Join node at all, single shuffle on the key; a naive inequality join would explode |pairs| and re-argmax",
+    "q60_range_join": "r4 range join: intervals exploded onto 1h grid cells, hash equi-join on (key, cell) with containment in the join condition — no BroadcastNestedLoopJoin; each (point, interval) meets exactly once",
+    "q61_kmv_distinct": "r4 KMV sketch: dense_rank limit compiles to WindowGroupLimit Partial BEFORE the exchange (map-side sketch accumulation); distinct + final ranking over the k-rows-per-group survivors only",
+    "q62_semantic_dedup": "r4 SemDeDup: broadcast centroid fan-out (bounded k) -> argmax assignment; candidate pairs hash-join on the CLUSTER id (N^2/k, the paper's move) with the cosine threshold inside the join condition",
+    "q63_hypertable_rollup": "r4 hypertable rollup: raw rows read ONCE (hourly map-side-combining aggregate); daily re-aggregates the hourly PARTIALS — the second aggregate's input is |hourly buckets| rows, not the event stream",
 }
 
 
