@@ -100,6 +100,30 @@ def read_stats(partials: DataFrame) -> DataFrame:
     )
 
 
+def merge_partials(
+    existing: DataFrame | None, delta: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Fold a delta's partial states into the materialized table —
+    the APPEND-ONLY maintenance path: counts/sums add, mins/maxes
+    fold, so a new batch of events merges in O(|touched buckets|)
+    without re-reading the base table at all (`refresh_affected` is
+    for corrections, where existing rows CHANGED). The partial states
+    form commutative monoids, so merge order never matters beyond
+    float addition's last ulp."""
+    if existing is None:
+        return delta
+    return (
+        existing.unionByName(delta)
+        .groupBy(*keys, "bucket")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_v").alias("sum_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+    )
+
+
 def refresh_affected(
     base: DataFrame,
     materialized: DataFrame,

@@ -3124,6 +3124,54 @@ FROM events GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Triangle counting (operators/triangles.py)
+# ---------------------------------------------------------------------------
+
+def q64_triangle_counts(spark, sf_dir):
+    """Degree-ordered triangle counting over the windowed word
+    co-occurrence graph of the documents table (words >= 5 chars
+    within 3 positions). Spark runs the oriented O(m^1.5) plan; the
+    oracle brute-forces the ordered triple self-join — independent
+    implementations again."""
+    from ..operators.triangles import triangle_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    ).filter(F.length("word") >= 5)
+    a, b = w.alias("wa"), w.alias("wb")
+    edges = a.join(
+        b,
+        (F.col("wa.doc_id") == F.col("wb.doc_id"))
+        & (F.col("wb.pos") > F.col("wa.pos"))
+        & (F.col("wb.pos") - F.col("wa.pos") <= 3)
+        & (F.col("wa.word") != F.col("wb.word")),
+    ).select(F.col("wa.word").alias("src"), F.col("wb.word").alias("dst"))
+    return triangle_counts(edges)
+
+
+Q64_SQL = """
+WITH wl AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS l FROM documents),
+w AS (SELECT doc_id, UNNEST(range(len(l))) AS pos, UNNEST(l) AS word
+      FROM wl),
+wf AS (SELECT * FROM w WHERE length(word) >= 5),
+e AS (
+  SELECT DISTINCT LEAST(w1.word, w2.word) AS a,
+                  GREATEST(w1.word, w2.word) AS b
+  FROM wf w1 JOIN wf w2
+    ON w1.doc_id = w2.doc_id AND w2.pos > w1.pos AND w2.pos - w1.pos <= 3
+   AND w1.word <> w2.word),
+t AS (
+  SELECT e1.a AS x, e1.b AS y, e3.b AS z
+  FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+v AS (SELECT UNNEST([x, y, z]) AS vertex FROM t)
+SELECT vertex, CAST(count(*) AS BIGINT) AS n_triangles
+FROM v GROUP BY vertex
+"""
+
+
 def q98_graph_materialize(spark, sf_dir):
     """Entity canonicalization + edge aggregation with the xxhash64
     vertex ids, under an aggregate + contract oracle (r4 — was
@@ -3263,7 +3311,7 @@ def q91_bertnet_triples(spark, sf_dir):
 # brute-force replay) and the 4 declared rows-only contracts
 # (q90/q91/q97/q98 — each carries a STRONGER exact-spec pytest than
 # a rows-only driver row). scripts/check_correctness.py still gates
-# ALL 73 (CORRECTNESS_selfcheck.json).
+# ALL 74 (CORRECTNESS_selfcheck.json).
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -3330,6 +3378,7 @@ QUERIES = {
     "q61_kmv_distinct": q61_kmv_distinct,
     "q62_semantic_dedup": q62_semantic_dedup,
     "q63_hypertable_rollup": q63_hypertable_rollup,
+    "q64_triangle_counts": q64_triangle_counts,
     "q40_minhash_exact_clusters": q40_minhash_exact_clusters,
     "q28_salted_word_count": q28_salted_word_count,
     "q31_intersect": q31_intersect,
@@ -3404,6 +3453,7 @@ ORACLES = {
     "q61_kmv_distinct": Q61_SQL,
     "q62_semantic_dedup": Q62_SQL,
     "q63_hypertable_rollup": Q63_SQL,
+    "q64_triangle_counts": Q64_SQL,
     "q92_simhash_pairs": Q92_SQL,
     "q93_minhash_dedup_pairs": Q93_SQL,
     "q95_extract_text_manifest": Q95_SQL,

@@ -49,6 +49,7 @@ SHOW = {
     "q61_kmv_distinct": "r4 KMV sketch: dense_rank limit compiles to WindowGroupLimit Partial BEFORE the exchange (map-side sketch accumulation); distinct + final ranking over the k-rows-per-group survivors only",
     "q62_semantic_dedup": "r4 SemDeDup: broadcast centroid fan-out (bounded k) -> argmax assignment; candidate pairs hash-join on the CLUSTER id (N^2/k, the paper's move) with the cosine threshold inside the join condition",
     "q63_hypertable_rollup": "r4 hypertable rollup: raw rows read ONCE (hourly map-side-combining aggregate); daily re-aggregates the hourly PARTIALS — the second aggregate's input is |hourly buckets| rows, not the event stream",
+    "q64_triangle_counts": "r4 triangle counting: degree-ordered orientation bounds every oriented out-degree by O(sqrt m), so the wedge self-join is O(m^1.5) instead of sum(deg^2) around webtext hubs; closing edges verified by LEFT SEMI against the canonical edge set",
 }
 
 

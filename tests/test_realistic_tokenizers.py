@@ -263,7 +263,9 @@ def test_full_harvest_realistic_tokenizers(spark, lm_name):
     assert triples
     ranks = sorted(r.rank for r in triples)
     assert ranks == list(range(1, len(ranks) + 1))
-    assert abs(sum(r.weight for r in triples) - 1.0) < 1e-9
+    # weights publish at round-9 (operators/rescoring.py), so the sum
+    # carries up to n_triples * 5e-10 of rounding residue
+    assert abs(sum(r.weight for r in triples) - 1.0) < 5e-7
 
 
 def test_subword_entities_exercised_bpe(spark):
