@@ -68,10 +68,10 @@ def main() -> None:
         quality = (
             True if args.quality == "default" else _json.loads(args.quality)
         )
-        if quality is None or quality is False:
+        if quality is not True and not isinstance(quality, dict):
             raise SystemExit(
-                "--quality given but parses to null/false — use "
-                "'default', '{}' or a JSON threshold dict"
+                "--quality must be 'default' or a JSON threshold DICT "
+                f"(got {type(quality).__name__}: {args.quality!r})"
             )
     q = ingest_pages(
         spark, args.drops, args.table, args.checkpoints,

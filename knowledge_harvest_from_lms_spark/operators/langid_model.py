@@ -62,13 +62,18 @@ def train_langid(
         F.col(lang_col).alias("lang"),
         F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
     )
-    counts = grams.groupBy("lang", "gram").agg(
-        F.count(F.lit(1)).alias("c_lg")
+    # ONE raw-reference scan: totals and vocab_size derive from the
+    # (lang, gram) counts aggregate — a vocab-bounded table, eagerly
+    # localCheckpointed because it feeds three consumers (the same
+    # partials-reuse discipline as operators/rollup.py; without it,
+    # Catalyst re-runs the explode+aggregate per consumer)
+    counts = (
+        grams.groupBy("lang", "gram")
+        .agg(F.count(F.lit(1)).alias("c_lg"))
+        .localCheckpoint()
     )
-    totals = grams.groupBy("lang").agg(F.count(F.lit(1)).alias("c_lang"))
-    vocab_size = (
-        grams.agg(F.countDistinct("gram")).collect()[0][0] + 1
-    )
+    totals = counts.groupBy("lang").agg(F.sum("c_lg").alias("c_lang"))
+    vocab_size = counts.select("gram").distinct().count() + 1
     profiles = counts.join(totals, "lang").select(
         "lang",
         "gram",

@@ -75,11 +75,27 @@ def bucket_aggregate(
 
 
 def rollup_partials(
-    finer: DataFrame, keys: list[str], width_s: int
+    finer: DataFrame,
+    keys: list[str],
+    width_s: int,
+    finer_width_s: int | None = None,
 ) -> DataFrame:
     """Re-bucket a finer partial table to a coarser grain WITHOUT
     touching raw rows: counts/sums add, mins/maxes fold. `width_s`
-    must be a multiple of the finer grain for exact containment."""
+    must be a multiple of the finer grain for exact containment —
+    otherwise a finer bucket straddles two coarse buckets and its
+    whole partial is silently assigned to the one containing its
+    START. Pass ``finer_width_s`` to enforce the multiple; it is
+    optional only for callers whose grain isn't statically known."""
+    if finer_width_s is not None:
+        if finer_width_s <= 0:
+            raise ValueError(f"finer_width_s must be positive, got {finer_width_s}")
+        if width_s % finer_width_s != 0:
+            raise ValueError(
+                f"width_s={width_s} is not a multiple of "
+                f"finer_width_s={finer_width_s}: finer buckets would "
+                "straddle coarse boundaries and misassign partials"
+            )
     return (
         finer.withColumn("bucket", time_bucket(F.col("bucket"), width_s))
         .groupBy(*keys, "bucket")

@@ -126,7 +126,15 @@ def semantic_dedup(
         raise ValueError(f"tau must be in (0, 1], got {tau}")
     if centroids is None:
         centroids = default_centroids(embeddings, k, id_col, emb_col)
-    assigned = assign_clusters(embeddings, centroids, id_col, emb_col)
+    # lazily localCheckpoint the assignment: it feeds THREE consumers
+    # (both sides of the pair self-join + the output join) and
+    # Catalyst clones the k x N broadcast-argmax subtree per consumer
+    # otherwise (the q56 flagged-set lesson, measured 4x there). The
+    # checkpointed table is ids+cluster+cos only — embeddings rejoin
+    # from the (cheap, columnar) base scan per consumer.
+    assigned = assign_clusters(
+        embeddings, centroids, id_col, emb_col
+    ).localCheckpoint(eager=False)
     sided = assigned.join(
         embeddings.select(id_col, emb_col), id_col
     ).select(

@@ -92,7 +92,10 @@ def kmv_sketch(
     if k < 3:
         raise ValueError(f"k must be >= 3 for the estimator, got {k}")
     hashed = df.select(*group_cols, kmv_hash(key, seed, hasher).alias("h"))
-    return _kmin(hashed, group_cols, k)
+    # NULL keys hash to NULL, which would sort first (NULLS FIRST) and
+    # occupy a phantom sketch slot; countDistinct ignores NULLs — match
+    # that contract.
+    return _kmin(hashed.filter(F.col("h").isNotNull()), group_cols, k)
 
 
 def _kmin(hashes: DataFrame, group_cols: list[str], k: int) -> DataFrame:

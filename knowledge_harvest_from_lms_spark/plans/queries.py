@@ -3097,7 +3097,7 @@ def q63_hypertable_rollup(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     hourly = bucket_aggregate(ev, ["event_type"], "value", width_s=3600)
-    daily = rollup_partials(hourly, ["event_type"], 86400)
+    daily = rollup_partials(hourly, ["event_type"], 86400, finer_width_s=3600)
     # avg_v (read_stats) is sum_v/n — fully determined by the two
     # pinned columns, and its quotient can land EXACTLY on a .5e-6
     # boundary where Spark (HALF_UP) and DuckDB disagree by one ulp

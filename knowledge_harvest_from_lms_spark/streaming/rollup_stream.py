@@ -5,16 +5,20 @@ Each micro-batch is bucket-aggregated into partial states and FOLDED
 into the materialized table via `operators/rollup.merge_partials` —
 the append-only monoid merge, O(batch + touched buckets) per batch,
 never a base-table re-scan (TimescaleDB's continuous-aggregate
-refresh policy, expressed as foreachBatch). Exactly-once comes from
-the checkpointed source offsets + the staged overwrite (or, with
-``txn=True``, an atomic :class:`~..txn.TxnLog` commit — same
-trade-off as `streaming/incremental.start_incremental_grounding`,
-whose upsert pattern this mirrors).
+refresh policy, expressed as foreachBatch).
 
-A replayed batch after a crash-before-commit re-merges into the
-PREVIOUS snapshot (the overwrite never landed), so absolute partial
-states stay correct — the idempotence test drains the same drop dir
-twice and asserts the aggregate equals the batch recompute.
+Exactly-once: the fold is ADDITIVE, so unlike the absolute-counts
+upsert in `streaming/incremental.start_incremental_grounding` it is
+NOT naturally idempotent — a batch replayed after a crash between
+the sink write and the streaming checkpoint commit must be detected,
+not re-applied. ``txn=True`` closes this completely: the batch id
+rides the TxnLog manifest, and the fold SKIPS any batch id at or
+below the last committed one (manifest + data are one atomic
+commit, so cursor and table can never disagree). The plain-layout
+path has the standard foreachBatch caveat instead: a crash in the
+sink-committed/checkpoint-uncommitted window (or mid-promote inside
+stage_overwrite) can double-apply or tear the snapshot on replay —
+use ``txn=True`` where that window matters.
 """
 
 from __future__ import annotations
@@ -41,7 +45,10 @@ def start_continuous_aggregate(
     drops in ``drop_dir``; returns the StreamingQuery. The
     materialized table at ``agg_path`` holds (keys..., bucket, n,
     sum_v, min_v, max_v) — finalize with `operators/rollup.read_stats`
-    or roll coarser with `rollup_partials`."""
+    or roll coarser with `rollup_partials`. ``checkpoint_dir`` and
+    ``agg_path`` are paired for life (standard foreachBatch rule):
+    a fresh checkpoint re-emits everything as batch 0, which the txn
+    replay guard will treat as already folded."""
     stream = spark.readStream.schema(schema).parquet(drop_dir)
 
     def fold(batch_df: DataFrame, _bid: int) -> None:
@@ -51,7 +58,24 @@ def start_continuous_aggregate(
             from ..txn import TxnLog
 
             log = TxnLog(sess, agg_path)
-            existing = log.read("rollup") if log.has_table("rollup") else None
+            if log.has_table("rollup"):
+                # replay guard: batches arrive in order, so a batch id
+                # at/below the committed cursor was already folded in
+                # (crash landed between our commit and the streaming
+                # checkpoint's) — re-applying would double-count. Walk
+                # past non-fold commits (maintenance) whose meta has
+                # no batch_id.
+                v, manifest = log.latest()
+                last = manifest.get("meta", {}).get("batch_id")
+                while last is None and v > 0:
+                    v -= 1
+                    m = log.commit_meta(v)
+                    last = (m or {}).get("batch_id")
+                if last is not None and int(_bid) <= int(last):
+                    return
+                existing = log.read("rollup")
+            else:
+                existing = None
             log.commit(
                 overwrites={"rollup": merge_partials(existing, delta, keys)},
                 meta={"batch_id": int(_bid)},

@@ -108,4 +108,6 @@ def test_fake_full_harvest(spark):
     ranks = sorted(r.rank for r in triples)
     assert ranks == list(range(1, len(ranks) + 1))
     w = sum(r.weight for r in triples)
-    assert abs(w - 1.0) < 1e-9  # A5 softmax over tuple scores
+    # A5 softmax over tuple scores; weights publish at round-9
+    # (operators/rescoring.py), so the sum carries n * 5e-10 residue
+    assert abs(w - 1.0) < 5e-7

@@ -35,22 +35,25 @@ def _rows(df):
 def test_hierarchy_lossless(spark, events):
     """daily-from-hourly-partials == daily-from-raw, exactly."""
     hourly = bucket_aggregate(events, ["event_type"], "value", width_s=3600)
-    daily_via = rollup_partials(hourly, ["event_type"], DAY)
+    daily_via = rollup_partials(hourly, ["event_type"], DAY, finer_width_s=3600)
     daily_raw = bucket_aggregate(events, ["event_type"], "value", width_s=DAY)
     assert _rows(daily_via) == _rows(daily_raw)
 
 
 def test_monthly_from_daily(spark, events):
     hourly = bucket_aggregate(events, ["event_type"], "value", width_s=3600)
-    daily = rollup_partials(hourly, ["event_type"], DAY)
-    monthly_via = rollup_partials(daily, ["event_type"], 30 * DAY)
+    daily = rollup_partials(hourly, ["event_type"], DAY, finer_width_s=3600)
+    monthly_via = rollup_partials(daily, ["event_type"], 30 * DAY, finer_width_s=DAY)
     monthly_raw = bucket_aggregate(
         events, ["event_type"], "value", width_s=30 * DAY
     )
     assert _rows(monthly_via) == _rows(monthly_raw)
 
 
-def test_non_multiple_grain_differs_not_silently(spark):
+def test_non_multiple_grain_differs_not_silently(spark, events):
+    hourly = bucket_aggregate(events, ["event_type"], "value", width_s=3600)
+    with pytest.raises(ValueError, match="not a multiple"):
+        rollup_partials(hourly, ["event_type"], 5400, finer_width_s=3600)
     with pytest.raises(ValueError):
         time_bucket(F.col("ts"), 0)
 

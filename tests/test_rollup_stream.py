@@ -88,6 +88,27 @@ def test_incremental_equals_batch(spark, tmp_path, txn):
     assert _rows(_read(spark, out, txn)) == _rows(expected)
 
 
+def test_txn_replay_guard_no_double_count(spark, tmp_path):
+    """A batch replayed against an already-committed cursor (crash in
+    the sink-committed / checkpoint-uncommitted window, simulated by
+    wiping the checkpoint) is SKIPPED — the additive fold must not
+    double-count."""
+    import shutil
+
+    ev = _events(spark)
+    drop = str(tmp_path / "drop")
+    out = str(tmp_path / "agg")
+    ckpt = str(tmp_path / "ckpt")
+    ev.write.mode("append").parquet(drop)
+    _drain(spark, drop, out, ckpt, txn=True)
+    expected = bucket_aggregate(ev, ["event_type"], "value", width_s=DAY)
+    assert _rows(_read(spark, out, True)) == _rows(expected)
+
+    shutil.rmtree(ckpt)  # forces a full replay as batch 0 again
+    _drain(spark, drop, out, str(tmp_path / "ckpt2"), txn=True)
+    assert _rows(_read(spark, out, True)) == _rows(expected)
+
+
 def test_txn_history_one_commit_per_batch(spark, tmp_path):
     from knowledge_harvest_from_lms_spark.txn import TxnLog
 

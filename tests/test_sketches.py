@@ -84,6 +84,19 @@ def test_xxhash64_variant_runs(spark, events):
     assert all(0 <= int(r["h"]) < 2**64 for r in sk.collect())
 
 
+def test_null_keys_ignored_like_count_distinct(spark):
+    """NULL keys must not occupy sketch slots (countDistinct
+    semantics): 3 real keys + NULLs -> 3 slots, exact estimate."""
+    df = spark.createDataFrame(
+        [Row(g="a", key=k) for k in [1, 2, 3, None, None]]
+    )
+    sk = kmv_sketch(df, ["g"], F.col("key"), k=8)
+    rows = sk.collect()
+    assert len(rows) == 3 and all(r["h"] is not None for r in rows)
+    est = kmv_estimate(sk, ["g"], k=8).collect()[0]
+    assert est["n_kept"] == 3 and est["est_distinct"] == 3.0
+
+
 def test_bad_args(spark, events):
     with pytest.raises(ValueError, match="k must be"):
         kmv_sketch(events, ["event_type"], F.col("user_id"), k=2)
