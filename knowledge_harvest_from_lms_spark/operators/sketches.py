@@ -125,6 +125,74 @@ def kmv_merge(
     return _kmin(allh, group_cols, k)
 
 
+def histogram_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value: Column,
+    bins: int = 64,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Fixed-boundary equi-width histogram: (group_cols..., bin, cnt).
+    Fixed boundaries make it MERGEABLE by plain count addition (the
+    same monoid argument as rollup partials) and exactly replayable —
+    unlike approxQuantile's Greenwald-Khanna state, which is neither.
+    Out-of-range values clamp to the edge bins (they still count);
+    ONE map-side-combining aggregate. NULL values are ignored."""
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    width = (hi - lo) / bins
+    raw = F.floor((value.cast("double") - F.lit(lo)) / F.lit(width))
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("int")
+    return (
+        df.filter(value.isNotNull())
+        .select(*group_cols, b.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_quantile(
+    sketch: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+    bins: int = 64,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """(group_cols..., q, est): linear-interpolated quantile estimates
+    from the histogram — error bounded by one bin width. The rank is
+    r = q*(n-1)+1 (the 'linear' / type-7 convention); est walks the
+    cumulative counts to the bin containing r and interpolates inside
+    it. All integer/rational arithmetic until the final rounding, so
+    a SQL replay agrees exactly (q65)."""
+    if not qs or any(not 0.0 <= q <= 1.0 for q in qs):
+        raise ValueError(f"qs must be fractions in [0, 1], got {qs}")
+    width = (hi - lo) / bins
+    w = W.partitionBy(*group_cols).orderBy("bin")
+    cum = sketch.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(W.partitionBy(*group_cols))
+    )
+    qdf = cum.crossJoin(
+        F.broadcast(
+            cum.sparkSession.createDataFrame(
+                [(float(q),) for q in qs], "q double"
+            )
+        )
+    )
+    rank = F.col("q") * (F.col("n") - 1) + 1  # type-7 target rank
+    hit = qdf.filter(
+        (F.col("cum") >= rank) & ((F.col("cum") - F.col("cnt")) < rank)
+    )
+    frac = (rank - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+    est = F.lit(lo) + (F.col("bin") + frac) * F.lit(width)
+    return hit.select(
+        *group_cols, "q", F.round(est, 6).alias("est")
+    )
+
+
 def kmv_estimate(
     sketch: DataFrame, group_cols: list[str], k: int,
     hasher: str = "portable",

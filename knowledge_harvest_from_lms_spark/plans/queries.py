@@ -3172,6 +3172,51 @@ FROM v GROUP BY vertex
 """
 
 
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantiles (operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+def q65_histogram_quantiles(spark, sf_dir):
+    """histogram_sketch + histogram_quantile over events.value per
+    event type (50 bins on [0, 400), p50/p95/p99) — the mergeable,
+    engine-replayable alternative to approxQuantile's opaque GK
+    state. The oracle replays binning, cumulative walk and type-7
+    interpolation in SQL."""
+    from ..operators.sketches import histogram_quantile, histogram_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    sk = histogram_sketch(
+        ev, ["event_type"], F.col("value"), bins=50, lo=0.0, hi=400.0
+    )
+    return histogram_quantile(
+        sk, ["event_type"], [0.5, 0.95, 0.99], bins=50, lo=0.0, hi=400.0
+    )
+
+
+Q65_SQL = """
+WITH sk AS (
+  SELECT event_type,
+         CAST(LEAST(GREATEST(floor(value / 8.0), 0), 49) AS INT) AS bin,
+         count(*) AS cnt
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM sk),
+qs AS (SELECT UNNEST([0.5, 0.95, 0.99]) AS q),
+hit AS (
+  SELECT c.event_type, q.q, c.bin, c.cnt, c.cum, c.n
+  FROM cum c CROSS JOIN qs q
+  WHERE c.cum >= q.q * (c.n - 1) + 1
+    AND (c.cum - c.cnt) < q.q * (c.n - 1) + 1)
+SELECT event_type, q,
+       round((bin + ((q * (n - 1) + 1) - (cum - cnt)) / cnt) * 8.0, 6)
+         AS est
+FROM hit
+"""
+
+
 def q98_graph_materialize(spark, sf_dir):
     """Entity canonicalization + edge aggregation with the xxhash64
     vertex ids, under an aggregate + contract oracle (r4 — was
@@ -3311,7 +3356,7 @@ def q91_bertnet_triples(spark, sf_dir):
 # brute-force replay) and the 4 declared rows-only contracts
 # (q90/q91/q97/q98 — each carries a STRONGER exact-spec pytest than
 # a rows-only driver row). scripts/check_correctness.py still gates
-# ALL 74 (CORRECTNESS_selfcheck.json).
+# ALL 75 (CORRECTNESS_selfcheck.json).
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -3379,6 +3424,7 @@ QUERIES = {
     "q62_semantic_dedup": q62_semantic_dedup,
     "q63_hypertable_rollup": q63_hypertable_rollup,
     "q64_triangle_counts": q64_triangle_counts,
+    "q65_histogram_quantiles": q65_histogram_quantiles,
     "q40_minhash_exact_clusters": q40_minhash_exact_clusters,
     "q28_salted_word_count": q28_salted_word_count,
     "q31_intersect": q31_intersect,
@@ -3454,6 +3500,7 @@ ORACLES = {
     "q62_semantic_dedup": Q62_SQL,
     "q63_hypertable_rollup": Q63_SQL,
     "q64_triangle_counts": Q64_SQL,
+    "q65_histogram_quantiles": Q65_SQL,
     "q92_simhash_pairs": Q92_SQL,
     "q93_minhash_dedup_pairs": Q93_SQL,
     "q95_extract_text_manifest": Q95_SQL,

@@ -50,6 +50,7 @@ SHOW = {
     "q62_semantic_dedup": "r4 SemDeDup: broadcast centroid fan-out (bounded k) -> argmax assignment; candidate pairs hash-join on the CLUSTER id (N^2/k, the paper's move) with the cosine threshold inside the join condition",
     "q63_hypertable_rollup": "r4 hypertable rollup: raw rows read ONCE (hourly map-side-combining aggregate); daily re-aggregates the hourly PARTIALS — the second aggregate's input is |hourly buckets| rows, not the event stream",
     "q64_triangle_counts": "r4 triangle counting: degree-ordered orientation bounds every oriented out-degree by O(sqrt m), so the wedge self-join is O(m^1.5) instead of sum(deg^2) around webtext hubs; closing edges verified by LEFT SEMI against the canonical edge set",
+    "q65_histogram_quantiles": "r4 histogram quantiles: ONE map-side-combining aggregate builds the fixed-boundary sketch (mergeable by count addition, unlike GK state); the quantile walk runs over |groups|x|bins| rows — constant-bounded, never the value stream",
 }
 
 
