@@ -97,6 +97,56 @@ def stratified_sample(
     return df.filter(sample_bucket(F.col(key_col), seed, hasher) < thresh)
 
 
+def weighted_reservoir(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement — the
+    Efraimidis-Spirakis A-ES reservoir, distributed: each row draws
+    u from its stable hash and ranks by ln(u)/w (the log-monotone
+    form of u^(1/w)); the k best per group are the sample, with
+    inclusion probability proportional to weight. Because u comes
+    from (key, seed) instead of an RNG, the SAME rows win on any
+    partitioning, retry or cluster size (module note), and a SQL
+    replay agrees row-for-row (q66).
+
+    The rank-limit compiles to WindowGroupLimit with a map-side
+    partial (the KMV plan shape): shuffle volume is ~k rows per
+    partition per group. Rows with weight <= 0 or NULL are dropped
+    (A-ES is defined for positive weights). Uses the avalanche hash
+    from `operators/sketches` — lattice-free uniformity matters for
+    order statistics (same lesson as the KMV estimator).
+    """
+    from pyspark.sql.window import Window as W
+
+    from .sketches import _M, kmv_hash
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    group_cols = list(group_cols or [])
+    u = (kmv_hash(F.col(key_col), seed, "portable") + 1) / F.lit(
+        float(_M + 1)
+    )
+    score = F.round(
+        F.log(u) / F.col(weight_col).cast("double"), 9
+    )
+    w = W.partitionBy(*group_cols).orderBy(
+        F.desc("_sc"), F.asc(key_col)
+    )
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_sc", score)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .withColumnRenamed("_sc", "es_score")
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     budget_tokens: int,

@@ -3217,6 +3217,54 @@ FROM hit
 """
 
 
+# ---------------------------------------------------------------------------
+# Weighted reservoir sampling (operators/sampling.py, A-ES)
+# ---------------------------------------------------------------------------
+
+def q66_weighted_reservoir(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sampling over documents: 20 docs
+    per language, inclusion odds proportional to n_chars, decided by
+    the stable avalanche hash — the oracle replays hash, u-draw,
+    ln(u)/w score and the per-language rank walk exactly."""
+    from ..operators.sampling import weighted_reservoir
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_reservoir(
+        docs, k=20, weight_col="n_chars", key_col="doc_id",
+        group_cols=["lang"],
+    )
+    return out.select("doc_id", "lang", "n_chars", "es_score")
+
+
+Q66_SQL = """
+WITH h0 AS (
+  SELECT doc_id, lang, n_chars,
+         LIST_REDUCE(
+           LIST_PREPEND(CAST(0 AS BIGINT),
+             LIST_TRANSFORM(
+               STRING_SPLIT(CAST(doc_id AS VARCHAR) || '#0', ''),
+               c -> CAST(ASCII(c) AS BIGINT))),
+           (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+h1 AS (SELECT * REPLACE (xor((h * 2246822519) % 1000000007,
+              ((h * 2246822519) % 1000000007) >> 15) AS h) FROM h0),
+h2 AS (SELECT * REPLACE (xor((h * 2654435761) % 1000000007,
+              ((h * 2654435761) % 1000000007) >> 13) AS h) FROM h1),
+h3 AS (SELECT * REPLACE (xor((h * 3266489917) % 1000000007,
+              ((h * 3266489917) % 1000000007) >> 16) AS h) FROM h2),
+hashed AS (SELECT * REPLACE ((h * 97) % 1000000007 AS h) FROM h3),
+scored AS (
+  SELECT doc_id, lang, n_chars,
+         round(ln((h + 1) / 1000000008.0) / n_chars, 9) AS es_score
+  FROM hashed),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY es_score DESC, doc_id) AS rn
+  FROM scored)
+SELECT doc_id, lang, n_chars, es_score FROM ranked WHERE rn <= 20
+"""
+
+
 def q98_graph_materialize(spark, sf_dir):
     """Entity canonicalization + edge aggregation with the xxhash64
     vertex ids, under an aggregate + contract oracle (r4 — was
@@ -3356,7 +3404,7 @@ def q91_bertnet_triples(spark, sf_dir):
 # brute-force replay) and the 4 declared rows-only contracts
 # (q90/q91/q97/q98 — each carries a STRONGER exact-spec pytest than
 # a rows-only driver row). scripts/check_correctness.py still gates
-# ALL 75 (CORRECTNESS_selfcheck.json).
+# ALL 76 (CORRECTNESS_selfcheck.json).
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -3425,6 +3473,7 @@ QUERIES = {
     "q63_hypertable_rollup": q63_hypertable_rollup,
     "q64_triangle_counts": q64_triangle_counts,
     "q65_histogram_quantiles": q65_histogram_quantiles,
+    "q66_weighted_reservoir": q66_weighted_reservoir,
     "q40_minhash_exact_clusters": q40_minhash_exact_clusters,
     "q28_salted_word_count": q28_salted_word_count,
     "q31_intersect": q31_intersect,
@@ -3501,6 +3550,7 @@ ORACLES = {
     "q63_hypertable_rollup": Q63_SQL,
     "q64_triangle_counts": Q64_SQL,
     "q65_histogram_quantiles": Q65_SQL,
+    "q66_weighted_reservoir": Q66_SQL,
     "q92_simhash_pairs": Q92_SQL,
     "q93_minhash_dedup_pairs": Q93_SQL,
     "q95_extract_text_manifest": Q95_SQL,

@@ -51,6 +51,7 @@ SHOW = {
     "q63_hypertable_rollup": "r4 hypertable rollup: raw rows read ONCE (hourly map-side-combining aggregate); daily re-aggregates the hourly PARTIALS — the second aggregate's input is |hourly buckets| rows, not the event stream",
     "q64_triangle_counts": "r4 triangle counting: degree-ordered orientation bounds every oriented out-degree by O(sqrt m), so the wedge self-join is O(m^1.5) instead of sum(deg^2) around webtext hubs; closing edges verified by LEFT SEMI against the canonical edge set",
     "q65_histogram_quantiles": "r4 histogram quantiles: ONE map-side-combining aggregate builds the fixed-boundary sketch (mergeable by count addition, unlike GK state); the quantile walk runs over |groups|x|bins| rows — constant-bounded, never the value stream",
+    "q66_weighted_reservoir": "r4 A-ES weighted reservoir: scan-fused hash->u->ln(u)/w score projection, then the same WindowGroupLimit-partial rank-limit as KMV — shuffle carries ~k rows/partition/group, no RNG state anywhere",
 }
 
 

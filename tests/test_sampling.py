@@ -132,3 +132,70 @@ def test_q50_matches_manual_replay(spark):
         assert bucket(did) == b
         rate = {"en": 500, "de": 350}.get(lang, 200)
         assert b < rate
+
+
+def test_weighted_reservoir_properties(spark):
+    """A-ES reservoir: heavier rows win more often (aggregate over
+    disjoint seeds), output is k per group, deterministic across
+    partitionings, and the rank-limit compiles to WindowGroupLimit."""
+    from pyspark.sql import functions as F
+
+    from knowledge_harvest_from_lms_spark.operators.sampling import (
+        weighted_reservoir,
+    )
+
+    # 400 rows, two groups (id%2), two weight classes per group:
+    # w=9 (ids < 200) vs w=1 (ids >= 200)
+    df = spark.range(400).select(
+        F.col("id"),
+        F.when(F.col("id") < 200, 9.0).otherwise(1.0).alias("w"),
+        (F.col("id") % 2).cast("string").alias("grp"),
+    )
+    heavy_wins = total = 0
+    for seed in range(8):
+        out = weighted_reservoir(
+            df, k=20, weight_col="w", key_col="id",
+            group_cols=["grp"], seed=seed,
+        ).collect()
+        assert len(out) == 40
+        assert {r["grp"] for r in out} == {"0", "1"}
+        heavy_wins += sum(1 for r in out if r["id"] < 200)
+        total += len(out)
+    # E[heavy share] ~ 0.87 under A-ES with w 9:1; demand > 0.6
+    assert heavy_wins / total > 0.6, heavy_wins / total
+
+    a = weighted_reservoir(
+        df.repartition(1), k=20, weight_col="w", key_col="id",
+        group_cols=["grp"],
+    ).collect()
+    b = weighted_reservoir(
+        df.repartition(16), k=20, weight_col="w", key_col="id",
+        group_cols=["grp"],
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    wr = weighted_reservoir(
+        df, k=20, weight_col="w", key_col="id", group_cols=["grp"]
+    )
+    wr.collect()  # finalize the AQE plan before reading it
+    assert "WindowGroupLimit" in wr._jdf.queryExecution().executedPlan().toString()
+
+
+def test_weighted_reservoir_drops_nonpositive(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from knowledge_harvest_from_lms_spark.operators.sampling import (
+        weighted_reservoir,
+    )
+
+    df = spark.createDataFrame(
+        [Row(id=1, w=2.0), Row(id=2, w=0.0), Row(id=3, w=-1.0),
+         Row(id=4, w=None)]
+    )
+    out = weighted_reservoir(df, k=10, weight_col="w", key_col="id")
+    assert [r["id"] for r in out.collect()] == [1]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        weighted_reservoir(df, k=0, weight_col="w", key_col="id")
