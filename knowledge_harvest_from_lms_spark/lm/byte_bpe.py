@@ -14,7 +14,13 @@ Divergence note: Python ``re`` has no ``\\p{L}``/``\\p{N}``; the
 pattern uses ``[^\\W\\d_]`` (unicode letters) and ``\\d`` (decimal
 digits), which differs from GPT-2's only for non-decimal numerals
 (Nl/No categories) — irrelevant for the reference's English relation
-prompts, and documented rather than hidden.
+prompts, and documented rather than hidden. Because ``_`` is in
+``\\w`` but NOT in ``\\p{L}``/``\\p{N}``, the punctuation branch
+explicitly includes ``_`` (``[^\\w\\s]|_``) so underscores join
+punctuation runs exactly as GPT-2's ``[^\\s\\p{L}\\p{N}]+`` does —
+without it ``re.findall`` silently DROPS underscores (``foo_bar`` →
+``['foo','bar']``), diverging from the real checkpoint tokenizer on
+any underscore-containing text (entity names, code, wiki titles).
 """
 
 from __future__ import annotations
@@ -27,7 +33,7 @@ import numpy as np
 
 _GPT2_PAT = re.compile(
     r"'s|'t|'re|'ve|'m|'ll|'d"
-    r"| ?[^\W\d_]+| ?\d+| ?(?:[^\w\s])+|\s+(?!\S)|\s+"
+    r"| ?[^\W\d_]+| ?\d+| ?(?:[^\w\s]|_)+|\s+(?!\S)|\s+"
 )
 
 

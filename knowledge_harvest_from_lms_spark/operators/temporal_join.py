@@ -28,8 +28,19 @@ degenerate interval cannot quadratic the job.
 Scale notes (SCALE.md rows "asof join" / "range join"): both plans
 shuffle once on the join key (+cell); per-key skew lands in one
 sort partition for as-of — at web scale choose a key with bounded
-per-key event counts (user, instrument) or pre-split by coarse time
-range with boundary carry-in.
+per-key event counts (user, instrument) or pass `split_ranges=N`,
+which pre-splits each key's timeline into N coarse time ranges
+(approx-quantile boundaries over the left ts), runs the merge window
+per (key, range), and restores cross-range correctness with a
+boundary carry-in: a tiny per-(key, range) aggregate of each range's
+best right row, cascaded by a window over the N-row-per-key
+aggregate and broadcast-joined back. Result is bit-identical to the
+unsplit plan (pinned in tests) while a hot key's sort partition
+shrinks by ~N×.
+
+NULL join keys never match (SQL equi-join semantics; pandas
+merge_asof rejects them): right rows with a NULL key are dropped,
+left rows with a NULL key are kept with NULL payloads.
 """
 
 from __future__ import annotations
@@ -63,6 +74,7 @@ def asof_join(
     direction: str = "backward",
     tolerance_s: float | None = None,
     suffix: str = "_r",
+    split_ranges: int | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row, plus the payload of the
     latest right row with right_ts <= left_ts (direction="backward")
@@ -70,13 +82,25 @@ def asof_join(
     key. Right payload columns come back suffixed on name collision;
     the matched timestamp is `f"{right_ts}{suffix}"`. Rows with no
     match (or outside `tolerance_s` seconds) keep NULL payloads —
-    the join is row-preserving on the left."""
+    the join is row-preserving on the left. NULL join keys never
+    match (matching SQL equi-joins and pandas.merge_asof, which
+    rejects them): NULL-key left rows survive with NULL payloads.
+
+    `split_ranges=N` (N >= 2) is the hot-key guard: the per-key sort
+    partition is split into N coarse time ranges with a boundary
+    carry-in, producing the identical result with ~N× less data per
+    window partition (see module docstring)."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on = [on] if isinstance(on, str) else list(on)
     payload = [c for c in right.columns if c not in on and c != right_ts]
     if not payload:
         raise ValueError("right side has no payload columns besides key/ts")
+    # NULL keys must not match: Window.partitionBy groups NULLs into
+    # one partition, so NULL-key right rows would otherwise leak their
+    # payloads into NULL-key left rows.
+    for k in on:
+        right = right.filter(F.col(k).isNotNull())
     right = _collapse_right(right, on, right_ts, payload)
 
     ts_out = f"{right_ts}{suffix}"
@@ -107,16 +131,64 @@ def asof_join(
     asc = direction == "backward"
     order = [F.col("_ts").asc() if asc else F.col("_ts").desc(),
              F.col("_side").asc()]
-    w = (
-        W.partitionBy(*on)
-        .orderBy(*order)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    carried = (
-        r_tagged.unionByName(l_tagged)
-        .withColumn("_m", F.last("_r", ignorenulls=True).over(w))
-        .filter(F.col("_side") == 1)
-    )
+    uni = r_tagged.unionByName(l_tagged)
+    if split_ranges is not None and split_ranges >= 2:
+        # Hot-key guard: bucket each key's timeline into coarse time
+        # ranges so a skewed key's window partition shrinks ~N×. The
+        # approx-quantile probe is a bounded driver action (N-1
+        # doubles); boundary values only steer partitioning, never
+        # the result, so the approximation is benign.
+        probs = [i / split_ranges for i in range(1, split_ranges)]
+        bounds = sorted(set(
+            left.select(F.col(left_ts).cast("double").alias("_t"))
+            .na.drop().approxQuantile("_t", probs, 0.001)
+        ))
+        rng_expr = F.lit(0)
+        for b in bounds:
+            rng_expr = rng_expr + F.when(
+                F.col("_ts").cast("double") >= F.lit(float(b)), 1
+            ).otherwise(0)
+        uni = uni.withColumn("_rng", rng_expr)
+        # Boundary carry-in: per (key, range) best right row (max
+        # struct for backward = latest; min for forward = earliest),
+        # cascaded across ranges by a window over the tiny aggregate.
+        # Ranges are time-ordered, so the previous range PRESENT with
+        # a right row holds the globally best preceding right row.
+        side_best = (F.max if asc else F.min)(
+            F.when(F.col("_side") == 0, F.struct(F.col("_ts"), F.col("_r")))
+        ).alias("_b")
+        cw = (
+            W.partitionBy(*on)
+            .orderBy(F.col("_rng").asc() if asc else F.col("_rng").desc())
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        carry = (
+            uni.groupBy(*on, "_rng").agg(side_best)
+            .withColumn("_cin", F.last("_b", ignorenulls=True).over(cw)["_r"])
+            .select(*on, "_rng", "_cin")
+        )
+        w = (
+            W.partitionBy(*on, "_rng")
+            .orderBy(*order)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        carried = (
+            uni.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+            .join(carry, on + ["_rng"], "left")
+            .withColumn("_m", F.coalesce(F.col("_m"), F.col("_cin")))
+            .filter(F.col("_side") == 1)
+        )
+    else:
+        w = (
+            W.partitionBy(*on)
+            .orderBy(*order)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        carried = (
+            uni
+            .withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+            .filter(F.col("_side") == 1)
+        )
     if tolerance_s is not None:
         # cast covers TIMESTAMP_NTZ inputs; only the difference is
         # used, so the session-tz shift cancels

@@ -601,6 +601,17 @@ def test_byte_bpe_tokenizer_semantics(tmp_path):
     assert tok.mask_token_id in full
     # unicode text survives the byte alphabet
     assert tok.decode(tok.encode("café", add_special_tokens=False)) == "café"
+    # underscores are NOT dropped: '_' is in \w but not \p{L}/\p{N},
+    # so the punctuation branch must claim it (GPT-2's real pattern
+    # treats '_' as punctuation) — regression for the r4 ADVICE bug
+    # where 'foo_bar' encoded as ['foo','bar']
+    assert tok.decode(tok.encode("foo_bar", add_special_tokens=False)) \
+        == "foo_bar"
+    us_pieces = [tok._id_to_piece[i]
+                 for i in tok.encode("a_b", add_special_tokens=False)]
+    assert "_" in "".join(us_pieces)
+    assert tok.decode(tok.encode("a _. b", add_special_tokens=False)) \
+        == "a _. b"
     # single-token decode of a Ġ piece gives the leading space the
     # banned-scan strips (HF behavior)
     gid = tok.encode(" giraffe", add_special_tokens=False)[0]

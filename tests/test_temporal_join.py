@@ -144,6 +144,67 @@ def test_asof_matches_pandas_merge_asof(spark):
     )
 
 
+def test_asof_null_keys_never_match(spark):
+    """SQL equi-join semantics: NULL keys never match (r4 ADVICE —
+    Window.partitionBy groups NULLs into one partition, so NULL-key
+    left rows used to inherit NULL-key right payloads). Left NULL-key
+    rows survive with NULL payloads; right NULL-key rows are ignored."""
+    left = spark.createDataFrame(
+        [Row(sym=None, ts=_ts(5), qty=1), Row(sym="A", ts=_ts(5), qty=2)]
+    )
+    right = spark.createDataFrame(
+        [Row(sym=None, ts=_ts(0), px=99.0), Row(sym="A", ts=_ts(0), px=1.0)]
+    )
+    got = {r["qty"]: r["px"]
+           for r in asof_join(left, right, on="sym").collect()}
+    assert got == {1: None, 2: 1.0}
+    # pandas.merge_asof rejects NULL keys outright; our contract is
+    # the SQL one — row-preserving left with no NULL-to-NULL match.
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_split_ranges_equals_unsplit(spark, direction):
+    """The split_ranges hot-key guard is a pure partitioning change:
+    result set is identical to the unsplit plan, including rows whose
+    match crosses a range boundary (the carry-in path) and ranges
+    with no right rows at all."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    n_l, n_r = 400, 120
+    # one deliberately hot key ('0') plus sparse ones
+    lk = np.where(rng.rand(n_l) < 0.7, "0", rng.randint(0, 4, n_l).astype(str))
+    lpdf = pd.DataFrame({
+        "k": lk,
+        "ts": pd.to_datetime(rng.randint(0, 10_000, n_l), unit="s"),
+        "lid": np.arange(n_l),
+    })
+    rpdf = pd.DataFrame({
+        "k": rng.randint(0, 4, n_r).astype(str),
+        "ts": pd.to_datetime(rng.randint(0, 10_000, n_r), unit="s"),
+        "val": rng.randint(0, 1000, n_r),
+    })
+    ldf, rdf = spark.createDataFrame(lpdf), spark.createDataFrame(rpdf)
+    base = (
+        asof_join(ldf, rdf, on="k", direction=direction)
+        .orderBy("lid").collect()
+    )
+    for n in (2, 7):
+        split = (
+            asof_join(ldf, rdf, on="k", direction=direction, split_ranges=n)
+            .orderBy("lid").collect()
+        )
+        assert split == base
+
+
+def test_asof_split_ranges_with_tolerance(spark, quotes, trades):
+    base = asof_join(trades, quotes, on="sym", tolerance_s=180.0)
+    split = asof_join(
+        trades, quotes, on="sym", tolerance_s=180.0, split_ranges=3
+    )
+    assert sorted(map(tuple, split.collect())) == sorted(map(tuple, base.collect()))
+
+
 def test_asof_plan_single_shuffle(spark, quotes, trades):
     """The as-of plan shuffles ONCE on the key (union feeds one
     window); no join node appears at all."""
