@@ -49,6 +49,12 @@ def main() -> None:
                         "micro-batch (the plain layout can lose the delta "
                         "to a crash between the two writes); the rerank "
                         "then consumes the delta by CDC")
+    p.add_argument("--maintain-totals", action="store_true",
+                   help="after the rerank, compact+vacuum the totals "
+                        "TxnLog (requires --txn-totals), protecting the "
+                        "rerank consumer's CDC cursor — the cursor lives "
+                        "in the HARVEST log's meta, so totals-log "
+                        "maintenance can't discover it on its own")
     p.add_argument("--min-mentions", type=int, default=1)
     p.add_argument("--synth-drop", type=int, default=0,
                    help="write N synthetic pages into --drops first (sandbox)")
@@ -89,6 +95,24 @@ def main() -> None:
     else:
         reranked = incremental_rerank(
             spark, triples, args.totals, args.reranked, alpha=args.alpha
+        )
+    if args.maintain_totals:
+        if not args.txn_totals:
+            p.error("--maintain-totals requires --txn-totals")
+        from knowledge_harvest_from_lms_spark.streaming.incremental import (
+            totals_cursor,
+        )
+        from knowledge_harvest_from_lms_spark.txn import TxnLog, maintain
+
+        protect = set()
+        if args.harvest_root:
+            cur = totals_cursor(spark, args.harvest_root)
+            if cur is not None:
+                protect.add(cur)
+        stats = maintain(TxnLog(spark, args.totals), protect=protect)
+        print(
+            f"maintain totals: compacted={stats['compacted']} "
+            f"vacuumed={stats['vacuumed']} paths; protected={sorted(protect)}"
         )
     grounded = grounded_view(spark, triples, args.totals, args.min_mentions)
     where = (

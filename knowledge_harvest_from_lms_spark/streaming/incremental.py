@@ -396,6 +396,28 @@ def incremental_rerank_txn(
     return log.read("reranked")
 
 
+def totals_cursor(spark: SparkSession, harvest_root: str) -> int | None:
+    """The totals-log version the newest committed rerank consumed —
+    its CDC cursor into the TOTALS log. The cursor is recorded in the
+    HARVEST log's rerank meta (the totals log belongs to the grounding
+    stream's single writer, so the rerank consumer cannot commit its
+    cursor there), which means ``txn.maintain`` of the totals log
+    cannot see it: pass this value as ``maintain(totals_log,
+    protect={totals_cursor(...)})`` so totals-log maintenance never
+    vacuums the cursor manifest (r4 ADVICE — the fallback is a safe
+    full rescore, but silent demotion to full rescans is exactly what
+    cursor protection exists to prevent). ``None`` when no rerank has
+    ever committed."""
+    from ..txn import TxnLog
+
+    log = TxnLog(spark, harvest_root)
+    for v in reversed(log.versions()):
+        meta = log.commit_meta(v) or {}
+        if "rerank" in meta:
+            return int(meta["rerank"].get("totals_version", 0))
+    return None
+
+
 def grounded_view(
     spark: SparkSession, triples: DataFrame, totals_path: str, min_mentions: int = 1
 ) -> DataFrame:

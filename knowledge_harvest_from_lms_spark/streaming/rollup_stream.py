@@ -62,9 +62,11 @@ def start_continuous_aggregate(
                 # replay guard: batches arrive in order, so a batch id
                 # at/below the committed cursor was already folded in
                 # (crash landed between our commit and the streaming
-                # checkpoint's) — re-applying would double-count. Walk
-                # past non-fold commits (maintenance) whose meta has
-                # no batch_id.
+                # checkpoint's) — re-applying would double-count.
+                # TxnLog.commit makes batch_id sticky (maintenance
+                # commits inherit it), so the latest manifest always
+                # carries the cursor even after vacuum(retain=1); the
+                # walk-back below remains for pre-sticky logs.
                 v, manifest = log.latest()
                 last = manifest.get("meta", {}).get("batch_id")
                 while last is None and v > 0:

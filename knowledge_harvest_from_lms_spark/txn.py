@@ -217,6 +217,16 @@ class TxnLog:
         tests/test_txn.py::test_concurrent_commit_detected."""
         base_v, base = self.latest()
         v = base_v + 1
+        meta = dict(meta or {})
+        # The streaming replay cursor is STICKY: a maintenance or
+        # consumer commit that doesn't set its own batch_id carries
+        # the parent's forward, so the LATEST manifest always knows
+        # the last folded batch and vacuum can never age out every
+        # manifest that does (r4 ADVICE: after `maintain(retain=1)`
+        # aged out all fold manifests, a replayed batch re-folded and
+        # double-counted the additive rollup partials).
+        if "batch_id" not in meta and "batch_id" in base.get("meta", {}):
+            meta["batch_id"] = base["meta"]["batch_id"]
         tables = {t: list(d) for t, d in base["tables"].items()}
         schemas = dict(base.get("schemas", {}))
         for name, df in (overwrites or {}).items():
@@ -234,7 +244,7 @@ class TxnLog:
             "parent": base_v or None,
             "tables": tables,
             "schemas": schemas,
-            "meta": meta or {},
+            "meta": meta,
         }
         data = json.dumps(manifest, sort_keys=True).encode()
         tmp = f"{self._txn_dir()}/.tmp-{uuid.uuid4().hex}.json"
@@ -453,6 +463,7 @@ def maintain(
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_keys: dict[str, list[str]] | None = None,
     protect_cursors: bool = True,
+    protect: set[int] | None = None,
 ) -> dict:
     """Routine log maintenance: compact every table whose generation-dir
     count exceeds ``max_dirs`` (streaming appends add one dir per
@@ -467,9 +478,22 @@ def maintain(
     convention ``incremental_rerank_txn`` writes) protects that
     version from the vacuum — otherwise every maintenance pass would
     age the cursor out and silently demote the consumer to full
-    rescans. Safe to run any time the single writer is quiescent;
-    snapshot readers of retained versions are unaffected. Returns
-    ``{"compacted": [tables], "vacuumed": n_paths}``."""
+    rescans. The protection only sees cursors recorded in THIS log's
+    metas; a consumer whose cursor into this log is recorded
+    elsewhere (e.g. ``incremental_rerank_txn`` writes its
+    ``totals_version`` cursor into the HARVEST log, because the
+    totals log has its own single writer) must be named explicitly
+    via ``protect`` — a set of versions to keep beyond retention —
+    or it falls back to a safe-but-full rescan after its cursor
+    manifest ages out (``jobs/run_incremental.py --maintain-totals``
+    wires this). ``protect_cursors`` also keeps the newest commit
+    whose meta carries a streaming ``batch_id``: with the sticky
+    cursor in :meth:`TxnLog.commit` this is the latest manifest
+    anyway, but pre-sticky logs still need it so the replay guard
+    never loses the fold cursor. Safe to run any time the single
+    writer is quiescent; snapshot readers of retained versions are
+    unaffected. Returns ``{"compacted": [tables], "vacuumed":
+    n_paths}``."""
     if sort_keys is None:
         sort_keys = DEFAULT_SORT_KEYS
     compacted = []
@@ -482,11 +506,15 @@ def maintain(
                 table, target_file_bytes=target_file_bytes, sort_by=keys
             )
             compacted.append(table)
-    protect: set[int] = set()
+    protect = set(int(v) for v in (protect or ()))
     if protect_cursors:
         seen: set[str] = set()
+        batch_cursor_seen = False
         for v in reversed(log.versions()):
             meta = log.commit_meta(v) or {}
+            if not batch_cursor_seen and "batch_id" in meta:
+                batch_cursor_seen = True
+                protect.add(int(v))
             for key, val in meta.items():
                 if (
                     key not in seen

@@ -109,6 +109,35 @@ def test_txn_replay_guard_no_double_count(spark, tmp_path):
     assert _rows(_read(spark, out, True)) == _rows(expected)
 
 
+def test_txn_replay_guard_survives_maintenance_vacuum(spark, tmp_path):
+    """r4 ADVICE regression: maintenance commits used to carry no
+    batch_id, so `compact` + `vacuum(retain=1)` aged out every fold
+    manifest and a replayed batch re-folded (double-counting the
+    additive partials). The sticky cursor in TxnLog.commit makes the
+    compaction manifest inherit the fold's batch_id, so the guard
+    still sees the cursor after the vacuum."""
+    import shutil
+
+    from knowledge_harvest_from_lms_spark.txn import TxnLog
+
+    ev = _events(spark)
+    drop = str(tmp_path / "drop")
+    out = str(tmp_path / "agg")
+    ev.write.mode("append").parquet(drop)
+    _drain(spark, drop, out, str(tmp_path / "ckpt"), txn=True)
+    expected = bucket_aggregate(ev, ["event_type"], "value", width_s=DAY)
+
+    log = TxnLog(spark, out)
+    log.compact("rollup")  # maintenance commit after the last fold
+    log.vacuum(retain=1)   # ages out the fold manifest itself
+    v, manifest = log.latest()
+    assert manifest["meta"].get("batch_id") is not None  # sticky cursor
+
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    _drain(spark, drop, out, str(tmp_path / "ckpt2"), txn=True)
+    assert _rows(_read(spark, out, True)) == _rows(expected)
+
+
 def test_txn_history_one_commit_per_batch(spark, tmp_path):
     from knowledge_harvest_from_lms_spark.txn import TxnLog
 

@@ -506,6 +506,45 @@ def test_txn_random_walk_vs_model(spark, tmp_path):
                 assert sorted(_rows(log.read(tab, version=pin))) == sorted(expect)
 
 
+def test_commit_batch_id_is_sticky(spark, tmp_path):
+    """A commit that sets no batch_id inherits the parent's, so the
+    LATEST manifest always carries the streaming fold cursor and no
+    vacuum policy can age out every manifest that knows it (r4
+    ADVICE). A commit that sets its own batch_id overrides."""
+    log = TxnLog(spark, str(tmp_path / "s"))
+    log.commit(overwrites={"t": _df(spark, [("a", 1)])}, meta={"batch_id": 7})
+    log.commit(overwrites={"t": _df(spark, [("b", 2)])},
+               meta={"compaction": {"table": "t"}})
+    assert log.latest()[1]["meta"]["batch_id"] == 7
+    log.commit(overwrites={"t": _df(spark, [("c", 3)])}, meta={"batch_id": 9})
+    assert log.latest()[1]["meta"]["batch_id"] == 9
+    # metas without a batch_id anywhere in the chain stay clean
+    log2 = TxnLog(spark, str(tmp_path / "s2"))
+    log2.commit(overwrites={"t": _df(spark, [("a", 1)])})
+    assert "batch_id" not in log2.latest()[1]["meta"]
+
+
+def test_maintain_explicit_protect_for_cross_log_cursor(spark, tmp_path):
+    """A consumer whose cursor into THIS log is recorded in another
+    log (incremental_rerank_txn's totals_version lives in the harvest
+    log) is invisible to protect_cursors; maintain(protect={v}) keeps
+    the named versions alive (r4 ADVICE)."""
+    from knowledge_harvest_from_lms_spark.txn import maintain
+
+    log = TxnLog(spark, str(tmp_path / "tot"))
+    for i in range(3):
+        log.commit(appends={"changed": _df(spark, [(f"e{i}", i)]).coalesce(1)})
+    cursor = 1  # some external consumer's CDC cursor
+    for i in range(3, 6):
+        log.commit(appends={"changed": _df(spark, [(f"e{i}", i)]).coalesce(1)})
+    maintain(log, max_dirs=50, retain=2, protect={cursor})
+    assert cursor in log.versions()
+    # commits are v1..v6 (one entity each); CDC after v1 = e1..e5
+    assert _rows(log.read_changes("changed", cursor)) == [
+        (f"e{i}", i) for i in range(1, 6)
+    ]
+
+
 def test_maintain_protects_cdc_cursor(spark, tmp_path):
     """maintain() keeps the manifest an incremental consumer's cursor
     points at (meta convention: {key: {"source_version": v}}), so
