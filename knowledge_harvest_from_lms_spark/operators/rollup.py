@@ -25,6 +25,19 @@ Bucket arithmetic is integer epoch-seconds division (UTC session tz)
 — replayable in any engine; q63 verifies the hourly→daily partial
 re-aggregation against a direct raw-rows GROUP BY in DuckDB, pinning
 losslessness of the hierarchy.
+
+`sum_v` is DECIMAL(38,9), not double: each value is quantized once at
+1e-9 (the generalized q01 integer-cents trick — decimal IS a scaled
+int128) and every subsequent addition is exact integer arithmetic, so
+grain re-aggregation and streaming merges are ORDER-EXACT — the same
+bits no matter how partitions, grains, or micro-batches interleave
+the additions. A double `sum_v` drifts: 10¹² rows re-added in a
+different order at each grain shifts the low bits, so hourly→daily
+could disagree with a direct aggregate (SCALE.md's q63 gap note,
+closed here). Headroom: values up to ~1e12 with 9 decimals are 21 of
+38 digits; 10¹² such rows sum to 33 digits — no overflow at target
+scale. min/max stay double (order-free by definition); avg is derived
+at read time as one exact-sum / count division.
 """
 
 from __future__ import annotations
@@ -34,6 +47,9 @@ from pyspark.sql import functions as F
 
 # decomposable partial states; avg/rate are DERIVED at read time
 _PARTIALS = ("n", "sum_v", "min_v", "max_v")
+
+# exact order-free sums: quantize once at 1e-9, add as int128
+_SUM_DT = "decimal(38,9)"
 
 
 def time_bucket(ts: Column, width_s: int) -> Column:
@@ -67,7 +83,9 @@ def bucket_aggregate(
         .groupBy(*keys, "bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col(value_col).cast("double")).alias("sum_v"),
+            # quantize ONCE here; all later re-aggregation is exact
+            F.sum(F.col(value_col).cast("double").cast(_SUM_DT))
+            .cast(_SUM_DT).alias("sum_v"),
             F.min(F.col(value_col).cast("double")).alias("min_v"),
             F.max(F.col(value_col).cast("double")).alias("max_v"),
         )
@@ -101,7 +119,8 @@ def rollup_partials(
         .groupBy(*keys, "bucket")
         .agg(
             F.sum("n").alias("n"),
-            F.sum("sum_v").alias("sum_v"),
+            # cast pins the schema to decimal(38,9) at every grain
+            F.sum("sum_v").cast(_SUM_DT).alias("sum_v"),
             F.min("min_v").alias("min_v"),
             F.max("max_v").alias("max_v"),
         )
@@ -112,7 +131,7 @@ def read_stats(partials: DataFrame) -> DataFrame:
     """Materialize the derived measures (avg) on top of the partial
     states — the 'finalize' step, applied at ANY grain."""
     return partials.withColumn(
-        "avg_v", F.round(F.col("sum_v") / F.col("n"), 9)
+        "avg_v", F.round(F.col("sum_v").cast("double") / F.col("n"), 9)
     )
 
 
@@ -124,8 +143,9 @@ def merge_partials(
     fold, so a new batch of events merges in O(|touched buckets|)
     without re-reading the base table at all (`refresh_affected` is
     for corrections, where existing rows CHANGED). The partial states
-    form commutative monoids, so merge order never matters beyond
-    float addition's last ulp."""
+    form commutative monoids; with the decimal sum they are EXACT
+    monoids — merge order never matters at all, not even in the last
+    ulp, so any interleaving of micro-batches yields the same bits."""
     if existing is None:
         return delta
     return (
@@ -133,7 +153,7 @@ def merge_partials(
         .groupBy(*keys, "bucket")
         .agg(
             F.sum("n").alias("n"),
-            F.sum("sum_v").alias("sum_v"),
+            F.sum("sum_v").cast(_SUM_DT).alias("sum_v"),
             F.min("min_v").alias("min_v"),
             F.max("max_v").alias("max_v"),
         )
