@@ -22,12 +22,13 @@ engine needs:
   the dirs it names — multi-table atomicity and snapshot isolation
   fall out of the single-pointer design.
 * **Commit promotion** stages the manifest bytes to a tmp name and
-  promotes with a Hadoop ``rename`` guarded by an existence check.
-  On HDFS/S3A committers rename-no-overwrite is atomic; on the local
-  FS the check is best-effort — single writer per log is the
-  documented assumption (same as the parquet layout it replaces),
-  but unlike the old layout a LOST race is detected
-  (``ConcurrentCommitError``), never silently interleaved.
+  publishes with an atomic create-if-absent: on the local FS a POSIX
+  hard link (``Files.createLink`` — EEXIST is decided in the kernel,
+  no check-then-act window, so two same-version writers serialize
+  there: exactly one wins, the loser gets ``ConcurrentCommitError``);
+  on HDFS the no-overwrite ``rename`` (atomic on the namenode).
+  Object stores should point ``_txn`` at a conditional-PUT store,
+  exactly as Delta/Iceberg do.
 * **Crash anywhere before the rename** leaves only unreferenced
   generation dirs and a ``.tmp`` manifest; readers still resolve the
   previous version, and :meth:`TxnLog.vacuum` removes the garbage.
@@ -81,6 +82,44 @@ def _write_small_file(sess: SparkSession, path: str, data: bytes) -> None:
         out.write(bytearray(data))
     finally:
         out.close()
+
+
+def _promote_manifest(sess: SparkSession, tmp: str, final: str) -> bool:
+    """Atomically publish ``tmp`` as ``final`` iff ``final`` does not
+    already exist; returns False on a lost race (tmp is cleaned up
+    either way). This is the commit's conditional PUT:
+
+    * ``file://`` — POSIX hard link: ``link(2)`` fails with EEXIST
+      atomically IN THE KERNEL, so two writers racing the same
+      version serialize there with no check-then-act window (the
+      multi-writer upgrade the r4 docstring named; previously the
+      local FS had a narrow exists-then-rename lost-update window).
+    * everything else — Hadoop no-overwrite ``rename``, atomic on
+      the HDFS namenode; object stores should point ``_txn`` at a
+      rename-atomic / conditional-PUT store, as Delta/Iceberg do.
+    """
+    fs, fp = _fs_and_path(sess, final)
+    _, tp = _fs_and_path(sess, tmp)
+    if fs.getUri().getScheme() == "file":
+        from py4j.protocol import Py4JJavaError
+
+        jvm = sess._jvm
+        jfinal = jvm.java.io.File(fp.toUri().getPath()).toPath()
+        jtmp = jvm.java.io.File(tp.toUri().getPath()).toPath()
+        try:
+            jvm.java.nio.file.Files.createLink(jfinal, jtmp)
+        except Py4JJavaError as e:
+            name = e.java_exception.getClass().getName()
+            hadoop_delete(sess, tmp)
+            if name.endswith("FileAlreadyExistsException"):
+                return False
+            raise  # real I/O failure, not a lost race
+        hadoop_delete(sess, tmp)
+        return True
+    if fs.exists(fp) or not fs.rename(tp, fp):
+        hadoop_delete(sess, tmp)
+        return False
+    return True
 
 
 class TxnLog:
@@ -206,15 +245,14 @@ class TxnLog:
         (the snapshot id recorded in stage manifests / lineage).
 
         Storage contract (same as Iceberg's HadoopCatalog): the
-        filesystem must provide ATOMIC no-overwrite rename. HDFS
-        does; object stores with put-if-absent can emulate it; a raw
-        local filesystem approximates it (Hadoop's RawLocalFileSystem
-        checks-then-renames, and rename(2) silently replaces), so two
-        concurrent SAME-VERSION commits from separate processes on
-        local disk have a narrow lost-update window the single-writer
-        streaming deployment never exercises. In-process concurrency
-        (two TxnLog instances) is detected deterministically — see
-        tests/test_txn.py::test_concurrent_commit_detected."""
+        filesystem must provide an ATOMIC create-if-absent. The local
+        FS gets it from ``link(2)`` (EEXIST decided in the kernel —
+        two same-version writers from ANY mix of threads/processes
+        serialize there, exactly one wins, the loser raises
+        ``ConcurrentCommitError`` with no torn state); HDFS from the
+        namenode's no-overwrite rename; object stores should point
+        ``_txn`` at a conditional-PUT store as Delta/Iceberg do. See
+        tests/test_txn.py::test_two_writer_race_exactly_one_wins."""
         base_v, base = self.latest()
         v = base_v + 1
         meta = dict(meta or {})
@@ -249,11 +287,7 @@ class TxnLog:
         data = json.dumps(manifest, sort_keys=True).encode()
         tmp = f"{self._txn_dir()}/.tmp-{uuid.uuid4().hex}.json"
         _write_small_file(self.sess, tmp, data)
-        final = self._manifest_path(v)
-        fs, fp = _fs_and_path(self.sess, final)
-        _, tp = _fs_and_path(self.sess, tmp)
-        if fs.exists(fp) or not fs.rename(tp, fp):
-            hadoop_delete(self.sess, tmp)
+        if not _promote_manifest(self.sess, tmp, self._manifest_path(v)):
             raise ConcurrentCommitError(
                 f"version {v} already committed under {self.root}"
             )
