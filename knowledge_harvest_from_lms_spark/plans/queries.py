@@ -1898,8 +1898,12 @@ def q97_multimodal_features(spark, sf_dir):
     * (audio) the decode→re-encode PCM round trip is not
       byte-identical (the 16-bit quantization is idempotent at the
       symmetric ±32767 scale), or
-    * (video, no `av` in this sandbox) the row is not honestly tagged
-      as the stub with exactly the stub's deterministic projection.
+    * (video, raw-RGB AVI — r5) the decode→re-encode frame round
+      trip is not byte-identical under the vendored RIFF codec, or
+    * (video, opaque compressed container — no `av` in this sandbox)
+      the row is not honestly tagged as the stub with exactly the
+      stub's deterministic projection — and an AVI payload wearing
+      the stub tag counts as a violation (a silently-skipped decode).
 
     Any codec regression — a dropped PNG filter mode, a PCM scale
     drift, a silently-wrong decoder tag — lands a nonzero
@@ -1938,9 +1942,17 @@ def q97_multimodal_features(spark, sf_dir):
                     elif modality == "audio" and decoder == "wav-v1":
                         s, r = mc.decode_wav(content)
                         bad = 0 if mc.encode_wav(s, r) == content else 1
+                    elif modality == "video" and decoder == "avi-rgb-v1":
+                        fr, fps = mc.decode_avi_rgb_full(content)
+                        bad = 0 if mc.encode_avi_rgb(fr, fps) == content else 1
                     elif modality == "video" and decoder == "stub-blake2b-v1":
+                        # only the opaque compressed-container rows may
+                        # stub; a RIFF/AVI payload wearing the stub tag
+                        # is a silently-skipped decode -> violation
                         want = np.asarray(_fake_features(content), dtype=np.float32)
-                        bad = 0 if np.array_equal(fv, want) else 1
+                        bad = 0 if (
+                            content[:4] != b"RIFF" and np.array_equal(fv, want)
+                        ) else 1
                 except Exception:
                     bad = 1
                 out.append(bad)
