@@ -139,14 +139,26 @@ def asof_join(
         # doubles); boundary values only steer partitioning, never
         # the result, so the approximation is benign.
         probs = [i / split_ranges for i in range(1, split_ranges)]
+        # timestamp/date ts columns can't cast straight to double —
+        # route them through unix_micros (the shift a session-tz cast
+        # introduces is applied identically to bounds and rows, so
+        # range assignment is unaffected)
+        if left.schema[left_ts].dataType.simpleString().startswith(
+            ("timestamp", "date")
+        ):
+            as_d = lambda c: (  # noqa: E731
+                F.unix_micros(c.cast("timestamp")).cast("double")
+            )
+        else:
+            as_d = lambda c: c.cast("double")  # noqa: E731
         bounds = sorted(set(
-            left.select(F.col(left_ts).cast("double").alias("_t"))
+            left.select(as_d(F.col(left_ts)).alias("_t"))
             .na.drop().approxQuantile("_t", probs, 0.001)
         ))
         rng_expr = F.lit(0)
         for b in bounds:
             rng_expr = rng_expr + F.when(
-                F.col("_ts").cast("double") >= F.lit(float(b)), 1
+                as_d(F.col("_ts")) >= F.lit(float(b)), 1
             ).otherwise(0)
         uni = uni.withColumn("_rng", rng_expr)
         # Boundary carry-in: per (key, range) best right row (max
