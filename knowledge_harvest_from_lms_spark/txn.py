@@ -57,6 +57,66 @@ from .fsutil import _fs_and_path, hadoop_delete
 
 _MANIFEST_WIDTH = 20
 
+# string stat bounds longer than this are not recorded (a truncated
+# max is an UNSAFE upper bound unless the last char is bumped, the
+# Iceberg trick — omitting the stat keeps pruning conservative)
+_STATS_MAX_STR = 256
+
+
+def _stat_encode(v):
+    """Encode one min/max bound as a JSON-storable, order-preserving
+    primitive; ``None`` = not encodable (the column is then omitted
+    from that file's stats, so pruning stays conservative). The SAME
+    encoder normalizes user prune bounds, so comparisons are always
+    like-for-like."""
+    import datetime
+    import decimal
+
+    if v is None or isinstance(v, (decimal.Decimal, bytes, bytearray)):
+        # Decimal -> float rounds at the boundary, which could wrongly
+        # EXCLUDE a file; bytes/arrays/structs aren't orderable here
+        return None
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, str):
+        return v if len(v) <= _STATS_MAX_STR else None
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=datetime.timezone.utc)
+        return v.timestamp()
+    if isinstance(v, datetime.date):
+        return float(v.toordinal())
+    return None
+
+
+def _file_may_match(fstats: dict, bounds: dict) -> bool:
+    """True unless the file's recorded [min, max] PROVES no row can
+    satisfy every (lo, hi) range. Missing column stats never prune;
+    ``[None, None]`` means the file has zero non-null values for the
+    column, so a (null-rejecting) range predicate can't match it."""
+    for col, (lo, hi) in bounds.items():
+        if lo is None and hi is None:
+            # open-open: not a predicate — even an all-null file matches
+            continue
+        entry = fstats.get(col)
+        if entry is None:
+            continue
+        mn, mx = entry
+        if mn is None and mx is None:
+            return False
+        try:
+            if hi is not None and mn is not None and mn > hi:
+                return False
+            if lo is not None and mx is not None and mx < lo:
+                return False
+        except TypeError:
+            # bound/stat type mismatch (e.g. str vs number): refuse to
+            # prune rather than guess an ordering
+            continue
+    return True
+
 
 class ConcurrentCommitError(RuntimeError):
     """Another writer claimed the next version first (single-writer
@@ -191,7 +251,13 @@ class TxnLog:
             for t, dirs in m["tables"].items()
         }
 
-    def read(self, table: str, schema=None, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        table: str,
+        schema=None,
+        version: int | None = None,
+        prune: dict[str, tuple] | None = None,
+    ) -> DataFrame:
         """Snapshot read: the returned plan lists IMMUTABLE dirs, so
         it stays valid across later commits (no stage/tmp dance is
         needed when a commit's input plans read the previous
@@ -199,7 +265,16 @@ class TxnLog:
         recorded writer schema pins the read — so an all-empty
         generation (zero-row write → parquet dir with no data files)
         never trips schema inference, and old generations missing a
-        later-added column surface it as nulls."""
+        later-added column surface it as nulls.
+
+        ``prune={col: (lo, hi)}`` turns the scan into a data-skipping
+        read: files whose committed min/max stats (``stats_for`` at
+        commit/compact time) exclude the range are dropped from the
+        plan BEFORE Spark sees them — at thousands of generation files
+        this is the manifest-level skipping Iceberg does, on top of
+        (not instead of) parquet row-group pushdown. The equivalent
+        exact row filter is re-applied to the surviving files, so the
+        result equals ``read(table).filter(...)`` bit-for-bit."""
         if version is None:
             version, m = self.latest()
         else:
@@ -218,10 +293,116 @@ class TxnLog:
             schema = T.StructType.fromJson(json.loads(m["schemas"][table]))
         if schema is not None:
             reader = reader.schema(schema)
-        return reader.parquet(*[f"{self.root}/{d}" for d in dirs])
+        if prune is None:
+            return reader.parquet(*[f"{self.root}/{d}" for d in dirs])
+        from pyspark.sql import functions as F
+
+        selected, _ = self.prune_files(table, prune, version=version)
+        if selected:
+            df = reader.parquet(*selected)
+        elif schema is not None:
+            df = self.sess.createDataFrame([], schema)
+        else:
+            df = self.sess.read.parquet(
+                *[f"{self.root}/{d}" for d in dirs]
+            ).filter(F.lit(False))
+        for c, (lo, hi) in prune.items():
+            if lo is not None:
+                df = df.filter(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(c) <= F.lit(hi))
+        return df
 
     def has_table(self, table: str) -> bool:
         return table in self.tables()
+
+    # ---- data skipping -------------------------------------------
+    def _collect_file_stats(self, rel: str, cols: list[str]) -> dict:
+        """Per-file min/max for ``cols`` over one freshly-written
+        generation dir, computed ENGINE-SIDE: one column-pruned scan
+        grouped by ``input_file_name()`` (portable to any Hadoop FS —
+        no parquet-footer JNI — and cheap right after the write while
+        the files are hot). Returns {rel_file: {col: [mn, mx]}};
+        ``[None, None]`` records an all-null file, an omitted column
+        an unencodable bound (both prune-safe, see _file_may_match)."""
+        from pyspark.sql import functions as F
+
+        df = self.sess.read.parquet(f"{self.root}/{rel}")
+        present = [c for c in cols if c in df.columns]
+        if not present:
+            return {}
+        aggs = []
+        for c in present:
+            aggs.append(F.min(F.col(c)).alias(f"mn__{c}"))
+            aggs.append(F.max(F.col(c)).alias(f"mx__{c}"))
+        rows = (
+            df.select(F.input_file_name().alias("_f"), *present)
+            .groupBy("_f")
+            .agg(*aggs)
+            .collect()
+        )
+        out: dict[str, dict] = {}
+        for r in rows:
+            uri = r["_f"]
+            i = uri.rfind("/_data/")
+            if i < 0:
+                continue
+            st: dict[str, list] = {}
+            for c in present:
+                raw_mn, raw_mx = r[f"mn__{c}"], r[f"mx__{c}"]
+                if raw_mn is None and raw_mx is None:
+                    st[c] = [None, None]
+                    continue
+                mn, mx = _stat_encode(raw_mn), _stat_encode(raw_mx)
+                if mn is not None and mx is not None:
+                    st[c] = [mn, mx]
+            out[uri[i + 1:]] = st
+        return out
+
+    def prune_files(
+        self,
+        table: str,
+        prune: dict[str, tuple],
+        version: int | None = None,
+    ) -> tuple[list[str], int]:
+        """Plan a data-skipping scan: list ``table``'s data files and
+        drop every file whose manifest stats prove it cannot contain a
+        row matching all of ``prune`` ({col: (lo, hi)}, either bound
+        None for open). Returns (selected ABSOLUTE paths, total file
+        count). Files without recorded stats are always selected —
+        correctness never depends on stats existing."""
+        if version is None:
+            version, m = self.latest()
+        else:
+            m = self._load(version)
+            if m is None:
+                raise FileNotFoundError(
+                    f"no committed manifest v{version} under {self.root}"
+                )
+        dirs = m["tables"].get(table)
+        if not dirs:
+            raise FileNotFoundError(f"table {table!r} not in {self.root} log")
+        stats = m.get("stats", {}).get(table, {})
+        bounds = {
+            c: (_stat_encode(lo), _stat_encode(hi))
+            for c, (lo, hi) in prune.items()
+        }
+        selected: list[str] = []
+        total = 0
+        for rel in dirs:
+            fs, p = _fs_and_path(self.sess, f"{self.root}/{rel}")
+            if not fs.exists(p):
+                continue
+            for st in fs.listStatus(p):
+                name = st.getPath().getName()
+                if name.startswith(("_", ".")) or st.isDirectory():
+                    continue
+                total += 1
+                relf = f"{rel}/{name}"
+                fstats = stats.get(relf)
+                if fstats is None or _file_may_match(fstats, bounds):
+                    selected.append(f"{self.root}/{relf}")
+        return selected, total
 
     def commit_meta(self, version: int) -> dict | None:
         """The ``meta`` dict commit ``version`` recorded (``None`` for
@@ -237,6 +418,7 @@ class TxnLog:
         overwrites: dict[str, DataFrame] | None = None,
         appends: dict[str, DataFrame] | None = None,
         meta: dict | None = None,
+        stats_for: dict[str, list[str]] | None = None,
     ) -> int:
         """Atomically publish a new version: each df materializes to
         a fresh generation dir (reading the PREVIOUS generations —
@@ -252,9 +434,18 @@ class TxnLog:
         ``ConcurrentCommitError`` with no torn state); HDFS from the
         namenode's no-overwrite rename; object stores should point
         ``_txn`` at a conditional-PUT store as Delta/Iceberg do. See
-        tests/test_txn.py::test_two_writer_race_exactly_one_wins."""
+        tests/test_txn.py::test_two_writer_race_exactly_one_wins.
+
+        ``stats_for={table: [col, ...]}`` opts named tables into
+        per-file min/max stats (Iceberg's write.metadata.metrics):
+        recorded in the manifest, consumed by :meth:`read`'s ``prune``
+        / :meth:`prune_files`. Opt-in per column so manifests stay
+        KB-sized. Overwriting a table resets its stats; appended
+        generations merge into the carried-forward map; files written
+        without stats simply never prune."""
         base_v, base = self.latest()
         v = base_v + 1
+        stats_for = stats_for or {}
         meta = dict(meta or {})
         # The streaming replay cursor is STICKY: a maintenance or
         # consumer commit that doesn't set its own batch_id carries
@@ -267,22 +458,41 @@ class TxnLog:
             meta["batch_id"] = base["meta"]["batch_id"]
         tables = {t: list(d) for t, d in base["tables"].items()}
         schemas = dict(base.get("schemas", {}))
+        stats = {t: dict(s) for t, s in base.get("stats", {}).items()}
         for name, df in (overwrites or {}).items():
             rel = self._gen_dir(name, v)
             df.write.parquet(f"{self.root}/{rel}")
             tables[name] = [rel]
             schemas[name] = df.schema.json()
+            stats.pop(name, None)
+            if name in stats_for:
+                stats[name] = self._collect_file_stats(rel, stats_for[name])
         for name, df in (appends or {}).items():
             rel = self._gen_dir(name, v)
             df.write.parquet(f"{self.root}/{rel}")
             tables.setdefault(name, []).append(rel)
             schemas[name] = df.schema.json()
+            if name in stats_for:
+                stats.setdefault(name, {}).update(
+                    self._collect_file_stats(rel, stats_for[name])
+                )
+        # drop stats for generation dirs an overwrite removed from the
+        # snapshot (keys are rel FILE paths under a rel dir)
+        for name in list(stats):
+            live = tables.get(name, [])
+            stats[name] = {
+                f: s for f, s in stats[name].items()
+                if any(f.startswith(d + "/") for d in live)
+            }
+            if not stats[name]:
+                del stats[name]
         manifest = {
             "version": v,
             "parent": base_v or None,
             "tables": tables,
             "schemas": schemas,
             "meta": meta,
+            **({"stats": stats} if stats else {}),
         }
         data = json.dumps(manifest, sort_keys=True).encode()
         tmp = f"{self._txn_dir()}/.tmp-{uuid.uuid4().hex}.json"
@@ -366,6 +576,7 @@ class TxnLog:
         table: str,
         target_file_bytes: int = 128 * 1024 * 1024,
         sort_by: list[str] | None = None,
+        stats_for: list[str] | None = None,
     ) -> int:
         """Rewrite ``table``'s generation dirs into ONE dir of evenly
         bin-packed files (~``target_file_bytes`` each), committed as an
@@ -378,10 +589,15 @@ class TxnLog:
         compaction / Delta Z-order's single-key case): files then
         carry disjoint key ranges, so parquet min/max footer stats let
         a key-predicate scan skip every non-matching file — the layout
-        the band/variant index probes want. Snapshot readers pinned to
-        older versions are unaffected (old dirs are immutable until
-        :meth:`vacuum`); ``read_changes`` across the compaction
-        boundary raises by design. Returns the committed version."""
+        the band/variant index probes want. ``stats_for=[col, ...]``
+        additionally records per-file min/max in the manifest
+        (pair it with ``sort_by`` on the same key: disjoint per-file
+        ranges make :meth:`read`'s ``prune`` select ~1 file per point
+        lookup instead of opening every footer). Snapshot readers
+        pinned to older versions are unaffected (old dirs are
+        immutable until :meth:`vacuum`); ``read_changes`` across the
+        compaction boundary raises by design. Returns the committed
+        version."""
         _, m = self.latest()
         dirs = m["tables"].get(table)
         if not dirs:
@@ -407,6 +623,7 @@ class TxnLog:
                     **({"sort_by": list(sort_by)} if sort_by else {}),
                 }
             },
+            stats_for={table: stats_for} if stats_for else None,
         )
 
 

@@ -730,3 +730,148 @@ def test_schema_evolution_and_relocation(spark, tmp_path):
     log2 = TxnLog(spark, str(tmp_path / "moved"))
     got2 = {r.k: (r.v, r.tag) for r in log2.read("ledger").collect()}
     assert got2 == got
+
+
+# ---- data skipping (per-file min/max stats + pruned reads) --------
+
+
+def test_stats_pruned_read_equals_filtered_full_scan(spark, tmp_path):
+    """Manifest stats must only ever REMOVE provably-dead files: a
+    pruned read is bit-equal to the unpruned read + filter, and on a
+    range-partitioned layout it actually skips most files."""
+    log = TxnLog(spark, str(tmp_path / "g"))
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(10_000)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 97).alias("v"),
+            F.concat(F.lit("u-"), F.col("id")).alias("name"),
+        )
+        .repartitionByRange(8, "k")
+        .sortWithinPartitions("k")
+    )
+    log.commit(overwrites={"t": df}, stats_for={"t": ["k", "name"]})
+    m = log._load(1)
+    assert "stats" in m and set(m["stats"]) == {"t"}
+    assert all("k" in s and "name" in s for s in m["stats"]["t"].values())
+
+    pruned = log.read("t", prune={"k": (2_000, 2_100)})
+    full = log.read("t").filter(F.col("k").between(2_000, 2_100))
+    assert sorted(r["k"] for r in pruned.collect()) == sorted(
+        r["k"] for r in full.collect()
+    )
+    selected, total = log.prune_files("t", {"k": (2_000, 2_100)})
+    assert total == 8 and len(selected) <= 2
+
+    # open-ended bound + string-column pruning
+    selected, total = log.prune_files("t", {"k": (9_000, None)})
+    assert len(selected) < total
+    lo = log.read("t", prune={"name": ("u-42", "u-42")})
+    assert [r["k"] for r in lo.collect()] == [42]
+
+
+def test_stats_append_merge_and_unstatted_files_never_prune(
+    spark, tmp_path
+):
+    log = TxnLog(spark, str(tmp_path / "g"))
+    d1 = spark.createDataFrame([(i, "a") for i in range(100)], "k long, s string")
+    d2 = spark.createDataFrame(
+        [(i, "b") for i in range(100, 200)], "k long, s string"
+    )
+    d3 = spark.createDataFrame(
+        [(i, "c") for i in range(200, 300)], "k long, s string"
+    )
+    log.commit(appends={"t": d1.coalesce(1)}, stats_for={"t": ["k"]})
+    log.commit(appends={"t": d2.coalesce(1)})  # NO stats for this gen
+    log.commit(appends={"t": d3.coalesce(1)}, stats_for={"t": ["k"]})
+    # gen-1 prunable, gen-2 must survive (no stats), gen-3 prunable
+    selected, total = log.prune_files("t", {"k": (250, 260)})
+    assert total == 3 and len(selected) == 2  # unstatted file + gen-3
+    rows = sorted(r["k"] for r in log.read("t", prune={"k": (250, 260)}).collect())
+    assert rows == list(range(250, 261))
+    # overwrite resets stats wholesale
+    log.commit(overwrites={"t": d1.coalesce(1)})
+    m = log._load(4)
+    assert "t" not in m.get("stats", {})
+    sel, tot = log.prune_files("t", {"k": (250, 260)})
+    assert tot == 1 and len(sel) == 1  # conservative: no stats, keep all
+
+
+def test_stats_all_null_and_empty_prune_result(spark, tmp_path):
+    log = TxnLog(spark, str(tmp_path / "g"))
+    from pyspark.sql import functions as F
+
+    nulls = spark.createDataFrame(
+        [(None, i) for i in range(5)], "k long, v long"
+    )
+    vals = spark.createDataFrame([(7, 70), (8, 80)], "k long, v long")
+    log.commit(appends={"t": nulls.coalesce(1)}, stats_for={"t": ["k"]})
+    log.commit(appends={"t": vals.coalesce(1)}, stats_for={"t": ["k"]})
+    m = log._load(2)
+    entries = list(m["stats"]["t"].values())
+    assert any(e.get("k") == [None, None] for e in entries)
+    # an all-null file can never satisfy a range predicate -> skipped
+    selected, total = log.prune_files("t", {"k": (0, 100)})
+    assert total == 2 and len(selected) == 1
+    # empty selection still returns a well-typed empty frame
+    empty = log.read("t", prune={"k": (1_000, 2_000)})
+    assert empty.count() == 0 and empty.columns == ["k", "v"]
+    # and matches the residual-filter semantics (NULL keys rejected)
+    assert log.read("t", prune={"k": (None, None)}).count() == 7
+
+
+def test_sorted_compaction_with_stats_point_lookup_one_file(
+    spark, tmp_path
+):
+    """The maintenance pairing: many small appended generations, then
+    ONE sorted+statted compaction — a point lookup afterwards plans a
+    single file instead of every footer."""
+    log = TxnLog(spark, str(tmp_path / "g"))
+    for lo in range(0, 1000, 100):
+        df = spark.createDataFrame(
+            [(i, i * 2) for i in range(lo, lo + 100)], "k long, v long"
+        )
+        log.commit(appends={"t": df.coalesce(1)})
+    log.compact(
+        table="t", target_file_bytes=2_000, sort_by=["k"], stats_for=["k"]
+    )
+    _, total = log.prune_files("t", {"k": (None, None)})
+    assert total > 1  # compaction produced a multi-file layout
+    selected, _ = log.prune_files("t", {"k": (123, 123)})
+    assert len(selected) == 1
+    assert [r["v"] for r in log.read("t", prune={"k": (123, 123)}).collect()] == [246]
+
+
+def test_stats_timestamp_and_unsupported_types(spark, tmp_path):
+    import datetime
+
+    log = TxnLog(spark, str(tmp_path / "g"))
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(1_000)
+        .select(
+            F.col("id").alias("k"),
+            F.timestamp_micros(
+                F.lit(1_700_000_000_000_000) + F.col("id") * 60_000_000
+            ).alias("ts"),
+            F.array(F.col("id")).alias("arr"),
+        )
+        .repartitionByRange(4, "k")
+        .sortWithinPartitions("k")
+    )
+    log.commit(overwrites={"t": df}, stats_for={"t": ["ts", "arr"]})
+    m = log._load(1)
+    # arrays are not orderable for pruning: omitted, never recorded
+    assert all("arr" not in s for s in m["stats"]["t"].values())
+    base = datetime.datetime.fromtimestamp(
+        1_700_000_000, tz=datetime.timezone.utc
+    ).replace(tzinfo=None)
+    lo = base + datetime.timedelta(minutes=100)
+    hi = base + datetime.timedelta(minutes=110)
+    out = log.read("t", prune={"ts": (lo, hi)})
+    assert sorted(r["k"] for r in out.collect()) == list(range(100, 111))
+    selected, total = log.prune_files("t", {"ts": (lo, hi)})
+    assert total == 4 and len(selected) == 1
