@@ -3387,6 +3387,133 @@ def q91_bertnet_triples(spark, sf_dir):
     )
 
 
+def q67_heavy_hitters(spark, sf_dir):
+    """Exact heavy hitters (freq > 0.4% of word occurrences) via the
+    Misra-Gries candidate pass + broadcast recount — the bounded-
+    shuffle skew probe. The pigeonhole guarantee (candidates ⊇ true
+    hitters under ANY partitioning) is what makes the sketch pipeline
+    hash-equal to DuckDB's plain GROUP BY ... HAVING."""
+    from ..operators.heavy_hitters import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") >= 4
+    )
+    return heavy_hitters(words, "w", 0.004, out_key="word", out_count="cnt")
+
+
+Q67_SQL = """
+WITH f AS (
+  SELECT word FROM (
+    SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents)
+  WHERE LENGTH(word) >= 4)
+SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM f GROUP BY word
+HAVING COUNT(*) > 0.004 * (SELECT COUNT(*) FROM f)
+"""
+
+
+_BM25_TERMS = ["table", "small", "data", "customer"]
+
+
+def q68_bm25_search(spark, sf_dir):
+    """Okapi BM25 ranked retrieval: only query-term postings shuffle
+    (array_intersect prefilter), document length is a per-row
+    projection, top 100 by (score desc, doc_id)."""
+    from ..operators.bm25 import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bm25_scores(docs, _BM25_TERMS)
+    w = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        out.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 100)
+        .select("doc_id", "score", "n_terms_hit", "rnk")
+    )
+
+
+Q68_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS toks
+  FROM documents),
+lens AS (SELECT doc_id, LEN(toks) AS dl, toks FROM toks),
+stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM lens),
+tf AS (
+  SELECT doc_id, dl, qterm,
+         CAST(LEN(LIST_FILTER(toks, t -> t = qterm)) AS DOUBLE) AS tf
+  FROM lens, UNNEST(['customer', 'data', 'small', 'table']) AS u(qterm)
+  WHERE LIST_CONTAINS(toks, qterm)),
+dfs AS (SELECT qterm, COUNT(*) AS df FROM tf GROUP BY qterm),
+part AS (
+  SELECT t.doc_id,
+         LN(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl))
+           AS p
+  FROM tf t JOIN dfs d USING (qterm) CROSS JOIN stats s),
+scored AS (
+  SELECT doc_id, ROUND(SUM(p), 9) AS score,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+  FROM part GROUP BY doc_id),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER
+           (ORDER BY score DESC, doc_id) AS INT) AS rnk
+  FROM scored)
+SELECT doc_id, score, n_terms_hit, rnk FROM ranked WHERE rnk <= 100
+"""
+
+
+def q69_zorder_code_histogram(spark, sf_dir):
+    """Morton z-code distribution of events over (epoch-second,
+    user_id) integer buckets — pins the exact bit math the
+    TxnLog.compact(zorder_by=...) clustering key uses to an
+    independent DuckDB replay (integer bucketing + bit interleave are
+    engine-portable by construction; see functions/zorder.py)."""
+    from ..functions.zorder import zorder_key
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("es"),
+    )
+    z, _ = zorder_key(ev, ["es", "user_id"], bits=5, how="int")
+    return (
+        ev.withColumn("z", z)
+        .groupBy("z")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("event_id").alias("min_event"),
+        )
+    )
+
+
+Q69_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS es
+  FROM events),
+r AS (
+  SELECT MIN(es) AS es_mn, MAX(es) AS es_mx,
+         MIN(user_id) AS u_mn, MAX(user_id) AS u_mx
+  FROM ev),
+b AS (
+  SELECT event_id,
+         ((es - es_mn) * 32) // (es_mx - es_mn + 1) AS bx,
+         ((user_id - u_mn) * 32) // (u_mx - u_mn + 1) AS by
+  FROM ev CROSS JOIN r),
+z AS (
+  SELECT event_id,
+         (((bx >> 0) & 1) << 0) + (((by >> 0) & 1) << 1)
+       + (((bx >> 1) & 1) << 2) + (((by >> 1) & 1) << 3)
+       + (((bx >> 2) & 1) << 4) + (((by >> 2) & 1) << 5)
+       + (((bx >> 3) & 1) << 6) + (((by >> 3) & 1) << 7)
+       + (((bx >> 4) & 1) << 8) + (((by >> 4) & 1) << 9) AS z
+  FROM b)
+SELECT z, CAST(COUNT(*) AS BIGINT) AS cnt,
+       MIN(event_id) AS min_event
+FROM z GROUP BY z
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3486,6 +3613,10 @@ QUERIES = {
     "q29_orderby_length": q29_orderby_length,
     "q30_grouping_sets": q30_grouping_sets,
     "q92_simhash_pairs": q92_simhash_pairs,
+    # r5 additions (join the rotation for the r6 window)
+    "q67_heavy_hitters": q67_heavy_hitters,
+    "q68_bm25_search": q68_bm25_search,
+    "q69_zorder_code_histogram": q69_zorder_code_histogram,
 }
 
 ORACLES = {
@@ -3563,4 +3694,7 @@ ORACLES = {
     "q99_ann_ivf_topk": Q99_SQL,
     "q97_multimodal_features": Q97_SQL,
     "q98_graph_materialize": Q98_SQL,
+    "q67_heavy_hitters": Q67_SQL,
+    "q68_bm25_search": Q68_SQL,
+    "q69_zorder_code_histogram": Q69_SQL,
 }

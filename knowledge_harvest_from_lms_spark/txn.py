@@ -577,6 +577,8 @@ class TxnLog:
         target_file_bytes: int = 128 * 1024 * 1024,
         sort_by: list[str] | None = None,
         stats_for: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+        zorder_bits: int = 8,
     ) -> int:
         """Rewrite ``table``'s generation dirs into ONE dir of evenly
         bin-packed files (~``target_file_bytes`` each), committed as an
@@ -597,7 +599,19 @@ class TxnLog:
         pinned to older versions are unaffected (old dirs are
         immutable until :meth:`vacuum`); ``read_changes`` across the
         compaction boundary raises by design. Returns the committed
-        version."""
+        version.
+
+        ``zorder_by=[c1, c2, ...]`` clusters on the Morton interleave
+        of the columns' quantile-bucket ids instead of a linear sort
+        (Delta OPTIMIZE ZORDER / Iceberg z-ordered rewrite): each
+        statted column then has file-level locality SIMULTANEOUSLY,
+        so a predicate on ANY of them — not just the leading sort key
+        — prunes most files via the manifest stats. Mutually
+        exclusive with ``sort_by``; ``stats_for`` defaults to the
+        z-order columns. Same shuffle count as the sorted rewrite
+        (the z-value is just a different range-partition key)."""
+        if sort_by and zorder_by:
+            raise ValueError("sort_by and zorder_by are mutually exclusive")
         _, m = self.latest()
         dirs = m["tables"].get(table)
         if not dirs:
@@ -605,7 +619,22 @@ class TxnLog:
         nbytes = self._table_bytes(dirs)
         nparts = max(1, -(-nbytes // max(1, target_file_bytes)))
         df = self.read(table)
-        if sort_by:
+        zdesc = None
+        if zorder_by:
+            from pyspark.sql import functions as F
+
+            from .functions.zorder import zorder_key
+
+            if stats_for is None:
+                stats_for = list(zorder_by)
+            z, zdesc = zorder_key(df, list(zorder_by), bits=zorder_bits)
+            df = (
+                df.withColumn("__z", z)
+                .repartitionByRange(int(nparts), F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif sort_by:
             from pyspark.sql import functions as F
 
             cols = [F.col(c) for c in sort_by]
@@ -621,6 +650,7 @@ class TxnLog:
                     "table": table,
                     "from_dirs": len(dirs),
                     **({"sort_by": list(sort_by)} if sort_by else {}),
+                    **({"zorder": zdesc} if zdesc else {}),
                 }
             },
             stats_for={table: stats_for} if stats_for else None,
