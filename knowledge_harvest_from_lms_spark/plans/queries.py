@@ -3514,6 +3514,45 @@ FROM z GROUP BY z
 """
 
 
+def q70_sequence_packing(spark, sf_dir):
+    """Concat-and-chunk LLM training-sequence packing over the
+    documents table (seq_len 512): per (doc, chunk) span rows driven
+    by the DISTRIBUTED two-phase prefix sum in operators/packing.py —
+    no global single-partition window anywhere in the plan. The
+    oracle replays the identical integer math with DuckDB's plain
+    global window + generate_series."""
+    from ..operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n")
+    )
+    return pack_sequences(docs, "doc_id", "n", seq_len=512, num_buckets=8)
+
+
+Q70_SQL = """
+WITH d AS (
+  SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n
+  FROM documents),
+o AS (
+  SELECT doc_id, n,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS off
+  FROM d),
+s AS (
+  SELECT doc_id, n, off,
+         UNNEST(generate_series(off // 512, (off + n - 1) // 512))
+           AS chunk_id
+  FROM o WHERE n > 0)
+SELECT doc_id, n AS n_tokens, off AS global_offset, chunk_id,
+       GREATEST(off, chunk_id * 512) - chunk_id * 512 AS chunk_pos,
+       GREATEST(off, chunk_id * 512) - off AS doc_pos,
+       LEAST(off + n, (chunk_id + 1) * 512)
+         - GREATEST(off, chunk_id * 512) AS span_len
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3617,6 +3656,7 @@ QUERIES = {
     "q67_heavy_hitters": q67_heavy_hitters,
     "q68_bm25_search": q68_bm25_search,
     "q69_zorder_code_histogram": q69_zorder_code_histogram,
+    "q70_sequence_packing": q70_sequence_packing,
 }
 
 ORACLES = {
@@ -3697,4 +3737,5 @@ ORACLES = {
     "q67_heavy_hitters": Q67_SQL,
     "q68_bm25_search": Q68_SQL,
     "q69_zorder_code_histogram": Q69_SQL,
+    "q70_sequence_packing": Q70_SQL,
 }
