@@ -40,6 +40,9 @@ N_ASOF_RIGHT = 2_000_000  # as-of join build rows (quotes)
 N_ASOF_KEYS = 50_000      # join keys (instruments/users)
 N_ASOF_SKEW = 4_000_000   # skew-variant probe rows (50% on ONE key)
 N_SKEW_SPLIT = 32         # split_ranges for the hot-key guard
+N_PACK = 8_000_000        # sequence-packing docs (~1.6B tokens packed
+# into 2048-token chunks; the two-phase parallel prefix sum +
+# span explode — window-scan-bound pure JVM, tiny driver collect)
 # N vs 4N. A mapInPandas stage at local[L] keeps ~2L threads busy
 # (L JVM Arrow feeders + L Python workers), so on this host's 16
 # PHYSICAL cores (32 SMT-logical) the levels must satisfy 2*4N <= 16
@@ -391,6 +394,31 @@ def run_level(cpus: int) -> dict:
         skew_split_runs.append(round(time.time() - t0, 3))
     skew_unsplit_sec = min(skew_unsplit_runs)
     skew_split_sec = min(skew_split_runs)
+
+    # --- workload 8: sequence packing (distributed prefix sum) ------
+    # concat-and-chunk training-data packing (operators/packing.py):
+    # quantile-bucketed intra-bucket window scan + driver-bounded
+    # offset broadcast + span explode. Scan/window-bound pure JVM —
+    # the workload class the q70 oracle checks for correctness.
+    from knowledge_harvest_from_lms_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    pack_df = spark.range(N_PACK).select(
+        F.col("id").alias("doc_id"), ((F.col("id") * 37) % 400).alias("n")
+    )
+
+    def pack_pass(df):
+        pack_sequences(df, "doc_id", "n", seq_len=2048, num_buckets=256)\
+            .write.format("noop").mode("overwrite").save()
+
+    pack_pass(pack_df.limit(200_000))  # warm
+    pack_runs = []
+    for _ in range(2):  # ~35s/run even at local[8]; best-of-2
+        t0 = time.time()
+        pack_pass(pack_df)
+        pack_runs.append(round(time.time() - t0, 3))
+    pack_sec = min(pack_runs)
     spark.stop()
     return {
         "cpus": cpus,
@@ -435,6 +463,10 @@ def run_level(cpus: int) -> dict:
         "skew_split_sec": round(skew_split_sec, 3),
         "skew_split_runs": skew_split_runs,
         "skew_speedup": round(skew_unsplit_sec / skew_split_sec, 2),
+        "pack_docs": N_PACK,
+        "pack_sec": round(pack_sec, 3),
+        "pack_runs": pack_runs,
+        "pack_docs_per_sec": round(N_PACK / pack_sec, 1),
     }
 
 
@@ -578,6 +610,7 @@ def main() -> None:
     link_eff = (r_hi["link_mentions_per_sec"] / r_lo["link_mentions_per_sec"]) / ratio
     sub_eff = (r_hi["sub_docs_per_sec"] / r_lo["sub_docs_per_sec"]) / ratio
     asof_eff = (r_hi["asof_rows_per_sec"] / r_lo["asof_rows_per_sec"]) / ratio
+    pack_eff = (r_hi["pack_docs_per_sec"] / r_lo["pack_docs_per_sec"]) / ratio
     calibs = [r_lo["host_calib_sha256_per_sec"], r_hi["host_calib_sha256_per_sec"]]
     calib_drift = round(max(calibs) / max(1, min(calibs)) - 1.0, 3)
     if calib_drift > 0.15:
@@ -622,6 +655,11 @@ def main() -> None:
             "rows_per_sec_n": r_lo["asof_rows_per_sec"],
             "rows_per_sec_4n": r_hi["asof_rows_per_sec"],
             "efficiency": round(asof_eff, 3),
+        },
+        "sequence_packing": {
+            "docs_per_sec_n": r_lo["pack_docs_per_sec"],
+            "docs_per_sec_4n": r_hi["pack_docs_per_sec"],
+            "efficiency": round(pack_eff, 3),
         },
         "host_calib_drift": calib_drift,
         "detail": results,
@@ -735,6 +773,18 @@ def main() -> None:
             f"{r_lo['skew_split_sec']} | {r_lo['skew_speedup']}x |\n"
             f"| local[{LEVELS[1]}] | {r_hi['skew_unsplit_sec']} | "
             f"{r_hi['skew_split_sec']} | {r_hi['skew_speedup']}x |\n\n"
+            "## 3d. Sequence packing (q70 machinery, "
+            f"{r_lo['pack_docs']:,} docs, ~1.6B tokens into 2048-token chunks)\n\n"
+            "Concat-and-chunk training-data packing\n"
+            "(operators/packing.py): the exclusive prefix sum runs as a\n"
+            "quantile-bucketed parallel window scan + a driver-bounded\n"
+            "(256-row) offset broadcast — never a global\n"
+            "single-partition window — then pure-integer span math with\n"
+            "a sequence() explode. Scan/window-bound pure JVM.\n\n"
+            "| level | docs/sec | sec |\n|---|---|---|\n"
+            f"| local[{LEVELS[0]}] | {r_lo['pack_docs_per_sec']:,} | {r_lo['pack_sec']} |\n"
+            f"| local[{LEVELS[1]}] | {r_hi['pack_docs_per_sec']:,} | {r_hi['pack_sec']} |\n\n"
+            f"**Scaling efficiency (N→4N): {pack_eff:.3f}**\n\n"
             + _ekar_section()
             + _txn_section()
             + "Raw numbers:\n\n```json\n"

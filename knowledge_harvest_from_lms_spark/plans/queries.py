@@ -3553,6 +3553,80 @@ FROM s
 """
 
 
+def q71_sessionization(spark, sf_dir):
+    """Gap-based sessionization of the events stream (6-hour gap):
+    per-session event counts and exact integer-microsecond durations.
+    All time math is unix_micros (operators/sessions.py), so the
+    DuckDB EPOCH_US replay is bit-exact; windows partition by
+    user_id — never by a global ordering."""
+    from ..operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(ev, "user_id", "ts", "event_id", gap_seconds=21600)
+
+
+Q71_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, ts, EPOCH_US(ts) AS us
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+f AS (
+  SELECT user_id, ts, us,
+         CASE WHEN LAG(us) OVER w IS NULL
+                OR us - LAG(us) OVER w > 21600000000 THEN 1 ELSE 0 END AS nf
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts, us,
+         SUM(nf) OVER (PARTITION BY user_id ORDER BY ts, us
+                       ROWS UNBOUNDED PRECEDING) AS session_ord
+  FROM f)
+SELECT user_id, session_ord, CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       MAX(us) - MIN(us) AS duration_us
+FROM s GROUP BY user_id, session_ord
+"""
+
+
+def q72_inverted_index(spark, sf_dir):
+    """Inverted-index postings over documents (terms with df >= 20):
+    (term, doc_id, tf, positions, df) with positions serialized to a
+    comma string for engine-portable hashing. The flat-rows layout is
+    the scale-safe one — a stopword is millions of rows, never one
+    million-element aggregate (operators/inverted_index.py)."""
+    from ..operators.inverted_index import inverted_postings
+
+    docs = _t(spark, sf_dir, "documents")
+    out = inverted_postings(docs, min_df=20)
+    return out.select(
+        "term",
+        "doc_id",
+        "tf",
+        F.array_join(
+            F.transform("positions", lambda x: x.cast("string")), ","
+        ).alias("positions"),
+        "df",
+    )
+
+
+Q72_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS toks
+  FROM documents),
+p AS (
+  SELECT doc_id, UNNEST(generate_series(1, LEN(toks))) AS i, toks
+  FROM toks),
+t AS (SELECT doc_id, toks[i] AS term, i - 1 AS pos FROM p),
+pd AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf,
+         ARRAY_TO_STRING(LIST(pos ORDER BY pos), ',') AS positions
+  FROM t GROUP BY term, doc_id),
+d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM pd GROUP BY term)
+SELECT pd.term, pd.doc_id, pd.tf, pd.positions, d.df
+FROM pd JOIN d USING (term) WHERE d.df >= 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3657,6 +3731,8 @@ QUERIES = {
     "q68_bm25_search": q68_bm25_search,
     "q69_zorder_code_histogram": q69_zorder_code_histogram,
     "q70_sequence_packing": q70_sequence_packing,
+    "q71_sessionization": q71_sessionization,
+    "q72_inverted_index": q72_inverted_index,
 }
 
 ORACLES = {
@@ -3738,4 +3814,6 @@ ORACLES = {
     "q68_bm25_search": Q68_SQL,
     "q69_zorder_code_histogram": Q69_SQL,
     "q70_sequence_packing": Q70_SQL,
+    "q71_sessionization": Q71_SQL,
+    "q72_inverted_index": Q72_SQL,
 }
