@@ -79,20 +79,27 @@ def quantile_bounds(
 
 
 def bucket_from_bounds(col: Column | str, bounds: list[float]) -> Column:
-    """Bucket id = number of boundaries <= value, as a fold over the
-    literal boundary array (JVM, codegen; no UDF, no join)."""
+    """Bucket id = number of boundaries <= value, as a BALANCED
+    binary-search WHEN-tree over the literal boundaries (JVM,
+    codegen; no UDF, no join): O(log n) comparisons per row. The
+    original array-fold formulation cost O(n) per row — at 255
+    boundaries that was ~2B extra comparisons per pass over an
+    8M-row input, measured as the dominant cost of the packing
+    prefix sum's bucketing passes (r5)."""
     c = (F.col(col) if isinstance(col, str) else col).cast("double")
     if not bounds:
         return F.when(c.isNotNull(), F.lit(0)).cast("long")
-    arr = F.array(*[F.lit(float(b)) for b in bounds])
-    return F.when(
-        c.isNotNull(),
-        F.aggregate(
-            arr,
-            F.lit(0).cast("long"),
-            lambda acc, b: acc + F.when(c >= b, 1).otherwise(0),
-        ),
-    )
+
+    def tree(lo: int, hi: int) -> Column:
+        # answer (bucket id) is known to lie in [lo, hi]
+        if lo == hi:
+            return F.lit(lo).cast("long")
+        mid = (lo + hi + 1) // 2
+        return F.when(
+            c >= F.lit(float(bounds[mid - 1])), tree(mid, hi)
+        ).otherwise(tree(lo, mid - 1))
+
+    return F.when(c.isNotNull(), tree(0, len(bounds)))
 
 
 def interleave_bits(buckets: list[Column], bits: int) -> Column:

@@ -78,7 +78,10 @@ def global_offsets(
         bounds: list[float] = []
     else:
         bits = max(1, (nb - 1).bit_length())
-        bounds = quantile_bounds(df, order_col, bits)
+        # loose sketch error: boundaries shape PARALLELISM only, the
+        # values are invariant to them (pinned by tests), so the
+        # tight default would buy nothing
+        bounds = quantile_bounds(df, order_col, bits, relative_error=0.01)
         bucketed = df.withColumn(
             _B, bucket_from_bounds(F.col(order_col), bounds)
         )

@@ -37,6 +37,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _micros(ts_col: str):
+    """unix_micros with a TIMESTAMP cast first: parquet event times
+    are often TIMESTAMP_NTZ, which unix_micros rejects; the session
+    timezone is pinned to UTC (session.py) so the cast is exact."""
+    return F.unix_micros(F.col(ts_col).cast("timestamp"))
+
+
 def sessionize(
     df: DataFrame,
     key_col: str,
@@ -52,7 +59,7 @@ def sessionize(
         raise ValueError(f"gap_seconds must be positive, got {gap_seconds}")
     gap_us = int(gap_seconds) * 1_000_000
     w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
-    us = F.unix_micros(F.col(ts_col))
+    us = _micros(ts_col)
     prev = F.lag(us).over(w)
     new_flag = F.when(prev.isNull() | (us - prev > F.lit(gap_us)), 1).otherwise(0)
     run = Window.partitionBy(key_col).orderBy(ts_col, id_col).rowsBetween(
@@ -78,7 +85,7 @@ def session_stats(
     (key, ordinal), so hot sessions map-side combine; the duration is
     exact integer micros."""
     s = sessionize(df, key_col, ts_col, id_col, gap_seconds)
-    us = F.unix_micros(F.col(ts_col))
+    us = _micros(ts_col)
     return s.groupBy(F.col(key_col), F.col("session_ord")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min(ts_col).alias("session_start"),

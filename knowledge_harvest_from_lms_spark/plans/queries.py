@@ -3570,13 +3570,13 @@ WITH e AS (
   SELECT user_id, event_id, ts, EPOCH_US(ts) AS us
   FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
 f AS (
-  SELECT user_id, ts, us,
+  SELECT user_id, event_id, ts, us,
          CASE WHEN LAG(us) OVER w IS NULL
                 OR us - LAG(us) OVER w > 21600000000 THEN 1 ELSE 0 END AS nf
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 s AS (
   SELECT user_id, ts, us,
-         SUM(nf) OVER (PARTITION BY user_id ORDER BY ts, us
+         SUM(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING) AS session_ord
   FROM f)
 SELECT user_id, session_ord, CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -52,6 +52,11 @@ SHOW = {
     "q64_triangle_counts": "r4 triangle counting: degree-ordered orientation bounds every oriented out-degree by O(sqrt m), so the wedge self-join is O(m^1.5) instead of sum(deg^2) around webtext hubs; closing edges verified by LEFT SEMI against the canonical edge set",
     "q65_histogram_quantiles": "r4 histogram quantiles: ONE map-side-combining aggregate builds the fixed-boundary sketch (mergeable by count addition, unlike GK state); the quantile walk runs over |groups|x|bins| rows — constant-bounded, never the value stream",
     "q66_weighted_reservoir": "r4 A-ES weighted reservoir: scan-fused hash->u->ln(u)/w score projection, then the same WindowGroupLimit-partial rank-limit as KMV — shuffle carries ~k rows/partition/group, no RNG state anywhere",
+    "q67_heavy_hitters": "r5 exact heavy hitters: Misra-Gries candidate pass in ONE mapInPandas (<= ceil(1/s) output rows per partition — the map-side combine a naive groupBy-every-key lacks), broadcast semi-join recount, scalar total via the per-partition marker rows",
+    "q68_bm25_search": "r5 BM25: array_intersect prefilter in the scan projection — only query-term postings explode and shuffle; df/avgdl/N are broadcast scalars; tf/idf math whole-stage codegen",
+    "q70_sequence_packing": "r5 sequence packing: NO global window — every Window node partitions by the quantile scan bucket; per-bucket totals collect <= num_buckets rows and broadcast back; span fan-out is a JVM sequence() explode",
+    "q71_sessionization": "r5 sessionization: both windows PARTITION BY user_id (bounded per-key volume), integer-micros gap math in codegen; session rollup is a map-side-combining groupBy on (key, ordinal)",
+    "q72_inverted_index": "r5 inverted index: posexplode in the scan projection; (term,doc) aggregate partial+final; df joined back on the term key (plain shuffle join — vocab too big to broadcast; one-row-per-key build side is lossless under AQE skew split)",
 }
 
 

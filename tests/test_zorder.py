@@ -52,6 +52,32 @@ def test_int_bucket_exact_clamp_and_null(spark):
     assert vals == [0, 7, 4, 7, 0, None]
 
 
+def test_bucket_from_bounds_tree_matches_count_semantics(spark):
+    """The r5 binary-search WHEN-tree must equal the defining count
+    semantics (#bounds <= v) everywhere: below/above/between/ON every
+    boundary, duplicated-looking boundaries, single boundary, NULL."""
+    import random
+
+    rng = random.Random(7)
+    for bounds in ([5.0], [1.0, 2.0, 3.0], sorted(rng.sample(range(1000), 17)),
+                   [float(b) for b in range(0, 255)]):
+        bounds = [float(b) for b in bounds]
+        vals = sorted(
+            {v for b in bounds for v in (b - 0.5, b, b + 0.5)}
+            | {bounds[0] - 100, bounds[-1] + 100}
+        )
+        df = spark.createDataFrame([(v,) for v in vals] + [(None,)], "x double")
+        got = {
+            r["x"]: r["b"]
+            for r in df.select(
+                "x", bucket_from_bounds("x", bounds).alias("b")
+            ).collect()
+        }
+        for v in vals:
+            assert got[v] == sum(1 for b in bounds if v >= b), (v, bounds)
+        assert got[None] is None
+
+
 def test_quantile_bounds_skew_dedup(spark):
     # 90% of mass on one hot value: equal-population boundaries
     # collapse there and must dedupe, not emit empty buckets
