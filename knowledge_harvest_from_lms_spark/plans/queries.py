@@ -3555,10 +3555,13 @@ FROM s
 
 def q71_sessionization(spark, sf_dir):
     """Gap-based sessionization of the events stream (6-hour gap):
-    per-session event counts and exact integer-microsecond durations.
-    All time math is unix_micros (operators/sessions.py), so the
-    DuckDB EPOCH_US replay is bit-exact; windows partition by
-    user_id — never by a global ordering."""
+    per-session event counts, start/end, and exact integer-MICROsecond
+    durations. Unlike q33's inline whole-second variant, this drives
+    the reusable operator (operators/sessions.py — micro-exact gap
+    math, NULL exclusion) that also backs the Structured-Streaming
+    session_window twin (streaming/sessions_stream.py, streamed ==
+    batch pinned in tests). DuckDB replays via EPOCH_US; windows
+    partition by user_id — never a global ordering."""
     from ..operators.sessions import session_stats
 
     ev = _t(spark, sf_dir, "events")
@@ -3645,8 +3648,11 @@ FROM pd JOIN d USING (term) WHERE d.df >= 20
 # driver-green in ALL FOUR prior rounds and structurally the simplest
 # surface in the registry. q90/q91 are the two declared rows-only
 # contracts (stub-MLM harvest; exact-spec pytest is the stronger
-# check); every other entry is oracle-backed.
-# scripts/check_correctness.py still gates ALL 76
+# check); every other entry is oracle-backed. The r5 additions
+# (q67-q72) append after the overflow tail — brand new entries carry
+# fresh pytest + selfcheck evidence already, so they wait their turn
+# in the rotation rather than displacing never-checked entries.
+# scripts/check_correctness.py still gates ALL 82
 # (CORRECTNESS_selfcheck.json).
 QUERIES = {
     "q49_url_canonical": q49_url_canonical,
