@@ -40,9 +40,12 @@ N_ASOF_RIGHT = 2_000_000  # as-of join build rows (quotes)
 N_ASOF_KEYS = 50_000      # join keys (instruments/users)
 N_ASOF_SKEW = 4_000_000   # skew-variant probe rows (50% on ONE key)
 N_SKEW_SPLIT = 32         # split_ranges for the hot-key guard
-N_PACK = 8_000_000        # sequence-packing docs (~1.6B tokens packed
+N_PACK = 96_000_000       # sequence-packing docs (~19B tokens packed
 # into 2048-token chunks; the two-phase parallel prefix sum +
-# span explode — window-scan-bound pure JVM, tiny driver collect)
+# span explode — window-scan-bound pure JVM, tiny driver collect).
+# r5 resize: the O(log n) bucket tree made the pass ~30x faster and
+# the old 8M size finished in ~5 s at local[2] — fixed job overhead
+# dominated and the measured N->4N efficiency was noise (0.55).
 # N vs 4N. A mapInPandas stage at local[L] keeps ~2L threads busy
 # (L JVM Arrow feeders + L Python workers), so on this host's 16
 # PHYSICAL cores (32 SMT-logical) the levels must satisfy 2*4N <= 16
@@ -774,7 +777,7 @@ def main() -> None:
             f"| local[{LEVELS[1]}] | {r_hi['skew_unsplit_sec']} | "
             f"{r_hi['skew_split_sec']} | {r_hi['skew_speedup']}x |\n\n"
             "## 3d. Sequence packing (q70 machinery, "
-            f"{r_lo['pack_docs']:,} docs, ~1.6B tokens into 2048-token chunks)\n\n"
+            f"{r_lo['pack_docs']:,} docs, ~19B tokens into 2048-token chunks)\n\n"
             "Concat-and-chunk training-data packing\n"
             "(operators/packing.py): the exclusive prefix sum runs as a\n"
             "quantile-bucketed parallel window scan + a driver-bounded\n"

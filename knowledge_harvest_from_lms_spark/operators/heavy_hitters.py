@@ -66,15 +66,19 @@ def _mg_partition(batches, key_name: str, m: int):
                 for c in dead:
                     del counters[c]
     if n:
+        # the marker row (key NULL, part_ord 1) carries part_rows into
+        # the total exactly once per partition UNCONDITIONALLY: the MG
+        # counter set can end EMPTY (a decrement cascade on all-distinct
+        # tails — e.g. [a, b, c] with m=2), and hanging part_rows off a
+        # counter row would then silently drop this partition's n,
+        # undercounting the threshold bar (regression-tested)
         keys = list(counters)
         yield pd.DataFrame(
             {
-                "key": keys,
-                "mg_count": [counters[k] for k in keys],
-                "part_rows": [n] * len(keys),
-                # one arbitrary-but-present marker row per partition
-                # carries part_rows into the total exactly once
-                "part_ord": [1 if i == 0 else 0 for i in range(len(keys))],
+                "key": keys + [None],
+                "mg_count": [counters[k] for k in keys] + [0],
+                "part_rows": [n] * (len(keys) + 1),
+                "part_ord": [0] * len(keys) + [1],
             }
         )
 
@@ -101,7 +105,7 @@ def heavy_hitters(
     # cache: candidates feed BOTH the total-count reduce and the
     # recount semi-join; without it the MG scan runs twice
     cand = cand.localCheckpoint(eager=False)
-    candidates = cand.select("key").distinct()
+    candidates = cand.filter(F.col("key").isNotNull()).select("key").distinct()
     totals = cand.select(
         F.sum(F.col("part_rows") * F.col("part_ord")).alias("n")
     )

@@ -3630,6 +3630,186 @@ FROM pd JOIN d USING (term) WHERE d.df >= 20
 """
 
 
+def q73_setsim_exact_pairs(spark, sf_dir):
+    """Exact ALL-PAIRS set-similarity self-join (prefix filtering,
+    AllPairs/PPJoin family — operators/setsim.py) on char-3-gram sets
+    of each document's first 120 chars, Jaccard >= 0.5. The all-pairs
+    exact counterpart to q14's ANCHORED jaccard join and the
+    APPROXIMATE MinHash path (q38/q93): prefix filtering prunes the
+    quadratic candidate space losslessly, so the oracle is the plain
+    brute-force cross join — any lost pair is a hash mismatch."""
+    from ..operators.setsim import setsim_self_join
+
+    docs = _t(spark, sf_dir, "documents")
+    head = F.substring("text", 1, 120)
+    grams = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(head) - 2),
+                lambda i: head.substr(i, F.lit(3)),
+            )
+        ).alias("g"),
+    )
+    return setsim_self_join(
+        grams, "doc_id", "g", 0.5, out_a="ia", out_b="ib", out_sim="jac"
+    )
+
+
+Q73_SQL = """
+WITH grams AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LENGTH(SUBSTR(text,1,120))-1),
+                                      i -> SUBSTR(SUBSTR(text,1,120), i, 3))) AS g
+  FROM documents)
+SELECT a.doc_id AS ia, b.doc_id AS ib,
+       ROUND(CAST(LEN(LIST_INTERSECT(a.g, b.g)) AS DOUBLE)
+             / (LEN(a.g) + LEN(b.g) - LEN(LIST_INTERSECT(a.g, b.g))), 9) AS jac
+FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+WHERE CAST(LEN(LIST_INTERSECT(a.g, b.g)) AS DOUBLE)
+      / (LEN(a.g) + LEN(b.g) - LEN(LIST_INTERSECT(a.g, b.g))) >= 0.5
+"""
+
+
+def q74_group_split(spark, sf_dir):
+    """Leakage-safe train/val/test split (operators/splits.py): the
+    split is a pure function of the GROUP key (user_id), so every
+    event of a user lands on one side of the train/eval fence —
+    per-ROW assignment would leak a user's near-duplicate events
+    across it. Output is one row per (user, split) with the event
+    count; the oracle replays the portable hash bucket and the
+    cumulative thresholds row-for-row (the q50 convention — integer
+    thousandths, no float boundary)."""
+    from ..operators.splits import assign_split
+
+    ev = _t(spark, sf_dir, "events")
+    s = assign_split(
+        ev,
+        "user_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=11,
+        hasher="portable",
+    )
+    return s.groupBy("user_id", "split").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+Q74_SQL = """
+WITH h AS (
+  SELECT user_id,
+         LIST_REDUCE(
+           LIST_PREPEND(CAST(0 AS BIGINT),
+             LIST_TRANSFORM(
+               STRING_SPLIT(CAST(user_id AS VARCHAR) || '#11', ''),
+               c -> CAST(ASCII(c) AS BIGINT))),
+           (acc, x) -> (acc * 31 + x) % 1000000007) % 1000 AS bucket
+  FROM (SELECT DISTINCT user_id FROM events))
+SELECT e.user_id,
+       CASE WHEN h.bucket < 800 THEN 'train'
+            WHEN h.bucket < 900 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events e JOIN h USING (user_id)
+GROUP BY e.user_id, split
+"""
+
+
+def q75_cap_per_group(spark, sf_dir):
+    """Per-group quota cap (operators/splits.py, the C4-style "at
+    most N pages per host" move): keep <= 20 events per user, chosen
+    by the seeded avalanche hash of event_id — a deterministic
+    uniform without-replacement sample per group, immune to
+    partitioning/retries, whose row_number filter compiles to a
+    map-side WindowGroupLimit Partial (plan-pinned in
+    tests/test_splits.py). The oracle replays hash, rank and
+    tie-break (the q61 avalanche recipe)."""
+    from ..operators.splits import cap_per_group
+
+    ev = _t(spark, sf_dir, "events")
+    return cap_per_group(
+        ev, "user_id", 20, "event_id", seed=3, hasher="portable"
+    ).select("user_id", "event_id")
+
+
+Q75_SQL = """
+WITH h0 AS (
+  SELECT user_id, event_id,
+         LIST_REDUCE(
+           LIST_PREPEND(CAST(0 AS BIGINT),
+             LIST_TRANSFORM(
+               STRING_SPLIT(CAST(event_id AS VARCHAR) || '#3', ''),
+               c -> CAST(ASCII(c) AS BIGINT))),
+           (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+h1 AS (SELECT user_id, event_id, xor((h * 2246822519) % 1000000007,
+              ((h * 2246822519) % 1000000007) >> 15) AS h FROM h0),
+h2 AS (SELECT user_id, event_id, xor((h * 2654435761) % 1000000007,
+              ((h * 2654435761) % 1000000007) >> 13) AS h FROM h1),
+h3 AS (SELECT user_id, event_id, xor((h * 3266489917) % 1000000007,
+              ((h * 3266489917) % 1000000007) >> 16) AS h FROM h2),
+r AS (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY (h * 97) % 1000000007, event_id) AS rn
+  FROM h3)
+SELECT user_id, event_id FROM r WHERE rn <= 20
+"""
+
+
+def q76_connected_components(spark, sf_dir):
+    """Dedup-cluster components: connected components (alternating
+    large-star/small-star, operators/components.py — O(log n) rounds
+    regardless of component shape) over the EXACT similarity graph
+    q73 materializes. This is the canonicalization step of a dedup
+    pipeline: every doc in a component keeps one survivor. Vertex ids
+    travel as strings (the operator's uniform key type), so the
+    min-id representative uses VARCHAR ordering in both engines; the
+    oracle recomputes the closure with a recursive CTE — an
+    INDEPENDENT fixpoint formulation, not a replay of the star
+    rounds."""
+    from ..operators.components import connected_components
+    from ..operators.setsim import setsim_self_join
+
+    docs = _t(spark, sf_dir, "documents")
+    head = F.substring("text", 1, 120)
+    grams = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(head) - 2),
+                lambda i: head.substr(i, F.lit(3)),
+            )
+        ).alias("g"),
+    )
+    pairs = setsim_self_join(
+        grams, "doc_id", "g", 0.5, out_a="ia", out_b="ib"
+    )
+    return connected_components(pairs, src="ia", dst="ib")
+
+
+Q76_SQL = """
+WITH RECURSIVE grams AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LENGTH(SUBSTR(text,1,120))-1),
+                                      i -> SUBSTR(SUBSTR(text,1,120), i, 3))) AS g
+  FROM documents),
+pairs AS (
+  SELECT CAST(a.doc_id AS VARCHAR) AS ia, CAST(b.doc_id AS VARCHAR) AS ib
+  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+  WHERE CAST(LEN(LIST_INTERSECT(a.g, b.g)) AS DOUBLE)
+        / (LEN(a.g) + LEN(b.g) - LEN(LIST_INTERSECT(a.g, b.g))) >= 0.5),
+edges AS (SELECT ia AS u, ib AS v FROM pairs
+          UNION SELECT ib, ia FROM pairs),
+verts AS (SELECT DISTINCT u FROM edges),
+reach(v, l) AS (
+  SELECT u, u FROM verts
+  UNION
+  SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.v)
+SELECT v AS vertex, MIN(l) AS component FROM reach GROUP BY v
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3649,10 +3829,10 @@ FROM pd JOIN d USING (term) WHERE d.df >= 20
 # surface in the registry. q90/q91 are the two declared rows-only
 # contracts (stub-MLM harvest; exact-spec pytest is the stronger
 # check); every other entry is oracle-backed. The r5 additions
-# (q67-q72) append after the overflow tail — brand new entries carry
+# (q67-q76) append after the overflow tail — brand new entries carry
 # fresh pytest + selfcheck evidence already, so they wait their turn
 # in the rotation rather than displacing never-checked entries.
-# scripts/check_correctness.py still gates ALL 82
+# scripts/check_correctness.py still gates ALL 86
 # (CORRECTNESS_selfcheck.json).
 QUERIES = {
     "q49_url_canonical": q49_url_canonical,
@@ -3739,6 +3919,10 @@ QUERIES = {
     "q70_sequence_packing": q70_sequence_packing,
     "q71_sessionization": q71_sessionization,
     "q72_inverted_index": q72_inverted_index,
+    "q73_setsim_exact_pairs": q73_setsim_exact_pairs,
+    "q74_group_split": q74_group_split,
+    "q75_cap_per_group": q75_cap_per_group,
+    "q76_connected_components": q76_connected_components,
 }
 
 ORACLES = {
@@ -3822,4 +4006,8 @@ ORACLES = {
     "q70_sequence_packing": Q70_SQL,
     "q71_sessionization": Q71_SQL,
     "q72_inverted_index": Q72_SQL,
+    "q73_setsim_exact_pairs": Q73_SQL,
+    "q74_group_split": Q74_SQL,
+    "q75_cap_per_group": Q75_SQL,
+    "q76_connected_components": Q76_SQL,
 }
