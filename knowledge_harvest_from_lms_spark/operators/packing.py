@@ -53,6 +53,7 @@ def global_offsets(
     count_col: str,
     out_col: str = "global_offset",
     num_buckets: int = 256,
+    bounds_sample: float = 0.05,
 ) -> DataFrame:
     """Append ``out_col`` = EXCLUSIVE prefix sum of ``count_col`` in
     ``order_col`` order (the first row gets 0), without ever creating
@@ -67,6 +68,16 @@ def global_offsets(
     ``num_buckets`` bounds both the driver-side offsets list and the
     parallelism of the scan phase; the VALUES are invariant to it
     (tests pin buckets=1 == buckets=8).
+
+    ``bounds_sample`` runs the boundary pass over a Bernoulli sample
+    of the input instead of a full approxQuantile scan — the same
+    move Spark's own RangePartitioner makes (it reservoir-samples
+    the sort key): boundaries shape PARALLELISM only, never the
+    values (pinned by the invariance tests), so a sampled, even
+    lopsided, boundary estimate costs balance, not correctness. A
+    full pass here was the dominant NON-scaling cost of the packing
+    bench (a quantile sketch's driver-side merge doesn't parallelize
+    with executor count). Pass 1.0 to restore the exact pass.
     """
     if order_col == count_col:
         raise ValueError("order_col and count_col must differ")
@@ -78,10 +89,12 @@ def global_offsets(
         bounds: list[float] = []
     else:
         bits = max(1, (nb - 1).bit_length())
-        # loose sketch error: boundaries shape PARALLELISM only, the
-        # values are invariant to them (pinned by tests), so the
-        # tight default would buy nothing
-        bounds = quantile_bounds(df, order_col, bits, relative_error=0.01)
+        # loose sketch error + sampled input: boundaries shape
+        # PARALLELISM only, the values are invariant to them (pinned
+        # by tests), so neither a tight error nor a full pass would
+        # buy anything
+        src = df if bounds_sample >= 1.0 else df.sample(bounds_sample, seed=7)
+        bounds = quantile_bounds(src, order_col, bits, relative_error=0.01)
         bucketed = df.withColumn(
             _B, bucket_from_bounds(F.col(order_col), bounds)
         )
@@ -118,6 +131,7 @@ def pack_sequences(
     count_col: str,
     seq_len: int,
     num_buckets: int = 256,
+    bounds_sample: float = 0.05,
 ) -> DataFrame:
     """One row per (document, training chunk) span under concat-and-
     chunk packing: columns ``order_col``, ``n_tokens``,
@@ -132,7 +146,13 @@ def pack_sequences(
         raise ValueError(f"seq_len must be positive, got {seq_len}")
     L = F.lit(int(seq_len))
     n = F.col(count_col).cast("long")
-    o = global_offsets(df, order_col, count_col, num_buckets=num_buckets)
+    o = global_offsets(
+        df,
+        order_col,
+        count_col,
+        num_buckets=num_buckets,
+        bounds_sample=bounds_sample,
+    )
     o = o.filter(n > 0).withColumn(
         "__first", (F.col("global_offset") - F.pmod(F.col("global_offset"), L)) / L
     )

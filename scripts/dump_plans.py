@@ -57,6 +57,10 @@ SHOW = {
     "q70_sequence_packing": "r5 sequence packing: NO global window — every Window node partitions by the quantile scan bucket; per-bucket totals collect <= num_buckets rows and broadcast back; span fan-out is a JVM sequence() explode",
     "q71_sessionization": "r5 sessionization: both windows PARTITION BY user_id (bounded per-key volume), integer-micros gap math in codegen; session rollup is a map-side-combining groupBy on (key, ordinal)",
     "q72_inverted_index": "r5 inverted index: posexplode in the scan projection; (term,doc) aggregate partial+final; df joined back on the term key (plain shuffle join — vocab too big to broadcast; one-row-per-key build side is lossless under AQE skew split)",
+    "q73_setsim_exact_pairs": "r5 exact set-similarity join: NO cartesian/nested-loop node — prefix tokens (each record's RAREST (1-t)|x|+1, skew-light by construction) equi-join with id order + lossless size-ratio bound IN the join condition; exact jaccard verify joins arrays back for CANDIDATE pairs only; rarest-first order is per-row sort_array(struct(df,token)), no global rank window",
+    "q74_group_split": "r5 leakage-safe split: assignment is a scan-fused hash CASE projection (zero exchange for the decision itself); the only shuffle is the per-(user,split) count agg the query adds on top",
+    "q75_cap_per_group": "r5 per-group quota cap: row_number over (avalanche hash, id) compiles to WindowGroupLimit Partial below the exchange — a hot host ships ~n rows per input partition, not its whole crawl",
+    "q76_connected_components": "r5 connected components: O(log n) alternating star rounds; eager localCheckpoint per round keeps the FINAL plan depth O(1) (the dump shows only the last round's aggregates over checkpointed scans, the pagerank discipline); min-neighbor aggregate partial+final so hubs collapse map-side",
 }
 
 
