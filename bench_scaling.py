@@ -40,18 +40,6 @@ N_ASOF_RIGHT = 2_000_000  # as-of join build rows (quotes)
 N_ASOF_KEYS = 50_000      # join keys (instruments/users)
 N_ASOF_SKEW = 4_000_000   # skew-variant probe rows (50% on ONE key)
 N_SKEW_SPLIT = 32         # split_ranges for the hot-key guard
-N_PACK = 192_000_000      # sequence-packing docs (~38B tokens packed
-# into 2048-token chunks; the two-phase parallel prefix sum +
-# span explode — window-scan-bound pure JVM, tiny driver collect).
-# r5 resize: the O(log n) bucket tree made the pass ~30x faster and
-# the old 8M size finished in ~5 s at local[2] — fixed job overhead
-# dominated and the measured N->4N efficiency was noise (0.55).
-# Sized so the ~6 s of serial driver coordination (3 job
-# submissions: sampled bounds, totals collect, final pass — measured
-# by an Amdahl fit at 96M) is amortized the way a 100 TB input
-# amortizes it; the structural fixes are real (sampled boundary
-# pass, off-heap sort memory), the size just stops a local
-# microbench from charging fixed driver latency against scaling.
 # N vs 4N. A mapInPandas stage at local[L] keeps ~2L threads busy
 # (L JVM Arrow feeders + L Python workers), so on this host's 16
 # PHYSICAL cores (32 SMT-logical) the levels must satisfy 2*4N <= 16
@@ -418,31 +406,11 @@ def run_level(cpus: int) -> dict:
     skew_unsplit_sec = min(skew_unsplit_runs)
     skew_split_sec = min(skew_split_runs)
 
-    # --- workload 8: sequence packing (distributed prefix sum) ------
-    # concat-and-chunk training-data packing (operators/packing.py):
-    # quantile-bucketed intra-bucket window scan + driver-bounded
-    # offset broadcast + span explode. Scan/window-bound pure JVM —
-    # the workload class the q70 oracle checks for correctness.
-    from knowledge_harvest_from_lms_spark.operators.packing import (
-        pack_sequences,
-    )
-
-    pack_df = spark.range(N_PACK).select(
-        F.col("id").alias("doc_id"), ((F.col("id") * 37) % 400).alias("n")
-    )
-
-    def pack_pass(df):
-        pack_sequences(df, "doc_id", "n", seq_len=2048, num_buckets=256)\
-            .write.format("noop").mode("overwrite").save()
-
-    pack_pass(pack_df.limit(200_000))  # warm
-    pack_runs = []
-    for _ in range(3):  # best-of-3: page-cache/JIT warm-in is visible
-        # run-over-run on this workload (measured 30/22/19 s)
-        t0 = time.time()
-        pack_pass(pack_df)
-        pack_runs.append(round(time.time() - t0, 3))
-    pack_sec = min(pack_runs)
+    # workload 8 (sequence packing) lives in scripts/bench_pack.py:
+    # it needs a FRESH JVM per level (measured 1.5x slower and
+    # non-converging when run last in this shared-JVM level, through
+    # seven prior workloads' heap history and resident Python worker
+    # pools); its artifact BENCH_pack.json feeds §3d below.
     spark.stop()
     return {
         "cpus": cpus,
@@ -487,11 +455,48 @@ def run_level(cpus: int) -> dict:
         "skew_split_sec": round(skew_split_sec, 3),
         "skew_split_runs": skew_split_runs,
         "skew_speedup": round(skew_unsplit_sec / skew_split_sec, 2),
-        "pack_docs": N_PACK,
-        "pack_sec": round(pack_sec, 3),
-        "pack_runs": pack_runs,
-        "pack_docs_per_sec": round(N_PACK / pack_sec, 1),
     }
+
+
+def _load_pack() -> dict | None:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_pack.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        d = json.load(f)
+    return d if "efficiency" in d else None
+
+
+def _pack_section() -> str:
+    """§3d: sequence packing, sourced from BENCH_pack.json (produced
+    by `python scripts/bench_pack.py`) — its own fresh-JVM-per-level
+    artifact, because running it LAST inside this file's shared
+    per-level JVM measured 1.5x slower and never converged across
+    best-of-3 (seven prior workloads' heap history + resident Python
+    worker pools; a real cluster job gets fresh executors)."""
+    d = _load_pack()
+    if d is None:
+        return ""
+    lo = d["results"][str(d["levels"][0])]
+    hi = d["results"][str(d["levels"][1])]
+    return (
+        "## 3d. Sequence packing (q70 machinery, "
+        f"{lo['pack_docs']:,} docs, ~38B tokens into 2048-token chunks)\n\n"
+        "Concat-and-chunk training-data packing\n"
+        "(operators/packing.py): the exclusive prefix sum runs as a\n"
+        "quantile-bucketed parallel window scan + a driver-bounded\n"
+        "(256-row) offset broadcast — never a global\n"
+        "single-partition window — then pure-integer span math with\n"
+        "a sequence() explode. Scan/window/shuffle-bound pure JVM.\n"
+        "From `BENCH_pack.json` (`python scripts/bench_pack.py`,\n"
+        "fresh JVM per level, warm pass + best-of-3, off-heap sort\n"
+        "memory):\n\n"
+        "| level | docs/sec | sec |\n|---|---|---|\n"
+        f"| local[{d['levels'][0]}] | {lo['pack_docs_per_sec']:,} | {lo['pack_sec']} |\n"
+        f"| local[{d['levels'][1]}] | {hi['pack_docs_per_sec']:,} | {hi['pack_sec']} |\n\n"
+        f"**Scaling efficiency (N→4N): {d['efficiency']:.3f}**\n\n"
+    )
 
 
 def _ekar_section() -> str:
@@ -634,7 +639,8 @@ def main() -> None:
     link_eff = (r_hi["link_mentions_per_sec"] / r_lo["link_mentions_per_sec"]) / ratio
     sub_eff = (r_hi["sub_docs_per_sec"] / r_lo["sub_docs_per_sec"]) / ratio
     asof_eff = (r_hi["asof_rows_per_sec"] / r_lo["asof_rows_per_sec"]) / ratio
-    pack_eff = (r_hi["pack_docs_per_sec"] / r_lo["pack_docs_per_sec"]) / ratio
+    pack = _load_pack()
+    pack_eff = pack["efficiency"] if pack else None
     calibs = [r_lo["host_calib_sha256_per_sec"], r_hi["host_calib_sha256_per_sec"]]
     calib_drift = round(max(calibs) / max(1, min(calibs)) - 1.0, 3)
     if calib_drift > 0.15:
@@ -680,10 +686,10 @@ def main() -> None:
             "rows_per_sec_4n": r_hi["asof_rows_per_sec"],
             "efficiency": round(asof_eff, 3),
         },
-        "sequence_packing": {
-            "docs_per_sec_n": r_lo["pack_docs_per_sec"],
-            "docs_per_sec_4n": r_hi["pack_docs_per_sec"],
-            "efficiency": round(pack_eff, 3),
+        "sequence_packing": None if not pack else {
+            "docs_per_sec_n": pack["results"][str(LEVELS[0])]["pack_docs_per_sec"],
+            "docs_per_sec_4n": pack["results"][str(LEVELS[1])]["pack_docs_per_sec"],
+            "efficiency": pack_eff,
         },
         "host_calib_drift": calib_drift,
         "detail": results,
@@ -797,18 +803,7 @@ def main() -> None:
             f"{r_lo['skew_split_sec']} | {r_lo['skew_speedup']}x |\n"
             f"| local[{LEVELS[1]}] | {r_hi['skew_unsplit_sec']} | "
             f"{r_hi['skew_split_sec']} | {r_hi['skew_speedup']}x |\n\n"
-            "## 3d. Sequence packing (q70 machinery, "
-            f"{r_lo['pack_docs']:,} docs, ~38B tokens into 2048-token chunks)\n\n"
-            "Concat-and-chunk training-data packing\n"
-            "(operators/packing.py): the exclusive prefix sum runs as a\n"
-            "quantile-bucketed parallel window scan + a driver-bounded\n"
-            "(256-row) offset broadcast — never a global\n"
-            "single-partition window — then pure-integer span math with\n"
-            "a sequence() explode. Scan/window-bound pure JVM.\n\n"
-            "| level | docs/sec | sec |\n|---|---|---|\n"
-            f"| local[{LEVELS[0]}] | {r_lo['pack_docs_per_sec']:,} | {r_lo['pack_sec']} |\n"
-            f"| local[{LEVELS[1]}] | {r_hi['pack_docs_per_sec']:,} | {r_hi['pack_sec']} |\n\n"
-            f"**Scaling efficiency (N→4N): {pack_eff:.3f}**\n\n"
+            + _pack_section()
             + _ekar_section()
             + _txn_section()
             + "Raw numbers:\n\n```json\n"

@@ -66,14 +66,15 @@ def assign_split(
     total = sum(splits.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1.0, got {total}")
+    for name, w in splits.items():
+        if w <= 0:  # incl. the LAST split — the sum check alone would
+            # let {a: 1.2, b: -0.2} silently starve b
+            raise ValueError(f"split {name!r} has non-positive weight {w}")
     names = list(splits)
     cuts: list[int] = []
     acc = 0.0
     for name in names[:-1]:
-        w = splits[name]
-        if w <= 0:
-            raise ValueError(f"split {name!r} has non-positive weight {w}")
-        acc += w
+        acc += splits[name]
         cut = int(round(acc * 1000))
         if cuts and cut == cuts[-1] or cut == 0:
             raise ValueError(

@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Sequence-packing scaling evidence (BENCH/BASELINE.md §3d), in its
+own FRESH JVM per level — the same artifact pattern as
+BENCH_ekar487.json / BENCH_txn487.json.
+
+Why it left bench_scaling's shared per-level JVM: packing ran LAST
+there, in a JVM carrying seven prior workloads' heap history and
+resident mapInPandas Python worker pools — measured 1.5x slower than
+the identical configuration in a fresh JVM, with best-of-3 runs
+still falling 83 -> 64 -> 55 s (never converged). A real cluster job
+gets fresh executors; measuring engine scaling through another
+workload's GC debris measures the debris. Writes BENCH_pack.json;
+bench_scaling's BASELINE.md writer renders §3d from it.
+
+Usage: python scripts/bench_pack.py            # both levels
+       python scripts/bench_pack.py --worker 8 # one level (internal)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+N_PACK = 192_000_000
+LEVELS = (2, 8)
+RUNS = 3
+
+
+def run_level(cpus: int) -> dict:
+    from bench import calibrate_host
+    from pyspark.sql import functions as F
+
+    from knowledge_harvest_from_lms_spark.operators.packing import (
+        pack_sequences,
+    )
+    from knowledge_harvest_from_lms_spark.session import get_session
+
+    calib = calibrate_host()
+    spark = get_session(
+        cpus=cpus,
+        shuffle_partitions=cpus,
+        app_name=f"kg-pack-{cpus}",
+        extra_conf={
+            # off-heap sort/shuffle buffers: the standard large-cluster
+            # executor config (see bench_scaling.run_level)
+            "spark.memory.offHeap.enabled": "true",
+            "spark.memory.offHeap.size": "8g",
+        },
+    )
+    pack_df = spark.range(N_PACK).select(
+        F.col("id").alias("doc_id"), ((F.col("id") * 37) % 400).alias("n")
+    )
+
+    def pack_pass(df):
+        pack_sequences(df, "doc_id", "n", seq_len=2048, num_buckets=256)\
+            .write.format("noop").mode("overwrite").save()
+
+    pack_pass(pack_df.limit(5_000_000))  # warm: codegen + JIT + pools
+    runs = []
+    for _ in range(RUNS):
+        t0 = time.time()
+        pack_pass(pack_df)
+        runs.append(round(time.time() - t0, 3))
+    spark.stop()
+    sec = min(runs)
+    return {
+        "cpus": cpus,
+        "host_calib_sha256_per_sec": int(calib),
+        "pack_docs": N_PACK,
+        "pack_sec": sec,
+        "pack_runs": runs,
+        "pack_docs_per_sec": round(N_PACK / sec, 1),
+    }
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--worker":
+        print("RESULT " + json.dumps(run_level(int(sys.argv[2]))))
+        return
+
+    from bench import wait_for_idle
+
+    results = {}
+    for cpus in LEVELS:
+        wait_for_idle(max_load=2.0, timeout_s=300.0)
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
+            capture_output=True, text=True, timeout=3600, cwd=ROOT,
+            env=dict(os.environ, OPENBLAS_NUM_THREADS="1",
+                     OMP_NUM_THREADS="1", MKL_NUM_THREADS="1"),
+        )
+        line = [ln for ln in p.stdout.splitlines() if ln.startswith("RESULT ")]
+        if not line:
+            sys.stderr.write(p.stdout[-2000:] + "\n" + p.stderr[-2000:] + "\n")
+            raise RuntimeError(f"level {cpus} produced no RESULT")
+        results[str(cpus)] = json.loads(line[-1][len("RESULT "):])
+
+    lo, hi = results[str(LEVELS[0])], results[str(LEVELS[1])]
+    ratio = LEVELS[1] / LEVELS[0]
+    eff = (hi["pack_docs_per_sec"] / lo["pack_docs_per_sec"]) / ratio
+    out = {
+        "levels": list(LEVELS),
+        "efficiency": round(eff, 3),
+        "results": results,
+    }
+    with open(os.path.join(ROOT, "BENCH_pack.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
