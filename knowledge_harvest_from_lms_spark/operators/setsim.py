@@ -153,3 +153,78 @@ def setsim_self_join(
             F.round(jac, 9).alias(out_sim),
         )
     )
+
+
+def containment_join(
+    df: DataFrame,
+    id_col: str,
+    set_col: str,
+    threshold: float,
+    out_a: str = "id_a",
+    out_b: str = "id_b",
+    out_sim: str = "containment",
+) -> DataFrame:
+    """Every ORDERED pair ``(a, b)``, a != b, with containment
+    |A ∩ B| / |A| >= ``threshold`` — the asymmetric cousin of
+    ``setsim_self_join`` that finds records SUBSUMED by another
+    (quote farms, boilerplate-wrapped copies, partial mirrors: the
+    near-dup class Jaccard misses when |B| >> |A| drowns the union).
+
+    Prefix filtering still applies on the CONTAINED side only: if
+    cont(A,B) >= t then |A ∩ B| >= ceil(t*|A|), so A's rarest-first
+    prefix of size |A| - ceil(t*|A|) + 1 must intersect B (same lemma
+    as the symmetric join — the suffix is too short to hold the
+    intersection). B cannot be prefix-pruned (its matching tokens may
+    sit anywhere), so B explodes ALL tokens; the size guard
+    |B| >= t*|A| (containment needs that many shared tokens inside B)
+    rides in the join condition cheap-first. The candidate key is
+    still a RAREST token of A, so hot tokens stay out of the join's
+    bucket distribution exactly as in the symmetric case.
+
+    Exact: verified per candidate on the full arrays; the brute-force
+    oracle (q80) replays it in DuckDB. Published value rounded at 9;
+    the threshold compares the unrounded int/int division."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0,1], got {threshold}")
+    t = float(threshold)
+    sets = _ordered_sets(
+        df.filter(F.col(id_col).isNotNull()), id_col, set_col
+    ).filter(F.col("sz") > 0)
+    sets = sets.localCheckpoint(eager=False)
+
+    p = (F.col("sz") - F.ceil(F.lit(t) * F.col("sz") - F.lit(1e-9)) + 1).cast(
+        "int"
+    )
+    left = sets.select(
+        F.col("__id").alias("__ia"),
+        F.col("sz").alias("__sa"),
+        F.explode(F.slice("toks", F.lit(1), p)).alias("__pa"),
+    )
+    right = sets.select(
+        F.col("__id").alias("__ib"),
+        F.col("sz").alias("__sb"),
+        F.explode("toks").alias("__pb"),
+    )
+    cand = (
+        left.join(
+            right,
+            (F.col("__ia") != F.col("__ib"))
+            & (F.col("__sb") >= F.lit(t) * F.col("__sa"))
+            & (F.col("__pa") == F.col("__pb")),
+        )
+        .select("__ia", "__ib")
+        .distinct()
+    )
+    a = sets.select(F.col("__id").alias("__ia"), F.col("toks").alias("__ta"))
+    b = sets.select(F.col("__id").alias("__ib"), F.col("toks").alias("__tb"))
+    cont = F.size(F.array_intersect("__ta", "__tb")) / F.size("__ta")
+    return (
+        cand.join(a, "__ia")
+        .join(b, "__ib")
+        .filter(cont >= F.lit(t))
+        .select(
+            F.col("__ia").alias(out_a),
+            F.col("__ib").alias(out_b),
+            F.round(cont, 9).alias(out_sim),
+        )
+    )

@@ -3810,6 +3810,201 @@ SELECT v AS vertex, MIN(l) AS component FROM reach GROUP BY v
 """
 
 
+def q77_corpus_drift(spark, sf_dir):
+    """Corpus drift gate (operators/drift.py): PSI + KL per bucket of
+    the document-length distribution between two snapshot halves of
+    the corpus (sources src0-src9 vs src10-src19 — the "deployed mix
+    vs candidate crawl" comparison a training pipeline runs before
+    merging a new snapshot). Two bounded hash aggregates + a k-row
+    bucket-spine join; the oracle replays the WHEN-chain bucketing,
+    Laplace smoothing and ln terms arithmetic-identically."""
+    from ..operators.drift import feature_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    snap = F.substring("source", 4, 10).cast("int")
+    return feature_drift(
+        docs.filter(snap < 10),
+        docs.filter(snap >= 10),
+        "n_chars",
+        [100.0, 150.0, 200.0, 250.0, 300.0, 350.0, 400.0, 450.0, 500.0],
+    )
+
+
+Q77_SQL = """
+WITH snap AS (
+  SELECT n_chars, CAST(SUBSTR(source, 4) AS INT) AS sid FROM documents),
+buck AS (
+  SELECT sid,
+         CASE WHEN n_chars < 100 THEN 0
+              WHEN n_chars >= 500 THEN 9
+              ELSE CAST(FLOOR((n_chars - 100) / 50.0) AS INT) + 1 END AS bucket
+  FROM snap WHERE n_chars IS NOT NULL),
+ca AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS raw_a
+       FROM buck WHERE sid < 10 GROUP BY bucket),
+cb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS raw_b
+       FROM buck WHERE sid >= 10 GROUP BY bucket),
+spine AS (SELECT CAST(range AS INT) AS bucket FROM RANGE(0, 10)),
+j AS (
+  SELECT s.bucket,
+         CAST(COALESCE(raw_a, 0) AS BIGINT) AS n_a,
+         CAST(COALESCE(raw_b, 0) AS BIGINT) AS n_b
+  FROM spine s LEFT JOIN ca USING (bucket) LEFT JOIN cb USING (bucket)),
+t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS tot_a,
+             CAST(SUM(n_b) AS BIGINT) AS tot_b FROM j)
+SELECT bucket, n_a, n_b,
+       ROUND((n_a + 0.5) / (tot_a + 5.0), 9) AS frac_a,
+       ROUND((n_b + 0.5) / (tot_b + 5.0), 9) AS frac_b,
+       ROUND(((n_a + 0.5) / (tot_a + 5.0) - (n_b + 0.5) / (tot_b + 5.0))
+             * LN(((n_a + 0.5) / (tot_a + 5.0))
+                  / ((n_b + 0.5) / (tot_b + 5.0))), 9) AS psi_term,
+       ROUND(((n_a + 0.5) / (tot_a + 5.0))
+             * LN(((n_a + 0.5) / (tot_a + 5.0))
+                  / ((n_b + 0.5) / (tot_b + 5.0))), 9) AS kl_term
+FROM j, t
+"""
+
+
+def q78_bloom_pruned_join(spark, sf_dir):
+    """Bloom-pruned fact join (operators/bloomjoin.py): orders
+    pre-filtered by a broadcast 2^16-bit Bloom bitmap of the
+    selected customers' keys before the exact join — the runtime-
+    filter move that keeps a 10^12-row fact side's shuffle bounded
+    by the rows that CAN match. Exactness by construction (false
+    positives die in the exact join, false negatives are impossible),
+    so the oracle is the PLAIN join: any bloom bug that drops a true
+    key is a hash mismatch. Money sums in integer cents (repo
+    float-safety convention)."""
+    from ..operators.bloomjoin import bloom_pruned_join
+
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 5)
+    orders = _t(spark, sf_dir, "orders")
+    j = bloom_pruned_join(orders, cust, "o_custkey", "c_custkey", "inner")
+    return j.groupBy("c_nationkey", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("revenue_cents"),
+    )
+
+
+Q78_SQL = """
+SELECT c_nationkey, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_nationkey < 5
+GROUP BY c_nationkey, o_orderpriority
+"""
+
+
+def q79_kcore(spark, sf_dir):
+    """3-core of the q73 exact-similarity graph (operators/kcore.py):
+    the dense near-duplicate clusters survive, borderline chains peel
+    away. The Spark side peels to the PROVEN fixpoint (k_core raises
+    if not converged), so the oracle's generated unrolled peel — 16
+    MATERIALIZED rounds of degree-filter + edge-restrict in DuckDB —
+    is sufficient by construction (the sf0.01 graph converges in 2)."""
+    from ..operators.kcore import k_core
+    from ..operators.setsim import setsim_self_join
+
+    docs = _t(spark, sf_dir, "documents")
+    head = F.substring("text", 1, 120)
+    grams = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(head) - 2),
+                lambda i: head.substr(i, F.lit(3)),
+            )
+        ).alias("g"),
+    )
+    pairs = setsim_self_join(
+        grams, "doc_id", "g", 0.5, out_a="ia", out_b="ib"
+    )
+    return k_core(pairs, 3, src="ia", dst="ib")
+
+
+def _build_q79_sql(k: int = 3, rounds: int = 16) -> str:
+    """Unrolled peel: e_{i+1} = edges of e_i whose BOTH endpoints have
+    degree >= k in e_i. MATERIALIZED is load-bearing — inlined CTEs
+    re-evaluate the 3-reference recursion exponentially."""
+    base = """
+WITH grams AS MATERIALIZED (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LENGTH(SUBSTR(text,1,120))-1),
+                                      i -> SUBSTR(SUBSTR(text,1,120), i, 3))) AS g
+  FROM documents),
+pairs AS MATERIALIZED (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+  WHERE CAST(LEN(LIST_INTERSECT(a.g, b.g)) AS DOUBLE)
+        / (LEN(a.g) + LEN(b.g) - LEN(LIST_INTERSECT(a.g, b.g))) >= 0.5),
+"""
+    parts = [
+        "e0 AS MATERIALIZED (SELECT ia AS u, ib AS v FROM pairs "
+        "UNION ALL SELECT ib AS u, ia AS v FROM pairs)"
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"k{i} AS MATERIALIZED (SELECT u FROM e{i} "
+            f"GROUP BY u HAVING COUNT(*) >= {k})"
+        )
+        parts.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT e.u, e.v FROM e{i} e "
+            f"JOIN k{i} a ON e.u = a.u JOIN k{i} b ON e.v = b.u)"
+        )
+    return (
+        base
+        + ",\n".join(parts)
+        + f"\nSELECT CAST(u AS VARCHAR) AS vertex,"
+        f" CAST(COUNT(*) AS BIGINT) AS core_degree"
+        f" FROM e{rounds} GROUP BY u"
+    )
+
+
+Q79_SQL = _build_q79_sql()
+
+
+def q80_containment_pairs(spark, sf_dir):
+    """Asymmetric containment join (operators/setsim.py
+    containment_join): ordered pairs where >= 70% of doc a's head
+    3-grams appear in doc b — the subsumed-document class (quote
+    farms, boilerplate-wrapped copies) that symmetric Jaccard misses
+    when the container is large. Prefix filtering on the contained
+    side only; exact verify; brute-force DuckDB oracle."""
+    from ..operators.setsim import containment_join
+
+    docs = _t(spark, sf_dir, "documents")
+    head = F.substring("text", 1, 120)
+    grams = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(head) - 2),
+                lambda i: head.substr(i, F.lit(3)),
+            )
+        ).alias("g"),
+    )
+    return containment_join(
+        grams, "doc_id", "g", 0.7, out_a="ia", out_b="ib", out_sim="cont"
+    )
+
+
+Q80_SQL = """
+WITH grams AS MATERIALIZED (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LENGTH(SUBSTR(text,1,120))-1),
+                                      i -> SUBSTR(SUBSTR(text,1,120), i, 3))) AS g
+  FROM documents)
+SELECT a.doc_id AS ia, b.doc_id AS ib,
+       ROUND(CAST(LEN(LIST_INTERSECT(a.g, b.g)) AS DOUBLE) / LEN(a.g), 9)
+         AS cont
+FROM grams a JOIN grams b ON a.doc_id <> b.doc_id
+WHERE CAST(LEN(LIST_INTERSECT(a.g, b.g)) AS DOUBLE) / LEN(a.g) >= 0.7
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3829,10 +4024,10 @@ SELECT v AS vertex, MIN(l) AS component FROM reach GROUP BY v
 # surface in the registry. q90/q91 are the two declared rows-only
 # contracts (stub-MLM harvest; exact-spec pytest is the stronger
 # check); every other entry is oracle-backed. The r5 additions
-# (q67-q76) append after the overflow tail — brand new entries carry
+# (q67-q80) append after the overflow tail — brand new entries carry
 # fresh pytest + selfcheck evidence already, so they wait their turn
 # in the rotation rather than displacing never-checked entries.
-# scripts/check_correctness.py still gates ALL 86
+# scripts/check_correctness.py still gates ALL 90
 # (CORRECTNESS_selfcheck.json).
 QUERIES = {
     "q49_url_canonical": q49_url_canonical,
@@ -3923,6 +4118,10 @@ QUERIES = {
     "q74_group_split": q74_group_split,
     "q75_cap_per_group": q75_cap_per_group,
     "q76_connected_components": q76_connected_components,
+    "q77_corpus_drift": q77_corpus_drift,
+    "q78_bloom_pruned_join": q78_bloom_pruned_join,
+    "q79_kcore": q79_kcore,
+    "q80_containment_pairs": q80_containment_pairs,
 }
 
 ORACLES = {
@@ -4010,4 +4209,8 @@ ORACLES = {
     "q74_group_split": Q74_SQL,
     "q75_cap_per_group": Q75_SQL,
     "q76_connected_components": Q76_SQL,
+    "q77_corpus_drift": Q77_SQL,
+    "q78_bloom_pruned_join": Q78_SQL,
+    "q79_kcore": Q79_SQL,
+    "q80_containment_pairs": Q80_SQL,
 }

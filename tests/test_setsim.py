@@ -94,3 +94,60 @@ def test_duplicate_tokens_deduped(spark):
     )
     got = setsim_self_join(df, "id", "s", 0.9).collect()
     assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in got] == [(1, 2, 1.0)]
+
+
+# ---------------------------------------------------------------------------
+# containment_join (asymmetric)
+# ---------------------------------------------------------------------------
+
+from knowledge_harvest_from_lms_spark.operators.setsim import (  # noqa: E402
+    containment_join,
+)
+
+
+def _brute_containment(rows, t):
+    out = {}
+    for ia, sa in rows:
+        if not sa:
+            continue
+        for ib, sb in rows:
+            if ia == ib or not sb:
+                continue
+            c = len(sa & sb) / len(sa)
+            if c >= t:
+                out[(ia, ib)] = round(c, 9)
+    return out
+
+
+@pytest.mark.parametrize("t", [0.6, 0.8, 1.0])
+def test_containment_matches_brute_force(spark, t):
+    rows = _fixture()
+    # plant a strict subset pair: a tiny doc inside a big one —
+    # symmetric jaccard misses it, containment must not
+    big = frozenset(f"x{i}" for i in range(30))
+    rows.append((900, big))
+    rows.append((901, frozenset(list(big)[:6])))
+    df = spark.createDataFrame(
+        [(i, sorted(s)) for i, s in rows], "id long, s array<string>"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_join(df, "id", "s", t).collect()
+    }
+    want = _brute_containment(rows, t)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+    assert (901, 900) in got and (900, 901) not in got
+
+
+def test_containment_is_directional(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["a", "b", "c", "d"])],
+        "id long, s array<string>",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_join(df, "id", "s", 0.9).collect()
+    }
+    assert got == {(1, 2): 1.0}
