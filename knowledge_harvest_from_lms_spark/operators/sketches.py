@@ -193,6 +193,106 @@ def histogram_quantile(
     )
 
 
+def cm_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    key: Column,
+    depth: int = 3,
+    width: int = 256,
+    seed: int = 0,
+    hasher: str = "portable",
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) per group:
+    ``(group_cols..., row, col, cnt)`` holding only the NONZERO
+    counters of a ``depth`` x ``width`` counter matrix, where
+    ``row i``'s hash is the KMV avalanche hash at ``seed + i`` taken
+    mod ``width``. Point estimate = min over rows of the addressed
+    counter (see :func:`cm_estimate`) — always >= the true count,
+    over by at most ``2n/width`` with prob ``1 - 2^-depth``.
+
+    Why next to KMV: KMV answers "how many DISTINCT keys", CM answers
+    "how OFTEN is this key" — the two monoid sketches a corpus
+    profiler ships to the driver instead of a full frequency table.
+    Counters are plain counts, so sketches MERGE by addition (same
+    monoid argument as histogram_sketch) across partitions, days, or
+    streaming micro-batches, and a DuckDB oracle replays hash,
+    counters, and estimator exactly (q81).
+
+    Plan shape: ONE map-side-combining aggregate over the exploded
+    (row, col) stream — ``depth`` rows per input row, but the group
+    cardinality is capped at |groups| * depth * width regardless of
+    input size, so the shuffle collapses map-side exactly like a
+    histogram. NULL keys are excluded (countDistinct contract, as in
+    kmv_sketch)."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1, width >= 2; got {depth}x{width}")
+    rows = F.array(
+        *[
+            (kmv_hash(key, seed + i, hasher) % F.lit(width)).cast("int")
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.filter(key.isNotNull())
+        .select(*group_cols, F.posexplode(rows).alias("row", "col"))
+        .groupBy(*group_cols, "row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_merge(
+    sketches: list[DataFrame], group_cols: list[str]
+) -> DataFrame:
+    """Add CM sketches (same depth/width/seed/hasher) counter-wise —
+    the mergeability that lets per-partition or per-day sketches roll
+    up to any coarser grain without touching raw rows."""
+    allc = sketches[0].select(*group_cols, "row", "col", "cnt")
+    for s in sketches[1:]:
+        allc = allc.unionByName(s.select(*group_cols, "row", "col", "cnt"))
+    return allc.groupBy(*group_cols, "row", "col").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    group_cols: list[str],
+    key: Column,
+    depth: int = 3,
+    width: int = 256,
+    seed: int = 0,
+    hasher: str = "portable",
+) -> DataFrame:
+    """Point-estimate the count of each probe key per group:
+    ``(group_cols..., <probe cols>, est)`` with
+    ``est = min_i sketch[i][h_i(key)]`` (0 when any addressed counter
+    is absent — the key was never seen). ``probes`` must carry
+    ``group_cols`` plus the key column and is expected to be small (a
+    head-key / watchlist table); the sketch — itself bounded at
+    |groups| * depth * width rows — joins it without touching the raw
+    corpus."""
+    missing = [c for c in group_cols if c not in probes.columns]
+    if missing:
+        raise ValueError(f"probes must carry group cols, missing {missing}")
+    rows = F.array(
+        *[
+            (kmv_hash(key, seed + i, hasher) % F.lit(width)).cast("int")
+            for i in range(depth)
+        ]
+    )
+    addressed = probes.select("*", F.posexplode(rows).alias("row", "col"))
+    joined = addressed.join(
+        sketch.withColumnRenamed("cnt", "_cnt"),
+        on=[*group_cols, "row", "col"],
+        how="left",
+    )
+    out_cols = [c for c in probes.columns if c not in group_cols]
+    return joined.groupBy(*group_cols, *out_cols).agg(
+        F.min(F.coalesce(F.col("_cnt"), F.lit(0))).alias("est")
+    )
+
+
 def kmv_estimate(
     sketch: DataFrame, group_cols: list[str], k: int,
     hasher: str = "portable",

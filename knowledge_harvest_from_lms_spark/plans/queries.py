@@ -4005,6 +4005,281 @@ WHERE CAST(LEN(LIST_INTERSECT(a.g, b.g)) AS DOUBLE) / LEN(a.g) >= 0.7
 """
 
 
+def q81_cm_frequency(spark, sf_dir):
+    """Count-Min sketch (operators/sketches.py cm_sketch/cm_estimate):
+    3x128 counter matrix of per-event-type user frequencies, point
+    estimates for the 20 heaviest (event_type, user) pairs joined to
+    their exact counts. The oracle replays hash rows, counters AND
+    estimator in SQL, so est >= exact and the exact overestimate
+    pattern are both hash-checked, not asserted as a tolerance."""
+    from ..operators.sketches import cm_estimate, cm_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    sk = cm_sketch(ev, ["event_type"], F.col("user_id"), depth=3, width=128)
+    exact = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("exact")
+    )
+    probes = exact.orderBy(
+        F.desc("exact"), F.asc("event_type"), F.asc("user_id")
+    ).limit(20)
+    est = cm_estimate(
+        sk, probes, ["event_type"], F.col("user_id"), depth=3, width=128
+    )
+    return est.select("event_type", "user_id", "exact", "est")
+
+
+Q81_SQL = """
+WITH seeds AS (SELECT UNNEST([0, 1, 2]) AS i),
+h0 AS (
+  SELECT event_type, user_id, i,
+         LIST_REDUCE(
+           LIST_PREPEND(CAST(0 AS BIGINT),
+             LIST_TRANSFORM(
+               STRING_SPLIT(CAST(user_id AS VARCHAR) || '#'
+                            || CAST(i AS VARCHAR), ''),
+               c -> CAST(ASCII(c) AS BIGINT))),
+           (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+  FROM events CROSS JOIN seeds
+  WHERE user_id IS NOT NULL),
+h1 AS (SELECT event_type, user_id, i, xor((h * 2246822519) % 1000000007,
+              ((h * 2246822519) % 1000000007) >> 15) AS h FROM h0),
+h2 AS (SELECT event_type, user_id, i, xor((h * 2654435761) % 1000000007,
+              ((h * 2654435761) % 1000000007) >> 13) AS h FROM h1),
+h3 AS (SELECT event_type, user_id, i, xor((h * 3266489917) % 1000000007,
+              ((h * 3266489917) % 1000000007) >> 16) AS h FROM h2),
+hf AS (SELECT event_type, user_id, CAST(i AS INT) AS row,
+              CAST(((h * 97) % 1000000007) % 128 AS INT) AS col FROM h3),
+counters AS (
+  SELECT event_type, row, col, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM hf GROUP BY event_type, row, col),
+exact AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS exact
+  FROM events GROUP BY event_type, user_id),
+probes AS (
+  SELECT event_type, user_id, exact FROM exact
+  ORDER BY exact DESC, event_type, user_id LIMIT 20),
+paddr AS (
+  SELECT p.event_type, p.user_id, p.exact, f.row, f.col
+  FROM probes p
+  JOIN (SELECT DISTINCT event_type, user_id, row, col FROM hf) f
+    USING (event_type, user_id))
+SELECT p.event_type, p.user_id, p.exact,
+       MIN(COALESCE(c.cnt, 0)) AS est
+FROM paddr p LEFT JOIN counters c USING (event_type, row, col)
+GROUP BY p.event_type, p.user_id, p.exact
+"""
+
+
+def q82_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval: BM25 top-50 (q68's ranker) fused with a
+    char-3-gram Jaccard top-50 by reciprocal-rank fusion
+    (operators/fusion.py, k=60), top 30 fused. Only ranks cross the
+    fusion boundary — the oracle replays both rankers AND the fusion,
+    so a rank slip in either ranker is a hash mismatch."""
+    from ..operators.bm25 import bm25_scores
+    from ..operators.fusion import jaccard_rank, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    bm = bm25_scores(docs, _BM25_TERMS)
+    w = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    bm_r = (
+        bm.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(50)
+        .withColumn("rnk", F.row_number().over(w))
+    )
+    jr = jaccard_rank(docs, "customer data small table", top_n=50)
+    return rrf_fuse(
+        [bm_r.select("doc_id", "rnk"), jr.select("doc_id", "rnk")],
+        k=60,
+        top_n=30,
+    )
+
+
+Q82_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS toks,
+         text
+  FROM documents),
+lens AS (SELECT doc_id, LEN(toks) AS dl, toks FROM toks),
+stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM lens),
+tf AS (
+  SELECT doc_id, dl, qterm,
+         CAST(LEN(LIST_FILTER(toks, t -> t = qterm)) AS DOUBLE) AS tf
+  FROM lens, UNNEST(['customer', 'data', 'small', 'table']) AS u(qterm)
+  WHERE LIST_CONTAINS(toks, qterm)),
+dfs AS (SELECT qterm, COUNT(*) AS df FROM tf GROUP BY qterm),
+part AS (
+  SELECT t.doc_id,
+         LN(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl))
+           AS p
+  FROM tf t JOIN dfs d USING (qterm) CROSS JOIN stats s),
+bm_scored AS (
+  SELECT doc_id, ROUND(SUM(p), 9) AS score FROM part GROUP BY doc_id),
+bm_rank AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER
+           (ORDER BY score DESC, doc_id) AS INT) AS rnk
+  FROM bm_scored),
+bm_top AS (SELECT doc_id, rnk FROM bm_rank WHERE rnk <= 50),
+qg AS (
+  SELECT LIST_DISTINCT(LIST_TRANSFORM(
+           RANGE(1, LENGTH('customer data small table') - 1),
+           i -> SUBSTR('customer data small table', i, 3))) AS qg),
+dg AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(
+           RANGE(1, LENGTH(SUBSTR(text, 1, 120)) - 1),
+           i -> SUBSTR(SUBSTR(text, 1, 120), i, 3))) AS g
+  FROM documents),
+jac AS (
+  SELECT doc_id,
+         ROUND(CAST(LEN(LIST_INTERSECT(g, qg)) AS DOUBLE)
+               / (LEN(g) + LEN(qg) - LEN(LIST_INTERSECT(g, qg))), 9) AS jac
+  FROM dg CROSS JOIN qg),
+j_rank AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER
+           (ORDER BY jac DESC, doc_id) AS INT) AS rnk
+  FROM jac WHERE jac > 0),
+j_top AS (SELECT doc_id, rnk FROM j_rank WHERE rnk <= 50),
+contribs AS (
+  SELECT doc_id, 1.0 / (60 + CAST(rnk AS DOUBLE)) AS c FROM bm_top
+  UNION ALL
+  SELECT doc_id, 1.0 / (60 + CAST(rnk AS DOUBLE)) AS c FROM j_top),
+fused AS (
+  SELECT doc_id, ROUND(SUM(c), 9) AS rrf,
+         CAST(COUNT(*) AS INT) AS n_rankers
+  FROM contribs GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id, rrf, n_rankers,
+         CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rnk
+  FROM fused)
+SELECT doc_id, rrf, n_rankers, rnk FROM ranked WHERE rnk <= 30
+"""
+
+
+def q83_pmi_collocations(spark, sf_dir):
+    """PMI collocation mining (operators/collocations.py): top-50
+    adjacent bigrams by pointwise mutual information with c(a,b)>=5.
+    All counts are exact integers and the single ln happens at
+    publication, so the oracle replays the full computation — counts,
+    totals, PMI, ranking — hash-exactly."""
+    from ..operators.collocations import pmi_collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_collocations(docs, min_count=5, top_n=50)
+
+
+Q83_SQL = """
+WITH toks AS (
+  SELECT LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS toks
+  FROM documents),
+nz AS (SELECT toks FROM toks WHERE LEN(toks) > 0),
+uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w
+  FROM (SELECT UNNEST(toks) AS w FROM nz) GROUP BY w),
+bi AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM (SELECT UNNEST(toks[1:LEN(toks) - 1]) AS w1,
+               UNNEST(toks[2:LEN(toks)]) AS w2
+        FROM nz WHERE LEN(toks) >= 2)
+  GROUP BY w1, w2 HAVING COUNT(*) >= 5),
+tot AS (
+  SELECT CAST(SUM(LEN(toks)) AS BIGINT) AS n_uni,
+         CAST(SUM(GREATEST(LEN(toks) - 1, 0)) AS BIGINT) AS n_bi
+  FROM nz),
+j AS (
+  SELECT b.w1, b.w2, b.c_ab, ua.c_w AS c_a, ub.c_w AS c_b,
+         ROUND(LN((CAST(b.c_ab AS DOUBLE) / t.n_bi)
+                  / ((CAST(ua.c_w AS DOUBLE) / t.n_uni)
+                     * (CAST(ub.c_w AS DOUBLE) / t.n_uni))), 9) AS pmi
+  FROM bi b JOIN uni ua ON b.w1 = ua.w
+            JOIN uni ub ON b.w2 = ub.w
+  CROSS JOIN tot t),
+ranked AS (
+  SELECT w1, w2, c_ab, c_a, c_b, pmi,
+         CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS INT) AS rnk
+  FROM j)
+SELECT w1, w2, c_ab, c_a, c_b, pmi, rnk FROM ranked WHERE rnk <= 50
+"""
+
+
+def q84_snapshot_diff(spark, sf_dir):
+    """Content-level snapshot diff (operators/snapshot_diff.py): two
+    deterministic perturbations of events (drop 10% old-side, drop a
+    disjoint 10% new-side, bump value on every 7th id) diffed into
+    added/removed/changed rows. No floats are created — the +1 value
+    bump is exact in both engines — so the diff is hash-exact against
+    a FULL OUTER JOIN / IS DISTINCT FROM oracle."""
+    from ..operators.snapshot_diff import snapshot_diff
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    old = ev.filter(F.col("event_id") % 10 != 0)
+    new = ev.filter(F.col("event_id") % 10 != 1).withColumn(
+        "value",
+        F.when(
+            F.col("event_id") % 7 == 0, F.col("value") + 1
+        ).otherwise(F.col("value")),
+    )
+    return snapshot_diff(old, new, ["event_id"], ["event_type", "value"])
+
+
+Q84_SQL = """
+WITH old AS (
+  SELECT event_id, event_type, value FROM events WHERE event_id % 10 <> 0),
+new AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 7 = 0 THEN value + 1 ELSE value END AS value
+  FROM events WHERE event_id % 10 <> 1),
+j AS (
+  SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+         CASE WHEN o.event_id IS NULL THEN 'added'
+              WHEN n.event_id IS NULL THEN 'removed'
+              WHEN (o.event_type IS DISTINCT FROM n.event_type)
+                OR (o.value IS DISTINCT FROM n.value) THEN 'changed'
+         END AS change
+  FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id)
+SELECT event_id, change FROM j WHERE change IS NOT NULL
+"""
+
+
+def q85_decayed_engagement(spark, sf_dir):
+    """Exponentially time-decayed engagement (operators/decay.py):
+    per-event-type decayed count + decayed value sum at half-life 7
+    days anchored at 2024-02-01 (just past the events range). The
+    weight is a codegen'd exp() on exact integer-microsecond deltas;
+    the oracle replays the identical EPOCH_US arithmetic, and the
+    round-9 publication absorbs the engines' last-ulp exp()
+    divergence (documented determinism rule)."""
+    from ..operators.decay import decayed_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return decayed_agg(
+        ev,
+        ["event_type"],
+        "ts",
+        "2024-02-01 00:00:00",
+        7.0,
+        value=F.col("value"),
+    )
+
+
+Q85_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(EXP(-(0.6931471805599453 / (7.0 * 86400000000))
+                     * CAST(EPOCH_US(TIMESTAMP '2024-02-01 00:00:00')
+                            - EPOCH_US(ts) AS DOUBLE))), 9) AS decayed_count,
+       ROUND(SUM(value * EXP(-(0.6931471805599453 / (7.0 * 86400000000))
+                     * CAST(EPOCH_US(TIMESTAMP '2024-02-01 00:00:00')
+                            - EPOCH_US(ts) AS DOUBLE))), 9) AS decayed_sum
+FROM events WHERE ts IS NOT NULL GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4122,6 +4397,11 @@ QUERIES = {
     "q78_bloom_pruned_join": q78_bloom_pruned_join,
     "q79_kcore": q79_kcore,
     "q80_containment_pairs": q80_containment_pairs,
+    "q81_cm_frequency": q81_cm_frequency,
+    "q82_rrf_fusion": q82_rrf_fusion,
+    "q83_pmi_collocations": q83_pmi_collocations,
+    "q84_snapshot_diff": q84_snapshot_diff,
+    "q85_decayed_engagement": q85_decayed_engagement,
 }
 
 ORACLES = {
@@ -4213,4 +4493,9 @@ ORACLES = {
     "q78_bloom_pruned_join": Q78_SQL,
     "q79_kcore": Q79_SQL,
     "q80_containment_pairs": Q80_SQL,
+    "q81_cm_frequency": Q81_SQL,
+    "q82_rrf_fusion": Q82_SQL,
+    "q83_pmi_collocations": Q83_SQL,
+    "q84_snapshot_diff": Q84_SQL,
+    "q85_decayed_engagement": Q85_SQL,
 }
