@@ -4280,6 +4280,80 @@ FROM events WHERE ts IS NOT NULL GROUP BY event_type
 """
 
 
+def q86_link_host_graph(spark, sf_dir):
+    """Web link-graph construction (operators/linkgraph.py): messy
+    deterministic HTML (mixed-case href/scheme, root-relative paths,
+    mailto noise) synthesized per doc_id — the q49/q41 pattern for
+    driver tables without the needed column — extracted, resolved and
+    aggregated to the host-level edge list. The oracle replays the
+    IDENTICAL regex pattern (RE2 and Java both honor the inline (?i))
+    plus resolution and aggregation, so a drift in the extraction
+    contract is a hash mismatch."""
+    from ..operators.linkgraph import extract_links, host_graph
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://host"),
+        (d % 20).cast("string"),
+        F.lit(".example.com/page/"),
+        d.cast("string"),
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="https://host'),
+        ((d + 3) % 20).cast("string"),
+        F.lit('.example.com/x/'),
+        (d % 50).cast("string"),
+        F.lit('">a</a><A HREF="HTTPS://Host'),
+        ((d + 7) % 20).cast("string"),
+        F.lit('.Example.com/y">b</A><a href="/rel/'),
+        (d % 9).cast("string"),
+        F.lit('">c</a><a href="mailto:x@y.z">d</a></body></html>'),
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    return host_graph(extract_links(pages))
+
+
+Q86_SQL = """
+WITH pages AS (
+  SELECT 'https://host' || CAST(doc_id % 20 AS VARCHAR)
+           || '.example.com/page/' || CAST(doc_id AS VARCHAR) AS url,
+         '<html><body><a href="https://host'
+           || CAST((doc_id + 3) % 20 AS VARCHAR) || '.example.com/x/'
+           || CAST(doc_id % 50 AS VARCHAR)
+           || '">a</a><A HREF="HTTPS://Host'
+           || CAST((doc_id + 7) % 20 AS VARCHAR)
+           || '.Example.com/y">b</A><a href="/rel/'
+           || CAST(doc_id % 9 AS VARCHAR)
+           || '">c</a><a href="mailto:x@y.z">d</a></body></html>' AS html
+  FROM documents),
+links AS (
+  SELECT url AS src_url,
+         UNNEST(regexp_extract_all(html, '(?i)href\\s*=\\s*"([^"]*)"', 1))
+           AS raw
+  FROM pages),
+resolved AS (
+  SELECT src_url,
+         CASE WHEN lower(raw) LIKE 'http://%' OR lower(raw) LIKE 'https://%'
+                THEN raw
+              WHEN raw LIKE '/%' AND raw NOT LIKE '//%'
+                THEN regexp_extract(src_url,
+                       '^([a-z][a-z0-9+.-]*://[^/:?#]+)', 1) || raw
+         END AS dst_url
+  FROM links),
+hosts AS (
+  SELECT regexp_extract(lower(src_url),
+           '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS src_host,
+         regexp_extract(lower(dst_url),
+           '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS dst_host
+  FROM resolved WHERE dst_url IS NOT NULL)
+SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
+FROM hosts
+WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
+GROUP BY src_host, dst_host
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4402,6 +4476,7 @@ QUERIES = {
     "q83_pmi_collocations": q83_pmi_collocations,
     "q84_snapshot_diff": q84_snapshot_diff,
     "q85_decayed_engagement": q85_decayed_engagement,
+    "q86_link_host_graph": q86_link_host_graph,
 }
 
 ORACLES = {
@@ -4498,4 +4573,5 @@ ORACLES = {
     "q83_pmi_collocations": Q83_SQL,
     "q84_snapshot_diff": Q84_SQL,
     "q85_decayed_engagement": Q85_SQL,
+    "q86_link_host_graph": Q86_SQL,
 }
