@@ -4373,10 +4373,10 @@ GROUP BY src_host, dst_host
 # surface in the registry. q90/q91 are the two declared rows-only
 # contracts (stub-MLM harvest; exact-spec pytest is the stronger
 # check); every other entry is oracle-backed. The r5 additions
-# (q67-q80) append after the overflow tail — brand new entries carry
+# (q67-q86) append after the overflow tail — brand new entries carry
 # fresh pytest + selfcheck evidence already, so they wait their turn
 # in the rotation rather than displacing never-checked entries.
-# scripts/check_correctness.py still gates ALL 90
+# scripts/check_correctness.py still gates ALL 96
 # (CORRECTNESS_selfcheck.json).
 QUERIES = {
     "q49_url_canonical": q49_url_canonical,

@@ -61,6 +61,16 @@ SHOW = {
     "q74_group_split": "r5 leakage-safe split: assignment is a scan-fused hash CASE projection (zero exchange for the decision itself); the only shuffle is the per-(user,split) count agg the query adds on top",
     "q75_cap_per_group": "r5 per-group quota cap: row_number over (avalanche hash, id) compiles to WindowGroupLimit Partial below the exchange — a hot host ships ~n rows per input partition, not its whole crawl",
     "q76_connected_components": "r5 connected components: O(log n) alternating star rounds; eager localCheckpoint per round keeps the FINAL plan depth O(1) (the dump shows only the last round's aggregates over checkpointed scans, the pagerank discipline); min-neighbor aggregate partial+final so hubs collapse map-side",
+    "q77_corpus_drift": "r5 drift gate: each snapshot is ONE map-side-combining aggregate on a WHEN-chain bucket id fused into its scan; the k-row sides join a broadcast k-row bucket spine (empty buckets still report); PSI/KL terms pure Column math",
+    "q78_bloom_pruned_join": "r5 bloom-pruned join: build side collapses to m/64 bitmap-word rows via bit_or partials; the probe scan gains a literal-array filter (NO extra exchange or join node) and the exact join then sees only survivors",
+    "q79_kcore": "r5 k-core peel: per round one degree aggregate (partial+final) + LEFT SEMI joins against the shrinking survivor set; eager localCheckpoint keeps final plan depth O(1)",
+    "q80_containment_pairs": "r5 containment join: prefix explode on the CONTAINED side only, container side explodes all tokens but the join key is A's rarest prefix token; size bound |B| >= t|A| rides the join condition cheap-first; exact verify on candidates only",
+    "q81_cm_frequency": "r5 Count-Min: depth-exploded (row,col) stream into ONE map-side-combining aggregate whose group cardinality is CAPPED at |groups|*depth*width; probes join the bounded sketch, never the corpus",
+    "q82_rrf_fusion": "r5 RRF fusion: both rankers end in bounded top-N (TakeOrderedAndProject); fusion is one hash agg over <= |rankers|*N rows — nothing corpus-sized crosses the fusion boundary",
+    "q83_pmi_collocations": "r5 PMI collocations: bigrams via arrays_zip of the token array against its 1-shift (one explode); min_count prunes the Zipf tail in the bigram HashAggregate BEFORE the unigram joins; top-n first (TakeOrderedAndProject), window ranks only survivors",
+    "q84_snapshot_diff": "r5 snapshot diff: ONE full-outer sort-merge join co-partitioned on the key; null-safe compares in codegen; unchanged rows dropped before anything downstream",
+    "q85_decayed_engagement": "r5 decayed aggregates: exp() weight on integer-microsecond deltas fused into the scan projection; ONE map-side-combining aggregate — the decayed-sum monoid partials add like any sum",
+    "q86_link_host_graph": "r5 link host graph: href regexp_extract_all in the scan projection (html never crosses to Python), row-linear explode, host-pair aggregate partial+final so hub hosts collapse map-side",
 }
 
 
