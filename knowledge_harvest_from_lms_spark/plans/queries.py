@@ -4361,22 +4361,19 @@ GROUP BY src_host, dst_host
 # Registry ORDER is deliberate: the driver's CORRECTNESS gate records
 # exactly the FIRST 50 dict entries (r3/r4 files both cut at position
 # 50 with zero errors — a driver-side cap this side can't lift), so
-# the window ROTATES each round to keep every entry's hard driver
-# signal fresh. Round-5 order = fewest-lifetime-driver-checks first
-# (counted over CORRECTNESS_r01..r04): q49–q66 (the r4 corpus-
-# curation/temporal/sketch suite — never driver-checked; the r4 judge
-# verified them independently), then the 1×/2×/3×-checked tail
-# (q40/q48; q38–q47/q97/q98; q28/q31–q37/q90/q91/q93–q96/q99), then
-# five 4×-checked machinery-heavy entries to fill the window. The 26
-# overflow entries are the early relational queries q01–q30/q92 —
-# driver-green in ALL FOUR prior rounds and structurally the simplest
-# surface in the registry. q90/q91 are the two declared rows-only
-# contracts (stub-MLM harvest; exact-spec pytest is the stronger
-# check); every other entry is oracle-backed. The r5 additions
-# (q67-q86) append after the overflow tail — brand new entries carry
-# fresh pytest + selfcheck evidence already, so they wait their turn
-# in the rotation rather than displacing never-checked entries.
-# scripts/check_correctness.py still gates ALL 96
+# the window rotates each round to keep every entry's hard driver
+# signal fresh. Round 5 is the FINAL round — there is no r6 rotation —
+# so the final window maximizes never-driver-checked coverage: all 38
+# entries with zero lifetime driver rows lead (q49–q66, the r4
+# corpus-curation/temporal/sketch suite the r4 judge verified
+# independently, plus the whole r5 suite q67–q86), then the 12 slots
+# left are filled fewest-lifetime-checks-first: q40/q48 (1× checked)
+# and ten of the 2×-checked KG-flagship chain (q38, q41–q47, q97,
+# q98). The 46 overflow entries are 3–4×-driver-green already
+# (q01–q39 relational surface, q90–q99 ANN/BertNet suite). q90/q91
+# remain the two declared rows-only contracts (stub-MLM harvest;
+# exact-spec pytest is the stronger check); every other entry is
+# oracle-backed. scripts/check_correctness.py still gates ALL 96
 # (CORRECTNESS_selfcheck.json).
 QUERIES = {
     "q49_url_canonical": q49_url_canonical,
@@ -4397,10 +4394,29 @@ QUERIES = {
     "q64_triangle_counts": q64_triangle_counts,
     "q65_histogram_quantiles": q65_histogram_quantiles,
     "q66_weighted_reservoir": q66_weighted_reservoir,
+    "q67_heavy_hitters": q67_heavy_hitters,
+    "q68_bm25_search": q68_bm25_search,
+    "q69_zorder_code_histogram": q69_zorder_code_histogram,
+    "q70_sequence_packing": q70_sequence_packing,
+    "q71_sessionization": q71_sessionization,
+    "q72_inverted_index": q72_inverted_index,
+    "q73_setsim_exact_pairs": q73_setsim_exact_pairs,
+    "q74_group_split": q74_group_split,
+    "q75_cap_per_group": q75_cap_per_group,
+    "q76_connected_components": q76_connected_components,
+    "q77_corpus_drift": q77_corpus_drift,
+    "q78_bloom_pruned_join": q78_bloom_pruned_join,
+    "q79_kcore": q79_kcore,
+    "q80_containment_pairs": q80_containment_pairs,
+    "q81_cm_frequency": q81_cm_frequency,
+    "q82_rrf_fusion": q82_rrf_fusion,
+    "q83_pmi_collocations": q83_pmi_collocations,
+    "q84_snapshot_diff": q84_snapshot_diff,
+    "q85_decayed_engagement": q85_decayed_engagement,
+    "q86_link_host_graph": q86_link_host_graph,
     "q40_minhash_exact_clusters": q40_minhash_exact_clusters,
     "q48_ngram_repetition": q48_ngram_repetition,
     "q38_dedup_documents_minhash": q38_dedup_documents_minhash,
-    "q39_entity_mentions_punct": q39_entity_mentions_punct,
     "q41_support_rerank": q41_support_rerank,
     "q42_window_cooccurrence": q42_window_cooccurrence,
     "q43_canonical_components": q43_canonical_components,
@@ -4410,6 +4426,8 @@ QUERIES = {
     "q47_importance_ranked_triples": q47_importance_ranked_triples,
     "q97_multimodal_features": q97_multimodal_features,
     "q98_graph_materialize": q98_graph_materialize,
+    # ---- position 51+: the driver window cuts here ----
+    "q39_entity_mentions_punct": q39_entity_mentions_punct,
     "q28_salted_word_count": q28_salted_word_count,
     "q31_intersect": q31_intersect,
     "q32_except": q32_except,
@@ -4429,7 +4447,6 @@ QUERIES = {
     "q22_graph_edges": q22_graph_edges,
     "q23_cooccur_triples": q23_cooccur_triples,
     "q33_sessionize": q33_sessionize,
-    # ---- position 51+: the driver window cuts here ----
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
     "q03_top_orders_per_priority": q03_top_orders_per_priority,
@@ -4456,27 +4473,6 @@ QUERIES = {
     "q29_orderby_length": q29_orderby_length,
     "q30_grouping_sets": q30_grouping_sets,
     "q92_simhash_pairs": q92_simhash_pairs,
-    # r5 additions (join the rotation for the r6 window)
-    "q67_heavy_hitters": q67_heavy_hitters,
-    "q68_bm25_search": q68_bm25_search,
-    "q69_zorder_code_histogram": q69_zorder_code_histogram,
-    "q70_sequence_packing": q70_sequence_packing,
-    "q71_sessionization": q71_sessionization,
-    "q72_inverted_index": q72_inverted_index,
-    "q73_setsim_exact_pairs": q73_setsim_exact_pairs,
-    "q74_group_split": q74_group_split,
-    "q75_cap_per_group": q75_cap_per_group,
-    "q76_connected_components": q76_connected_components,
-    "q77_corpus_drift": q77_corpus_drift,
-    "q78_bloom_pruned_join": q78_bloom_pruned_join,
-    "q79_kcore": q79_kcore,
-    "q80_containment_pairs": q80_containment_pairs,
-    "q81_cm_frequency": q81_cm_frequency,
-    "q82_rrf_fusion": q82_rrf_fusion,
-    "q83_pmi_collocations": q83_pmi_collocations,
-    "q84_snapshot_diff": q84_snapshot_diff,
-    "q85_decayed_engagement": q85_decayed_engagement,
-    "q86_link_host_graph": q86_link_host_graph,
 }
 
 ORACLES = {
