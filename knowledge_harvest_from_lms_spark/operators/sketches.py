@@ -309,3 +309,118 @@ def kmv_estimate(
         F.round((F.lit(k - 1)) * F.lit(space) / F.col("h_k").cast("double"), 3),
     ).otherwise(F.col("n_kept").cast("double"))
     return agg.select(*group_cols, "n_kept", est.alias("est_distinct"))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007) as a register-max DataFrame monoid
+# ---------------------------------------------------------------------------
+#
+# Spark's approx_count_distinct IS an HLL, but its binary register
+# blob is opaque: it cannot be persisted per partition/day and
+# re-merged in SQL, and no second engine can replay it (the same gap
+# KMV fills above). This HLL keeps the registers as ROWS
+# (group..., j, r) so the sketch is a plain max-monoid: merge = union
+# + groupBy(j).max(r), associative/commutative/idempotent, and the
+# whole pipeline — hash, register index, rank, estimator, small-range
+# correction — replays row-for-row in DuckDB (q87).
+#
+# vs KMV: HLL state is m registers REGARDLESS of stream size (KMV
+# keeps k hashes but must see them; both are O(1) state) — the real
+# difference is error/state: HLL hits ~1.04/sqrt(m) with 6-bit
+# registers where KMV needs full hashes, so at equal bytes HLL is
+# ~8x more accurate. We pay rows (j, r) for replayability; at
+# |groups| * m rows the table is still dim-sized by construction.
+#
+# Exactness: the harmonic-mean denominator sum(2^-r) is computed as
+# an INTEGER — each register contributes 2^(RMAX - r) with
+# RMAX = W_BITS + 1 >= r, absent registers contribute 2^RMAX — so
+# grain re-aggregation / engine replay cannot reorder float addition
+# (the q63 decimal trick, applied to HLL). The only floats are the
+# single publication divide and the small-range ln(m/z), both
+# rounded to 3 decimals.
+
+_HLL_P = 8                       # default 2^8 = 256 registers
+_HLL_W_BITS = 30 - _HLL_P        # h < 2^30 (< _M), so w = h div m < 2^22
+
+
+def hll_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    key: Column,
+    p: int = _HLL_P,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-group HLL registers ``(group_cols..., j, r)`` over the
+    portable avalanche hash: ``j = h mod 2^p`` indexes the register,
+    ``w = h div 2^p`` feeds the rank ``r = W_BITS - bitlen(w) + 1``
+    (w == 0 -> W_BITS + 1), register value = max rank seen. Only
+    nonzero registers materialize. ONE map-side-combining aggregate;
+    NULL keys are ignored (countDistinct contract, as kmv_sketch)."""
+    if not 4 <= p <= 14:
+        raise ValueError(f"p must be in [4, 14], got {p}")
+    m = 1 << p
+    w_bits = 30 - p
+    h = kmv_hash(key, seed, "portable")
+    hashed = (
+        df.select(*group_cols, h.alias("_h"))
+        .filter(F.col("_h").isNotNull())
+        .select(
+            *group_cols,
+            (F.col("_h") % F.lit(m)).cast("int").alias("j"),
+            F.floor(F.col("_h") / F.lit(m)).cast("bigint").alias("_w"),
+        )
+    )
+    rank = F.when(F.col("_w") == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits) - F.length(F.bin(F.col("_w"))) + 1
+    )
+    return (
+        hashed.select(*group_cols, "j", rank.cast("int").alias("r"))
+        .groupBy(*group_cols, "j")
+        .agg(F.max("r").alias("r"))
+    )
+
+
+def hll_merge(
+    sketches: list[DataFrame], group_cols: list[str]
+) -> DataFrame:
+    """Union HLL register tables (same p, seed) into one: max per
+    (group, j). The lossless union — per-partition / per-day sketches
+    roll up to any coarser grain, exactly as kmv_merge."""
+    allr = sketches[0].select(*group_cols, "j", "r")
+    for s in sketches[1:]:
+        allr = allr.unionByName(s.select(*group_cols, "j", "r"))
+    return allr.groupBy(*group_cols, "j").agg(F.max("r").alias("r"))
+
+
+def hll_estimate(
+    sketch: DataFrame, group_cols: list[str], p: int = _HLL_P
+) -> DataFrame:
+    """(group_cols..., n_regs, est_distinct). Raw estimate
+    alpha_m * m^2 / sum_j 2^(-r_j) with the integer-numerator
+    denominator described above; groups in the small range
+    (raw <= 2.5m with empty registers) switch to linear counting
+    m * ln(m / zeros). Rounded to 3 decimals at publication."""
+    m = 1 << p
+    w_bits = 30 - p
+    rmax = w_bits + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m) if m >= 128 else {
+        16: 0.673, 32: 0.697, 64: 0.709
+    }.get(m, 0.7213 / (1.0 + 1.079 / m))
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        # integer harmonic numerator: sum over PRESENT registers of
+        # 2^(RMAX - r); r <= RMAX so every term is a positive BIGINT
+        # (F.shiftleft takes only a literal bit count, hence F.expr)
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - r)"))
+        .alias("_s_present"),
+    )
+    zeros = F.lit(m) - F.col("n_regs")
+    denom = (F.col("_s_present") + zeros * F.lit(1 << rmax)).cast("double")
+    raw = F.lit(alpha * m * m * float(1 << rmax)) / denom
+    small = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0), small
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols, "n_regs", F.round(est, 3).alias("est_distinct")
+    )
