@@ -71,6 +71,11 @@ SHOW = {
     "q84_snapshot_diff": "r5 snapshot diff: ONE full-outer sort-merge join co-partitioned on the key; null-safe compares in codegen; unchanged rows dropped before anything downstream",
     "q85_decayed_engagement": "r5 decayed aggregates: exp() weight on integer-microsecond deltas fused into the scan projection; ONE map-side-combining aggregate — the decayed-sum monoid partials add like any sum",
     "q86_link_host_graph": "r5 link host graph: href regexp_extract_all in the scan projection (html never crosses to Python), row-linear explode, host-pair aggregate partial+final so hub hosts collapse map-side",
+    "q87_hll_distinct": "r5 HyperLogLog: register build is ONE map-side-combining max aggregate (state <= |groups|*m rows regardless of stream); merge = union + max (lossless monoid); integer harmonic numerator keeps the estimator order-exact",
+    "q88_fuzzy_name_pairs": "r5 blocked fuzzy join: block-key equi-join bounds the candidate set (NO nested-loop/cartesian node); the O(|a|*|b|) Jaro-Winkler runs in one Arrow-batched pandas UDF over candidates only",
+    "q89_anchor_surface_forms": "r5 anchor surface forms: two-group regexp extraction fused into the page scan, ONE (host,anchor) aggregate collapses the corpus map-side; share + top-k are two windows over the SAME dst_host partitioning (one Sort/Exchange, single scan — the totals-join alternative duplicated the corpus scan)",
+    "q100_random_walks": "r5 random walks: per step one equi-join + one min(struct) aggregate — neighbor choice is argmin of iid portable hashes, so no per-node neighbor list and no window over hot vertices; eager localCheckpoint keeps the final plan depth O(1) (dump shows the last step only)",
+    "q101_bounded_closure": "r5 bounded closure: per round one join + LEFT ANTI against the closure (BFS invariant: a pair never re-enters at a worse hop count — cycle-safe); eager localCheckpoint per round",
 }
 
 

@@ -320,3 +320,37 @@ def test_q57_dsir_model_broadcast(spark):
     # on bucket-bounded inputs)
     joins = [l for l in plan.splitlines() if "BroadcastHashJoin" in l]
     assert any("LeftOuter" in l for l in joins), plan
+
+
+def test_q89_anchor_forms_single_scan_two_windows(spark):
+    """anchor_surface_forms: ONE corpus scan (the totals-join
+    formulation duplicated it — designed out), extraction fused into
+    the scan projection (no Python eval node), and share + top-k as
+    windows over the SAME dst_host partitioning."""
+    plan = plan_of(QUERIES["q89_anchor_surface_forms"](spark, SF_SMALL))
+    # one file-scan node: formatted mode prints each node in the tree
+    # AND the details, so count the per-scan Location line instead
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "WindowGroupLimit" in plan  # top-k rank limit
+
+
+def test_q100_walks_no_window_no_python(spark):
+    """random_walks: neighbor choice is a min(struct) AGGREGATE —
+    never a window over the (hot) vertex key, never Python. The
+    final plan shows the last step over checkpointed scans."""
+    plan = plan_of(QUERIES["q100_random_walks"](spark, SF_SMALL))
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_q101_closure_final_plan_is_checkpointed_union(spark):
+    """bounded_closure: each round's anti-join is collapsed behind an
+    eager localCheckpoint (lineage O(1) — the pagerank/components
+    discipline), so the FINAL plan is just a union over checkpointed
+    scans; no Python, no Window anywhere."""
+    plan = plan_of(QUERIES["q101_bounded_closure"](spark, SF_SMALL))
+    assert "Union" in plan
+    assert "Scan ExistingRDD" in plan  # checkpointed rounds
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
