@@ -4785,6 +4785,115 @@ FROM reach GROUP BY src, dst
 
 
 # ---------------------------------------------------------------------------
+# Hearst-pattern IsA extraction (operators/hearst.py)
+# ---------------------------------------------------------------------------
+
+def q102_hearst_isa(spark, sf_dir):
+    """hearst_isa over documents.text extended with a deterministic
+    pattern-rich suffix (the q86 synthesis move): per doc_id, a
+    such-as list (Oxford comma on even ids — the grammar corner the
+    two-branch regex got wrong, kept as a regression canary), an
+    and-other list, an including pair, an especially single, and on
+    doc_id % 13 == 0 a self-pair ("class such as class ...")
+    exercising the hypo != hyper filter. The real text contributes
+    the realistic scan payload (its vocabulary contains none of the
+    trigger literals, verified). The oracle replays the IDENTICAL
+    regexes — generated below from operators/hearst.PATTERNS so the
+    two engines cannot drift — plus list split + aggregation."""
+    from ..operators.hearst import hearst_isa
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def _n(expr):
+        return expr.cast("string")
+
+    ox = F.when(d % 2 == 0, F.lit(", and ")).otherwise(F.lit(" and "))
+    self_pair = F.when(
+        d % 13 == 0,
+        F.concat(
+            F.lit(" class"), _n(d % 7),
+            F.lit(" such as class"), _n(d % 7),
+            F.lit(" and ent"), _n(d % 11), F.lit("."),
+        ),
+    ).otherwise(F.lit(""))
+    synth = F.concat(
+        F.col("text"),
+        F.lit(". class"), _n(d % 7),
+        F.lit(" such as ent"), _n(d % 11),
+        F.lit(", ent"), _n((d * 3 + 1) % 11),
+        ox, F.lit("ent"), _n((d * 5 + 2) % 11),
+        F.lit(". ent"), _n(d % 11),
+        F.lit(", ent"), _n((d * 3 + 1) % 11),
+        F.lit(" and other class"), _n((d + 1) % 7),
+        F.lit(". class"), _n((d + 2) % 7),
+        F.lit(" including ent"), _n((d * 3 + 1) % 11),
+        F.lit(" and ent"), _n((d * 5 + 2) % 11),
+        F.lit(". class"), _n(d % 7),
+        F.lit(" especially ent"), _n(d % 11), F.lit("."),
+        self_pair,
+    )
+    return hearst_isa(docs.select(synth.alias("text")))
+
+
+def _q102_sql() -> str:
+    # The oracle's regexes ARE the operator's (imported, not
+    # transcribed) — Java and RE2 compile the same lookaround-free
+    # automata, so extraction replays hash-exactly.
+    from ..operators.hearst import LIST_SPLIT, PATTERNS
+
+    branches = []
+    for name, (rx, hg, lg) in PATTERNS.items():
+        rx_sql = rx.replace("'", "''")
+        branches.append(
+            f"""
+  SELECT '{name}' AS pattern,
+         UNNEST(regexp_extract_all(lower(text), '{rx_sql}', {hg}))
+           AS hyper,
+         UNNEST(regexp_extract_all(lower(text), '{rx_sql}', {lg}))
+           AS hypos
+  FROM synth"""
+        )
+    union = "\n  UNION ALL".join(branches)
+    return f"""
+WITH synth AS (
+  SELECT text || '. class' || CAST(doc_id % 7 AS VARCHAR)
+      || ' such as ent' || CAST(doc_id % 11 AS VARCHAR)
+      || ', ent' || CAST((doc_id * 3 + 1) % 11 AS VARCHAR)
+      || CASE WHEN doc_id % 2 = 0 THEN ', and ' ELSE ' and ' END
+      || 'ent' || CAST((doc_id * 5 + 2) % 11 AS VARCHAR)
+      || '. ent' || CAST(doc_id % 11 AS VARCHAR)
+      || ', ent' || CAST((doc_id * 3 + 1) % 11 AS VARCHAR)
+      || ' and other class' || CAST((doc_id + 1) % 7 AS VARCHAR)
+      || '. class' || CAST((doc_id + 2) % 7 AS VARCHAR)
+      || ' including ent' || CAST((doc_id * 3 + 1) % 11 AS VARCHAR)
+      || ' and ent' || CAST((doc_id * 5 + 2) % 11 AS VARCHAR)
+      || '. class' || CAST(doc_id % 7 AS VARCHAR)
+      || ' especially ent' || CAST(doc_id % 11 AS VARCHAR) || '.'
+      || CASE WHEN doc_id % 13 = 0
+              THEN ' class' || CAST(doc_id % 7 AS VARCHAR)
+                || ' such as class' || CAST(doc_id % 7 AS VARCHAR)
+                || ' and ent' || CAST(doc_id % 11 AS VARCHAR) || '.'
+              ELSE '' END AS text
+  FROM documents),
+matches AS ({union}),
+items AS (
+  SELECT pattern, hyper,
+         UNNEST(list_filter(
+           regexp_split_to_array(hypos, '{LIST_SPLIT}'),
+           x -> x <> '')) AS hypo
+  FROM matches)
+SELECT hypo, hyper, pattern, CAST(COUNT(*) AS BIGINT) AS n
+FROM items
+WHERE hypo <> hyper
+GROUP BY hypo, hyper, pattern
+"""
+
+
+Q102_SQL = _q102_sql()
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -4852,11 +4961,12 @@ QUERIES = {
     "q41_support_rerank": q41_support_rerank,
     "q42_window_cooccurrence": q42_window_cooccurrence,
     "q43_canonical_components": q43_canonical_components,
-    "q44_entity_linking": q44_entity_linking,
     "q89_anchor_surface_forms": q89_anchor_surface_forms,
     "q100_random_walks": q100_random_walks,
     "q101_bounded_closure": q101_bounded_closure,
+    "q102_hearst_isa": q102_hearst_isa,
     # ---- position 51+: the driver window cuts here ----
+    "q44_entity_linking": q44_entity_linking,
     "q45_graph_materialize_text": q45_graph_materialize_text,
     "q46_pagerank": q46_pagerank,
     "q47_importance_ranked_triples": q47_importance_ranked_triples,
@@ -5010,4 +5120,5 @@ ORACLES = {
     "q89_anchor_surface_forms": Q89_SQL,
     "q100_random_walks": Q100_SQL,
     "q101_bounded_closure": Q101_SQL,
+    "q102_hearst_isa": Q102_SQL,
 }

@@ -354,3 +354,19 @@ def test_q101_closure_final_plan_is_checkpointed_union(spark):
     assert "Scan ExistingRDD" in plan  # checkpointed rounds
     assert "Window" not in plan
     assert "EvalPython" not in plan
+
+
+def test_q102_hearst_one_scan_one_exchange_no_python(spark):
+    """hearst_isa: all four pattern extractions fused as JVM regex
+    into ONE corpus scan projection; list split + explode row-linear;
+    the (hypo, hyper, pattern) count collapses map-side (partial
+    HashAggregate BELOW the single Exchange — Zipf-headed hypernyms
+    absorbed before the shuffle); no Python eval, no Window."""
+    plan = plan_of(QUERIES["q102_hearst_isa"](spark, SF_SMALL))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    # tree lines print as "NodeName (id)"; details as "(id) NodeName"
+    assert plan.count("Exchange (") == 1, plan
+    # partial agg below the exchange: HashAggregate appears twice
+    assert plan.count("HashAggregate (") == 2, plan
