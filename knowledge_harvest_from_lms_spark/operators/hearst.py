@@ -19,6 +19,16 @@ class for an NP chunk without touching the dataflow):
   * ``HYPER including X, Y(,)? and Z``    -> same
   * ``HYPER especially X, Y(,)? and Z``   -> same
   * ``X, Y(,)? and other HYPER``          -> (X|Y, IsA, HYPER)
+  * ``X is|was|are|were a|an HYPER``      -> (X, IsA, HYPER) (copula)
+  * ``X, a|an HYPER,``                    -> (X, IsA, HYPER)
+    (appositive; the trailing comma is required — it is what
+    separates an apposition from an ordinary article object)
+
+The copula/appositive subject slot is stopword-rich on raw web text
+("this is a ..."); compose `functions.textops.stopword filters` (F4)
+downstream exactly as the reference pipeline does for MLM-harvested
+entities — this operator's contract is recall + determinism, not
+precision.
 
 Plan shape — the scale decisions:
 
@@ -68,6 +78,13 @@ PATTERNS: dict[str, tuple[str, int, int]] = {
     "including": (f"({_W}) including ({_LIST})", 1, 2),
     "especially": (f"({_W}) especially ({_LIST})", 1, 2),
     "and_other": (f"({_W}(?:, {_W})*),? and other ({_W})", 2, 1),
+    # Copula/appositive: the "list" side is the single subject token
+    # (a 1-item _LIST), so the shared split/explode machinery applies
+    # unchanged. Non-overlapping leftmost scan is identical in Java
+    # and RE2, so chained copulas ("x is a y is a z") extract the
+    # same single match in both engines.
+    "copula_isa": (f"({_W}) (?:is|was|are|were) (?:a|an) ({_W})", 2, 1),
+    "appositive_isa": (f"({_W}), (?:a|an) ({_W}),", 2, 1),
 }
 
 

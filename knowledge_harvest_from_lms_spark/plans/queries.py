@@ -4793,8 +4793,9 @@ def q102_hearst_isa(spark, sf_dir):
     pattern-rich suffix (the q86 synthesis move): per doc_id, a
     such-as list (Oxford comma on even ids — the grammar corner the
     two-branch regex got wrong, kept as a regression canary), an
-    and-other list, an including pair, an especially single, and on
-    doc_id % 13 == 0 a self-pair ("class such as class ...")
+    and-other list, an including pair, an especially single, a
+    copula ("ent is a class"), an appositive ("ent, a class,"), and
+    on doc_id % 13 == 0 a self-pair ("class such as class ...")
     exercising the hypo != hyper filter. The real text contributes
     the realistic scan payload (its vocabulary contains none of the
     trigger literals, verified). The oracle replays the IDENTICAL
@@ -4831,6 +4832,11 @@ def q102_hearst_isa(spark, sf_dir):
         F.lit(" and ent"), _n((d * 5 + 2) % 11),
         F.lit(". class"), _n(d % 7),
         F.lit(" especially ent"), _n(d % 11), F.lit("."),
+        F.lit(" ent"), _n((d * 2 + 3) % 11),
+        F.lit(" is a class"), _n((d * 2 + 3) % 7),
+        F.lit(". ent"), _n((d + 4) % 11),
+        F.lit(", a class"), _n((d + 5) % 7),
+        F.lit(", endtok."),
         self_pair,
     )
     return hearst_isa(docs.select(synth.alias("text")))
@@ -4870,6 +4876,11 @@ WITH synth AS (
       || ' and ent' || CAST((doc_id * 5 + 2) % 11 AS VARCHAR)
       || '. class' || CAST(doc_id % 7 AS VARCHAR)
       || ' especially ent' || CAST(doc_id % 11 AS VARCHAR) || '.'
+      || ' ent' || CAST((doc_id * 2 + 3) % 11 AS VARCHAR)
+      || ' is a class' || CAST((doc_id * 2 + 3) % 7 AS VARCHAR)
+      || '. ent' || CAST((doc_id + 4) % 11 AS VARCHAR)
+      || ', a class' || CAST((doc_id + 5) % 7 AS VARCHAR)
+      || ', endtok.'
       || CASE WHEN doc_id % 13 = 0
               THEN ' class' || CAST(doc_id % 7 AS VARCHAR)
                 || ' such as class' || CAST(doc_id % 7 AS VARCHAR)

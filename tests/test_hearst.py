@@ -120,3 +120,43 @@ def test_multiple_matches_one_doc(spark):
         ("beets", "vegetables", "such_as"): 1,
         ("kale", "vegetables", "such_as"): 1,
     }
+
+
+def test_copula_isa_all_tenses(spark):
+    got = _triples(
+        spark,
+        "paris is a city. rome was a republic. "
+        "whales are an oddity. dodos were a bird.",
+    )
+    assert got == {
+        ("paris", "city", "copula_isa"): 1,
+        ("rome", "republic", "copula_isa"): 1,
+        ("whales", "oddity", "copula_isa"): 1,
+        ("dodos", "bird", "copula_isa"): 1,
+    }
+
+
+def test_copula_chained_non_overlapping(spark):
+    # leftmost non-overlapping scan: the shared middle token is
+    # consumed by the first match — identical in Java and RE2.
+    got = _triples(spark, "x is a y is a z.")
+    assert got == {("x", "y", "copula_isa"): 1}
+
+
+def test_appositive_requires_trailing_comma(spark):
+    got = _triples(
+        spark,
+        "paris, a city, hosts it. rome, a republic once.",
+    )
+    # "rome, a republic once." has no closing comma -> no apposition
+    assert got == {("paris", "city", "appositive_isa"): 1}
+
+
+def test_oxford_and_glue_not_mistaken_for_article(spark):
+    # ", and w" must never fire the appositive branch ("an" + "d"
+    # fails the required space after the article).
+    got = _triples(spark, "fruits such as apples, and pears.")
+    assert got == {
+        ("apples", "fruits", "such_as"): 1,
+        ("pears", "fruits", "such_as"): 1,
+    }
