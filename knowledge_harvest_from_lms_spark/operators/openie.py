@@ -1,0 +1,129 @@
+"""ReVerb-style Open IE — (subj, pred, obj) triples from raw text.
+
+The corpus-side complement to the MLM harvest for ARBITRARY
+predicates: where `operators/hearst.py` mines the fixed IsA relation
+and the reference mines only through the LM
+(`knowledge_harvest/lm.py` emits tuples for a *given* relation
+prompt), open information extraction surfaces the relation phrase
+itself from the sentence — the move of ReVerb (Fader et al. 2011) and
+the OLLIE/Stanford-OpenIE line — so a web-scale deployment can seed
+NEW relation definitions for the MLM pipeline from what the corpus
+actually says.
+
+Chunker-free contract (single-token NPs, closed verb/preposition
+lexicons instead of a POS tagger — a production system swaps a real
+tagger into the same dataflow):
+
+  * sentences = text split on ``[.!?]``, lowercased;
+  * a candidate fires at verb position ``i`` when ``tokens[i] in
+    verbs`` and ``tokens[i-1]`` (the subject) is in NEITHER lexicon;
+  * the relation phrase is the verb plus the maximal run of
+    following preposition/particle tokens, bounded by
+    ``max_prep_run`` (ReVerb's ``V P*`` shape without the middle
+    ``W*`` — the unbounded-noun middle needs a tagger to end
+    non-arbitrarily, so it is out of contract);
+  * the object is the first non-preposition token after the run; a
+    run that exceeds the bound or hits the sentence end yields
+    nothing; subj == obj candidates are dropped (the reference's F7
+    intra-tuple dup filter, `knowledge_harvest/utils.py`).
+
+Plan shape — the scale decisions:
+
+* Tokenization, candidate generation, and the bounded prep-run
+  resolution are ALL higher-order JVM Column functions
+  (`split`/`filter`/`transform`/`get` over per-sentence arrays) —
+  no Python anywhere, no shuffle until the final count.
+* Rows amplify by sentences per doc and then by actual candidate
+  count — never by token pairs (the positional SELF-JOIN formulation
+  the DuckDB oracle q103 uses would shuffle the token stream three
+  times at corpus scale; here position lookups are row-local
+  `F.get` calls, which is the point of keeping the token array
+  together).
+* The (subj, pred, obj) count collapses map-side (partial
+  HashAggregate below the one Exchange) so Zipf-headed predicates
+  ("is", "has") are absorbed per partition.
+* Lexicons compile to IN-list predicates (codegen'd) — right for
+  closed function-word sets. A corpus-derived verb lexicon of 10^5+
+  entries would swap the IN predicate for a broadcast semi-join on
+  the verb token without touching the rest of the dataflow.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SENT_SPLIT = "[.!?]"
+TOKEN_SPLIT = "[^a-z0-9_-]+"
+
+
+def open_ie(
+    docs: DataFrame,
+    verbs: Iterable[str],
+    preps: Iterable[str],
+    text_col: str = "text",
+    max_prep_run: int = 2,
+    min_count: int = 1,
+) -> DataFrame:
+    """Triples with support: ``(subj, pred, obj, n)``, ``n >=
+    min_count``. ``pred`` is the space-joined relation phrase
+    (verb + 0..max_prep_run prepositions)."""
+    verbs = sorted(set(verbs))
+    preps = sorted(set(preps))
+    lex = sorted(set(verbs) | set(preps))
+
+    sents = docs.select(
+        F.explode(
+            F.split(F.lower(F.col(text_col)), SENT_SPLIT)
+        ).alias("s")
+    )
+    toks = sents.select(
+        F.filter(
+            F.split(F.col("s"), TOKEN_SPLIT), lambda t: t != F.lit("")
+        ).alias("t")
+    ).filter(F.size("t") >= 3)
+
+    t = F.col("t")
+
+    def cand(i: Column) -> Column:
+        # i = 0-based verb position in [1, size-2]; F.get returns
+        # null out of bounds, which fails every branch cleanly.
+        subj = F.get(t, i - 1)
+        verb = F.get(t, i)
+        c = None
+        for k in range(max_prep_run + 1):
+            # fall-through from branch k-1 implies tokens
+            # i+1..i+k are all prepositions (a null would have
+            # nulled that branch's obj too, ending the chain).
+            obj = F.get(t, i + 1 + k)
+            pred = F.concat_ws(
+                " ", verb, *[F.get(t, i + 1 + j) for j in range(k)]
+            )
+            hit = obj.isNotNull() & ~obj.isin(*preps)
+            out = F.struct(
+                subj.alias("subj"), pred.alias("pred"), obj.alias("obj")
+            )
+            c = F.when(hit, out) if c is None else c.when(hit, out)
+        return F.when(verb.isin(*verbs) & ~subj.isin(*lex), c)
+
+    cands = toks.select(
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - 2), cand
+                ),
+                lambda c: c.isNotNull(),
+            )
+        ).alias("c")
+    )
+    out = (
+        cands.select("c.subj", "c.pred", "c.obj")
+        .filter(F.col("subj") != F.col("obj"))
+        .groupBy("subj", "pred", "obj")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if min_count > 1:
+        out = out.filter(F.col("n") >= min_count)
+    return out

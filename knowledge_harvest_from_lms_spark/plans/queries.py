@@ -4905,6 +4905,128 @@ Q102_SQL = _q102_sql()
 
 
 # ---------------------------------------------------------------------------
+# ReVerb-style Open IE (operators/openie.py)
+# ---------------------------------------------------------------------------
+
+def q103_open_ie(spark, sf_dir):
+    """open_ie over documents.text extended with a deterministic
+    clause suffix: per doc_id a bare-verb triple ("suba married
+    objb"), a V+P triple ("subc lives in objd"), a V+P+P triple
+    ("sube moved in to objf"); on doc_id % 5 == 0 a three-prep run
+    that EXCEEDS max_prep_run and must extract nothing; on
+    doc_id % 13 == 0 a subj == obj self-pair (dropped, F7); on
+    doc_id % 7 == 0 a lexicon-word subject (dropped). The oracle is
+    an INDEPENDENT formulation — the token stream as (doc, sent,
+    pos, tok) ROWS with positional self-joins and a CASE ladder —
+    not a replay of the Spark HOF dataflow, so a contract slip in
+    either engine shows as a hash mismatch."""
+    from ..operators.openie import open_ie
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def _n(expr):
+        return expr.cast("string")
+
+    def _opt(cond, *parts):
+        return F.when(cond, F.concat(*parts)).otherwise(F.lit(""))
+
+    synth = F.concat(
+        F.col("text"),
+        F.lit(". suba"), _n(d % 7),
+        F.lit(" married objb"), _n(d % 11),
+        F.lit(". subc"), _n(d % 5),
+        F.lit(" lives in objd"), _n(d % 9),
+        F.lit(". sube"), _n(d % 4),
+        F.lit(" moved in to objf"), _n(d % 6), F.lit("."),
+        _opt(d % 5 == 0,
+             F.lit(" subg"), _n(d % 3),
+             F.lit(" moved in to to objh"), _n(d % 3), F.lit(".")),
+        _opt(d % 13 == 0,
+             F.lit(" dupe"), _n(d % 7),
+             F.lit(" married dupe"), _n(d % 7), F.lit(".")),
+        _opt(d % 7 == 0,
+             F.lit(" married lives objx"), _n(d % 3), F.lit(".")),
+    )
+    return open_ie(
+        docs.select(synth.alias("text")),
+        verbs=["married", "lives", "moved"],
+        preps=["in", "to"],
+    )
+
+
+Q103_SQL = """
+WITH synth AS (
+  SELECT doc_id,
+    text || '. suba' || CAST(doc_id % 7 AS VARCHAR)
+      || ' married objb' || CAST(doc_id % 11 AS VARCHAR)
+      || '. subc' || CAST(doc_id % 5 AS VARCHAR)
+      || ' lives in objd' || CAST(doc_id % 9 AS VARCHAR)
+      || '. sube' || CAST(doc_id % 4 AS VARCHAR)
+      || ' moved in to objf' || CAST(doc_id % 6 AS VARCHAR) || '.'
+      || CASE WHEN doc_id % 5 = 0
+              THEN ' subg' || CAST(doc_id % 3 AS VARCHAR)
+                || ' moved in to to objh' || CAST(doc_id % 3 AS VARCHAR) || '.'
+              ELSE '' END
+      || CASE WHEN doc_id % 13 = 0
+              THEN ' dupe' || CAST(doc_id % 7 AS VARCHAR)
+                || ' married dupe' || CAST(doc_id % 7 AS VARCHAR) || '.'
+              ELSE '' END
+      || CASE WHEN doc_id % 7 = 0
+              THEN ' married lives objx' || CAST(doc_id % 3 AS VARCHAR) || '.'
+              ELSE '' END
+      AS text
+  FROM documents),
+sent AS (
+  SELECT doc_id,
+         UNNEST(list_transform(
+           regexp_split_to_array(lower(text), '[.!?]'),
+           (x, i) -> struct_pack(s := x, sid := i))) AS u
+  FROM synth),
+tokrows AS (
+  SELECT doc_id, u.sid AS sid,
+         UNNEST(list_transform(
+           list_filter(
+             regexp_split_to_array(u.s, '[^a-z0-9_-]+'),
+             x -> x <> ''),
+           (x, i) -> struct_pack(tok := x, pos := i))) AS w
+  FROM sent),
+tk AS (
+  SELECT doc_id, sid, w.tok AS tok, w.pos AS pos FROM tokrows),
+cand AS (
+  SELECT v.doc_id, v.sid, v.pos, s.tok AS subj, v.tok AS verb
+  FROM tk v
+  JOIN tk s ON s.doc_id = v.doc_id AND s.sid = v.sid
+           AND s.pos = v.pos - 1
+  WHERE v.tok IN ('lives', 'married', 'moved')
+    AND s.tok NOT IN ('in', 'lives', 'married', 'moved', 'to')),
+res AS (
+  SELECT c.subj,
+    CASE WHEN t1.tok NOT IN ('in', 'to') THEN c.verb
+         WHEN t2.tok NOT IN ('in', 'to') THEN c.verb || ' ' || t1.tok
+         WHEN t3.tok NOT IN ('in', 'to')
+              THEN c.verb || ' ' || t1.tok || ' ' || t2.tok
+    END AS pred,
+    CASE WHEN t1.tok NOT IN ('in', 'to') THEN t1.tok
+         WHEN t2.tok NOT IN ('in', 'to') THEN t2.tok
+         WHEN t3.tok NOT IN ('in', 'to') THEN t3.tok
+    END AS obj
+  FROM cand c
+  LEFT JOIN tk t1 ON t1.doc_id = c.doc_id AND t1.sid = c.sid
+                 AND t1.pos = c.pos + 1
+  LEFT JOIN tk t2 ON t2.doc_id = c.doc_id AND t2.sid = c.sid
+                 AND t2.pos = c.pos + 2
+  LEFT JOIN tk t3 ON t3.doc_id = c.doc_id AND t3.sid = c.sid
+                 AND t3.pos = c.pos + 3)
+SELECT subj, pred, obj, CAST(COUNT(*) AS BIGINT) AS n
+FROM res
+WHERE pred IS NOT NULL AND obj IS NOT NULL AND subj <> obj
+GROUP BY subj, pred, obj
+"""
+
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -4971,12 +5093,13 @@ QUERIES = {
     "q38_dedup_documents_minhash": q38_dedup_documents_minhash,
     "q41_support_rerank": q41_support_rerank,
     "q42_window_cooccurrence": q42_window_cooccurrence,
-    "q43_canonical_components": q43_canonical_components,
     "q89_anchor_surface_forms": q89_anchor_surface_forms,
     "q100_random_walks": q100_random_walks,
     "q101_bounded_closure": q101_bounded_closure,
     "q102_hearst_isa": q102_hearst_isa,
+    "q103_open_ie": q103_open_ie,
     # ---- position 51+: the driver window cuts here ----
+    "q43_canonical_components": q43_canonical_components,
     "q44_entity_linking": q44_entity_linking,
     "q45_graph_materialize_text": q45_graph_materialize_text,
     "q46_pagerank": q46_pagerank,
@@ -5132,4 +5255,5 @@ ORACLES = {
     "q100_random_walks": Q100_SQL,
     "q101_bounded_closure": Q101_SQL,
     "q102_hearst_isa": Q102_SQL,
+    "q103_open_ie": Q103_SQL,
 }

@@ -370,3 +370,19 @@ def test_q102_hearst_one_scan_one_exchange_no_python(spark):
     assert plan.count("Exchange (") == 1, plan
     # partial agg below the exchange: HashAggregate appears twice
     assert plan.count("HashAggregate (") == 2, plan
+
+
+def test_q103_openie_one_scan_one_exchange_no_python(spark):
+    """open_ie: tokenization + candidate generation + bounded
+    prep-run resolution are all JVM higher-order Column functions
+    over per-sentence arrays — ONE corpus scan, no Python eval, no
+    Window, no join; the triple count collapses map-side below the
+    single Exchange (the positional-join formulation the oracle uses
+    would shuffle the token stream three times — designed out)."""
+    plan = plan_of(QUERIES["q103_open_ie"](spark, SF_SMALL))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange (") == 1, plan
+    assert plan.count("HashAggregate (") == 2, plan
