@@ -150,3 +150,16 @@ def hearst_isa(
     if min_count > 1:
         out = out.filter(F.col("n") >= min_count)
     return out
+
+
+def as_graph_triples(isa: DataFrame) -> DataFrame:
+    """Adapt ``hearst_isa`` output to the engine's harvested-triple
+    shape ``(rel, ents, weight)`` consumed by
+    `operators.graph.materialize_graph` / `merge_into_graph`, so
+    corpus-mined IsA edges land in the SAME vertex/edge graph as the
+    MLM beam harvest (weight = pattern support count)."""
+    return isa.select(
+        F.lit("isa").alias("rel"),
+        F.array("hypo", "hyper").alias("ents"),
+        F.col("n").cast("double").alias("weight"),
+    )

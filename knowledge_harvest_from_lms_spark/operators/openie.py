@@ -127,3 +127,17 @@ def open_ie(
     if min_count > 1:
         out = out.filter(F.col("n") >= min_count)
     return out
+
+
+def as_graph_triples(triples: DataFrame) -> DataFrame:
+    """Adapt ``open_ie`` output to the engine's harvested-triple shape
+    ``(rel, ents, weight)`` consumed by
+    `operators.graph.materialize_graph` / `merge_into_graph` — the
+    mined relation phrase becomes the edge relation, so corpus-mined
+    predicates land in the SAME graph as the MLM harvest's relation
+    set (weight = support count)."""
+    return triples.select(
+        F.col("pred").alias("rel"),
+        F.array("subj", "obj").alias("ents"),
+        F.col("n").cast("double").alias("weight"),
+    )
