@@ -36,14 +36,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # portable tokenizer convention shared with the DuckDB oracles:
-# lowercase, split on runs of non-alphanumerics, drop empties
-_TOKEN_SPLIT = "[^a-z0-9]+"
+# lowercase, maximal alphanumeric runs (== split on non-alnum runs
+# minus empties). Extraction with a cached compiled pattern, not
+# split-and-filter: Spark's `split` recompiles its regex per row —
+# the openie.py finding.
+_TOKEN_EXTRACT = "[a-z0-9]+"
 
 
 def _tokens(text):
-    return F.filter(
-        F.split(F.lower(text), _TOKEN_SPLIT), lambda t: t != F.lit("")
-    )
+    return F.regexp_extract_all(F.lower(text), F.lit(_TOKEN_EXTRACT), 0)
 
 
 def bm25_scores(

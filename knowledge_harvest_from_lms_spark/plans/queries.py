@@ -1322,7 +1322,7 @@ def q43_canonical_components(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     toks = (
-        docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("ent"))
+        docs.select(F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).alias("ent"))
         .filter(F.length("ent") >= 2)
         .distinct()
     )
@@ -1379,7 +1379,7 @@ def q44_entity_linking(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     toks = (
-        docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("ent"))
+        docs.select(F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).alias("ent"))
         .filter(F.length("ent") >= 2)
         .distinct()
     )
@@ -4788,21 +4788,17 @@ FROM reach GROUP BY src, dst
 # Hearst-pattern IsA extraction (operators/hearst.py)
 # ---------------------------------------------------------------------------
 
-def q102_hearst_isa(spark, sf_dir):
-    """hearst_isa over documents.text extended with a deterministic
-    pattern-rich suffix (the q86 synthesis move): per doc_id, a
-    such-as list (Oxford comma on even ids — the grammar corner the
+def _hearst_synth_docs(spark, sf_dir):
+    """documents.text extended with a deterministic pattern-rich
+    suffix (the q86 synthesis move), shared by q102/q104: per doc_id,
+    a such-as list (Oxford comma on even ids — the grammar corner the
     two-branch regex got wrong, kept as a regression canary), an
     and-other list, an including pair, an especially single, a
     copula ("ent is a class"), an appositive ("ent, a class,"), and
     on doc_id % 13 == 0 a self-pair ("class such as class ...")
     exercising the hypo != hyper filter. The real text contributes
     the realistic scan payload (its vocabulary contains none of the
-    trigger literals, verified). The oracle replays the IDENTICAL
-    regexes — generated below from operators/hearst.PATTERNS so the
-    two engines cannot drift — plus list split + aggregation."""
-    from ..operators.hearst import hearst_isa
-
+    trigger literals, verified). The SQL twin is _HEARST_SYNTH_CTE."""
     docs = _t(spark, sf_dir, "documents")
     d = F.col("doc_id")
 
@@ -4839,31 +4835,21 @@ def q102_hearst_isa(spark, sf_dir):
         F.lit(", endtok."),
         self_pair,
     )
-    return hearst_isa(docs.select(synth.alias("text")))
+    return docs.select(synth.alias("text"))
 
 
-def _q102_sql() -> str:
-    # The oracle's regexes ARE the operator's (imported, not
-    # transcribed) — Java and RE2 compile the same lookaround-free
-    # automata, so extraction replays hash-exactly.
-    from ..operators.hearst import LIST_SPLIT, PATTERNS
+def q102_hearst_isa(spark, sf_dir):
+    """hearst_isa over the shared pattern-rich synthesis
+    (_hearst_synth_docs). The oracle replays the IDENTICAL regexes —
+    generated below from operators/hearst.PATTERNS so the two engines
+    cannot drift — plus list split + aggregation."""
+    from ..operators.hearst import hearst_isa
 
-    branches = []
-    for name, (rx, hg, lg) in PATTERNS.items():
-        rx_sql = rx.replace("'", "''")
-        branches.append(
-            f"""
-  SELECT '{name}' AS pattern,
-         UNNEST(regexp_extract_all(lower(text), '{rx_sql}', {hg}))
-           AS hyper,
-         UNNEST(regexp_extract_all(lower(text), '{rx_sql}', {lg}))
-           AS hypos
-  FROM synth"""
-        )
-    union = "\n  UNION ALL".join(branches)
-    return f"""
-WITH synth AS (
-  SELECT text || '. class' || CAST(doc_id % 7 AS VARCHAR)
+    return hearst_isa(_hearst_synth_docs(spark, sf_dir))
+
+
+_HEARST_SYNTH_CTE = """
+  SELECT doc_id, text || '. class' || CAST(doc_id % 7 AS VARCHAR)
       || ' such as ent' || CAST(doc_id % 11 AS VARCHAR)
       || ', ent' || CAST((doc_id * 3 + 1) % 11 AS VARCHAR)
       || CASE WHEN doc_id % 2 = 0 THEN ', and ' ELSE ' and ' END
@@ -4886,7 +4872,30 @@ WITH synth AS (
                 || ' such as class' || CAST(doc_id % 7 AS VARCHAR)
                 || ' and ent' || CAST(doc_id % 11 AS VARCHAR) || '.'
               ELSE '' END AS text
-  FROM documents),
+  FROM documents"""
+
+
+def _q102_sql() -> str:
+    # The oracle's regexes ARE the operator's (imported, not
+    # transcribed) — Java and RE2 compile the same lookaround-free
+    # automata, so extraction replays hash-exactly.
+    from ..operators.hearst import LIST_SPLIT, PATTERNS
+
+    branches = []
+    for name, (rx, hg, lg) in PATTERNS.items():
+        rx_sql = rx.replace("'", "''")
+        branches.append(
+            f"""
+  SELECT '{name}' AS pattern,
+         UNNEST(regexp_extract_all(lower(text), '{rx_sql}', {hg}))
+           AS hyper,
+         UNNEST(regexp_extract_all(lower(text), '{rx_sql}', {lg}))
+           AS hypos
+  FROM synth"""
+        )
+    union = "\n  UNION ALL".join(branches)
+    return f"""
+WITH synth AS ({_HEARST_SYNTH_CTE}),
 matches AS ({union}),
 items AS (
   SELECT pattern, hyper,
@@ -4902,6 +4911,99 @@ GROUP BY hypo, hyper, pattern
 
 
 Q102_SQL = _q102_sql()
+
+
+def q104_hearst_siblings(spark, sf_dir):
+    """hearst_siblings over the SAME pattern-rich synthesis as q102:
+    co-hyponym pairs from items sharing a matched list. The oracle is
+    a DIFFERENT formulation of pair generation — items as (doc,
+    pattern, match-ordinality, position) ROWS self-joined on pos_i <
+    pos_j — vs Spark's row-local nested-transform; extraction regexes
+    are still generated from operators/hearst.PATTERNS (zero
+    transcription drift)."""
+    from ..operators.hearst import hearst_siblings
+
+    return hearst_siblings(_hearst_synth_docs(spark, sf_dir))
+
+
+def _q104_sql() -> str:
+    from ..operators.hearst import LIST_SPLIT, PATTERNS
+
+    branches = []
+    for name, (rx, _hg, lg) in PATTERNS.items():
+        rx_sql = rx.replace("'", "''")
+        branches.append(
+            f"""
+  SELECT doc_id, '{name}' AS pattern,
+         UNNEST(list_transform(
+           regexp_extract_all(lower(text), '{rx_sql}', {lg}),
+           (x, i) -> struct_pack(hypos := x, midx := i))) AS m
+  FROM synth"""
+        )
+    union = "\n  UNION ALL".join(branches)
+    return f"""
+WITH synth AS ({_HEARST_SYNTH_CTE}),
+matches AS ({union}),
+items AS (
+  SELECT doc_id, pattern, m.midx AS midx,
+         UNNEST(list_transform(
+           list_filter(
+             regexp_split_to_array(m.hypos, '{LIST_SPLIT}'),
+             x -> x <> ''),
+           (x, i) -> struct_pack(tok := x, pos := i))) AS it
+  FROM matches),
+it2 AS (
+  SELECT doc_id, pattern, midx, it.tok AS tok, it.pos AS pos
+  FROM items)
+SELECT least(x.tok, y.tok) AS a, greatest(x.tok, y.tok) AS b,
+       x.pattern AS pattern, CAST(COUNT(*) AS BIGINT) AS n
+FROM it2 x
+JOIN it2 y ON x.doc_id = y.doc_id AND x.pattern = y.pattern
+          AND x.midx = y.midx AND x.pos < y.pos
+WHERE x.tok <> y.tok
+GROUP BY 1, 2, 3
+"""
+
+
+Q104_SQL = _q104_sql()
+
+
+
+def q105_corroborated_isa(spark, sf_dir):
+    """corroborate_triples over hearst_isa on the shared synthesis:
+    each of the six pattern families acts as an independent evidence
+    source for the same (hypo, isa, hyper) assertion — the
+    WebIsA/Probase provenance-count move (and the corpus-side twin of
+    the reference's weighted prompt ensemble). The synthesis
+    deliberately makes families overlap (such_as and especially both
+    emit (ent d%11, class d%7)), so n_sources > 1 rows exist at every
+    sf. Oracle: the q102 extraction SQL (generated from
+    operators/hearst.PATTERNS) wrapped in an independent
+    string_agg/COUNT DISTINCT evidence aggregate."""
+    from ..operators.corroborate import corroborate_triples
+    from ..operators.hearst import hearst_isa
+
+    isa = hearst_isa(_hearst_synth_docs(spark, sf_dir))
+    t = isa.select(
+        F.col("hypo").alias("subj"),
+        F.lit("isa").alias("rel"),
+        F.col("hyper").alias("obj"),
+        F.col("pattern").alias("source"),
+        F.col("n").cast("double").alias("weight"),
+    )
+    return corroborate_triples(t)
+
+
+Q105_SQL = f"""
+WITH isa AS ({Q102_SQL})
+SELECT hypo AS subj, 'isa' AS rel, hyper AS obj,
+       CAST(COUNT(DISTINCT pattern) AS BIGINT) AS n_sources,
+       string_agg(pattern, ',' ORDER BY pattern) AS sources,
+       CAST(SUM(n) AS DOUBLE) AS total_weight
+FROM isa
+GROUP BY hypo, hyper
+"""
+
 
 
 # ---------------------------------------------------------------------------
@@ -5091,14 +5193,16 @@ QUERIES = {
     "q40_minhash_exact_clusters": q40_minhash_exact_clusters,
     "q48_ngram_repetition": q48_ngram_repetition,
     "q38_dedup_documents_minhash": q38_dedup_documents_minhash,
-    "q41_support_rerank": q41_support_rerank,
-    "q42_window_cooccurrence": q42_window_cooccurrence,
     "q89_anchor_surface_forms": q89_anchor_surface_forms,
     "q100_random_walks": q100_random_walks,
     "q101_bounded_closure": q101_bounded_closure,
     "q102_hearst_isa": q102_hearst_isa,
     "q103_open_ie": q103_open_ie,
+    "q104_hearst_siblings": q104_hearst_siblings,
+    "q105_corroborated_isa": q105_corroborated_isa,
     # ---- position 51+: the driver window cuts here ----
+    "q41_support_rerank": q41_support_rerank,
+    "q42_window_cooccurrence": q42_window_cooccurrence,
     "q43_canonical_components": q43_canonical_components,
     "q44_entity_linking": q44_entity_linking,
     "q45_graph_materialize_text": q45_graph_materialize_text,
@@ -5256,4 +5360,6 @@ ORACLES = {
     "q101_bounded_closure": Q101_SQL,
     "q102_hearst_isa": Q102_SQL,
     "q103_open_ie": Q103_SQL,
+    "q104_hearst_siblings": Q104_SQL,
+    "q105_corroborated_isa": Q105_SQL,
 }

@@ -160,3 +160,42 @@ def test_oxford_and_glue_not_mistaken_for_article(spark):
         ("apples", "fruits", "such_as"): 1,
         ("pears", "fruits", "such_as"): 1,
     }
+
+
+def _sibs(spark, *texts, **kw):
+    from knowledge_harvest_from_lms_spark.operators.hearst import (
+        hearst_siblings,
+    )
+
+    rows = hearst_siblings(_docs(spark, *texts), **kw).collect()
+    return {(r.a, r.b, r.pattern): r.n for r in rows}
+
+
+def test_siblings_all_pairs_normalized(spark):
+    got = _sibs(spark, "fruits such as pears, apples, and plums.")
+    # pairs canonicalized a < b regardless of list order
+    assert got == {
+        ("apples", "pears", "such_as"): 1,
+        ("pears", "plums", "such_as"): 1,
+        ("apples", "plums", "such_as"): 1,
+    }
+
+
+def test_siblings_duplicates_and_self_pairs(spark):
+    # "x, x and y": (x,x) dropped, (x,y) counted per co-occurrence
+    got = _sibs(spark, "things including x, x and y.")
+    assert got == {("x", "y", "including"): 2}
+
+
+def test_siblings_do_not_cross_lists(spark):
+    got = _sibs(
+        spark, "fruits such as apples. metals such as iron and zinc."
+    )
+    assert got == {("iron", "zinc", "such_as"): 1}
+    # single-item and copula/appositive lists contribute nothing
+    assert _sibs(spark, "paris is a city. rome, a republic, fell.") == {}
+
+
+def test_siblings_min_count(spark):
+    texts = ["t such as a and b.", "t such as a and b.", "t such as a and c."]
+    assert _sibs(spark, *texts, min_count=2) == {("a", "b", "such_as"): 2}

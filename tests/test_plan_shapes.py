@@ -386,3 +386,32 @@ def test_q103_openie_one_scan_one_exchange_no_python(spark):
     assert "Join" not in plan
     assert plan.count("Exchange (") == 1, plan
     assert plan.count("HashAggregate (") == 2, plan
+
+
+def test_q104_siblings_one_scan_one_exchange_no_join(spark):
+    """hearst_siblings: pair generation is a row-local nested
+    transform over the split list (bounded by grammar, not data) —
+    the positional self-join the oracle uses would shuffle the item
+    stream; here there is NO join, one scan, one exchange with a
+    map-side partial count."""
+    plan = plan_of(QUERIES["q104_hearst_siblings"](spark, SF_SMALL))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange (") == 1, plan
+    assert plan.count("HashAggregate (") == 2, plan
+
+
+def test_q105_corroborate_two_aggs_no_python(spark):
+    """corroborated isa: pattern-level counts collapse first (q102's
+    one-exchange aggregate), then evidence folds per (subj, rel, obj)
+    — a second map-side-combining aggregate whose collect_set state
+    is bounded by the SOURCE count, not the corpus. One scan, no
+    Python, no Window, no join."""
+    plan = plan_of(QUERIES["q105_corroborated_isa"](spark, SF_SMALL))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange (") == 2, plan
