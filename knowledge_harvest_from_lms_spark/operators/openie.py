@@ -99,7 +99,7 @@ def open_ie(
     t = F.col("t")
 
     def cand(i: Column) -> Column:
-        # i = 0-based verb position in [1, size-2]; F.get returns
+        # i = 0-based verb position (pre-filtered); F.get returns
         # null out of bounds, which fails every branch cleanly.
         subj = F.get(t, i - 1)
         verb = F.get(t, i)
@@ -117,14 +117,22 @@ def open_ie(
                 subj.alias("subj"), pred.alias("pred"), obj.alias("obj")
             )
             c = F.when(hit, out) if c is None else c.when(hit, out)
-        return F.when(verb.isin(*verbs) & ~subj.isin(*lex), c)
+        return F.when(~subj.isin(*lex), c)
 
+    # verb positions FIRST (one cheap IN probe per token), candidate
+    # structs + when-ladders only at actual verb hits — on web text
+    # hits are a few per thousand tokens, so this removes ~99% of the
+    # interpreted-HOF struct allocation (measured: the residual
+    # local[2]->local[8] CPU inflation of the miner came from exactly
+    # that allocation volume).
+    verb_pos = F.filter(
+        F.sequence(F.lit(1), F.size(t) - 2),
+        lambda i: F.get(t, i).isin(*verbs),
+    )
     cands = toks.select(
         F.explode(
             F.filter(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(t) - 2), cand
-                ),
+                F.transform(verb_pos, cand),
                 lambda c: c.isNotNull(),
             )
         ).alias("c")

@@ -4875,10 +4875,12 @@ _HEARST_SYNTH_CTE = """
   FROM documents"""
 
 
-def _q102_sql() -> str:
-    # The oracle's regexes ARE the operator's (imported, not
-    # transcribed) — Java and RE2 compile the same lookaround-free
-    # automata, so extraction replays hash-exactly.
+def _hearst_isa_sql(synth_cte: str) -> str:
+    """The hearst_isa oracle SQL over an arbitrary synth CTE. The
+    regexes ARE the operator's (imported, not transcribed) — Java and
+    RE2 compile the same lookaround-free automata, so extraction
+    replays hash-exactly. Shared by q102 (direct) and q106 (as the
+    evidence input to taxonomy induction)."""
     from ..operators.hearst import LIST_SPLIT, PATTERNS
 
     branches = []
@@ -4895,7 +4897,7 @@ def _q102_sql() -> str:
         )
     union = "\n  UNION ALL".join(branches)
     return f"""
-WITH synth AS ({_HEARST_SYNTH_CTE}),
+WITH synth AS ({synth_cte}),
 matches AS ({union}),
 items AS (
   SELECT pattern, hyper,
@@ -4910,7 +4912,7 @@ GROUP BY hypo, hyper, pattern
 """
 
 
-Q102_SQL = _q102_sql()
+Q102_SQL = _hearst_isa_sql(_HEARST_SYNTH_CTE)
 
 
 def q104_hearst_siblings(spark, sf_dir):
@@ -5003,6 +5005,90 @@ SELECT hypo AS subj, 'isa' AS rel, hyper AS obj,
 FROM isa
 GROUP BY hypo, hyper
 """
+
+
+
+def q106_taxonomy(spark, sf_dir):
+    """induce_taxonomy over copula IsA evidence mined from
+    documents.text plus clauses that exercise every contract branch:
+    a mutual pair with UNEQUAL support (doc_id % 3 vs % 4 emit the
+    two directions, so one accumulates more evidence), a mutual pair
+    with EQUAL support (both directions on % 6 — the child < parent
+    survivor rule), and an ambiguous child with two equal-support
+    parents (the ties-to-last argmax). The oracle formulates BOTH
+    stages differently: extraction via the generated regex SQL
+    (shared with q102), best-parent as a row_number window (vs
+    Spark's max(struct) aggregate), mutual resolution as the same
+    predicate over an independent self-join."""
+    from ..operators.hearst import hearst_isa
+    from ..operators.taxonomy import induce_taxonomy
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def _n(expr):
+        return expr.cast("string")
+
+    def _opt(cond, *parts):
+        return F.when(cond, F.concat(*parts)).otherwise(F.lit(""))
+
+    k = _n(d % 5)
+    synth = F.concat(
+        F.col("text"),
+        _opt(d % 3 == 0, F.lit(" mut"), k, F.lit(" is a nut"), k, F.lit(".")),
+        _opt(d % 4 == 0, F.lit(" nut"), k, F.lit(" is a mut"), k, F.lit(".")),
+        _opt(d % 6 == 0,
+             F.lit(" ta"), k, F.lit(" is a tb"), k,
+             F.lit(". tb"), k, F.lit(" is a ta"), k, F.lit(".")),
+        F.lit(" amb"), k, F.lit(" is a pa"), k,
+        F.lit(". amb"), k, F.lit(" is a pb"), k, F.lit("."),
+    )
+    return induce_taxonomy(hearst_isa(docs.select(synth.alias("text"))))
+
+
+_Q106_SYNTH_CTE = """
+  SELECT doc_id, text
+      || CASE WHEN doc_id % 3 = 0
+              THEN ' mut' || CAST(doc_id % 5 AS VARCHAR)
+                || ' is a nut' || CAST(doc_id % 5 AS VARCHAR) || '.'
+              ELSE '' END
+      || CASE WHEN doc_id % 4 = 0
+              THEN ' nut' || CAST(doc_id % 5 AS VARCHAR)
+                || ' is a mut' || CAST(doc_id % 5 AS VARCHAR) || '.'
+              ELSE '' END
+      || CASE WHEN doc_id % 6 = 0
+              THEN ' ta' || CAST(doc_id % 5 AS VARCHAR)
+                || ' is a tb' || CAST(doc_id % 5 AS VARCHAR)
+                || '. tb' || CAST(doc_id % 5 AS VARCHAR)
+                || ' is a ta' || CAST(doc_id % 5 AS VARCHAR) || '.'
+              ELSE '' END
+      || ' amb' || CAST(doc_id % 5 AS VARCHAR)
+      || ' is a pa' || CAST(doc_id % 5 AS VARCHAR)
+      || '. amb' || CAST(doc_id % 5 AS VARCHAR)
+      || ' is a pb' || CAST(doc_id % 5 AS VARCHAR) || '.'
+      AS text
+  FROM documents"""
+
+
+def _q106_sql() -> str:
+    isa = _hearst_isa_sql(_Q106_SYNTH_CTE)
+    return f"""
+WITH isa AS ({isa}),
+ranked AS (
+  SELECT hypo AS child, hyper AS parent, n,
+         row_number() OVER (PARTITION BY hypo
+                            ORDER BY n DESC, hyper DESC) AS rk
+  FROM (SELECT hypo, hyper, CAST(SUM(n) AS BIGINT) AS n
+        FROM isa GROUP BY hypo, hyper)),
+bp AS (SELECT child, parent, n FROM ranked WHERE rk = 1)
+SELECT a.child, a.parent, a.n
+FROM bp a
+LEFT JOIN bp b ON b.child = a.parent AND b.parent = a.child
+WHERE b.n IS NULL OR a.n > b.n OR (a.n = b.n AND a.child < a.parent)
+"""
+
+
+Q106_SQL = _q106_sql()
 
 
 
@@ -5192,7 +5278,6 @@ QUERIES = {
     "q88_fuzzy_name_pairs": q88_fuzzy_name_pairs,
     "q40_minhash_exact_clusters": q40_minhash_exact_clusters,
     "q48_ngram_repetition": q48_ngram_repetition,
-    "q38_dedup_documents_minhash": q38_dedup_documents_minhash,
     "q89_anchor_surface_forms": q89_anchor_surface_forms,
     "q100_random_walks": q100_random_walks,
     "q101_bounded_closure": q101_bounded_closure,
@@ -5200,7 +5285,9 @@ QUERIES = {
     "q103_open_ie": q103_open_ie,
     "q104_hearst_siblings": q104_hearst_siblings,
     "q105_corroborated_isa": q105_corroborated_isa,
+    "q106_taxonomy": q106_taxonomy,
     # ---- position 51+: the driver window cuts here ----
+    "q38_dedup_documents_minhash": q38_dedup_documents_minhash,
     "q41_support_rerank": q41_support_rerank,
     "q42_window_cooccurrence": q42_window_cooccurrence,
     "q43_canonical_components": q43_canonical_components,
@@ -5362,4 +5449,5 @@ ORACLES = {
     "q103_open_ie": Q103_SQL,
     "q104_hearst_siblings": Q104_SQL,
     "q105_corroborated_isa": Q105_SQL,
+    "q106_taxonomy": Q106_SQL,
 }

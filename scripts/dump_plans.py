@@ -76,6 +76,11 @@ SHOW = {
     "q89_anchor_surface_forms": "r5 anchor surface forms: two-group regexp extraction fused into the page scan, ONE (host,anchor) aggregate collapses the corpus map-side; share + top-k are two windows over the SAME dst_host partitioning (one Sort/Exchange, single scan — the totals-join alternative duplicated the corpus scan)",
     "q100_random_walks": "r5 random walks: per step one equi-join + one min(struct) aggregate — neighbor choice is argmin of iid portable hashes, so no per-node neighbor list and no window over hot vertices; eager localCheckpoint keeps the final plan depth O(1) (dump shows the last step only)",
     "q101_bounded_closure": "r5 bounded closure: per round one join + LEFT ANTI against the closure (BFS invariant: a pair never re-enters at a worse hop count — cycle-safe); eager localCheckpoint per round",
+    "q102_hearst_isa": "r5 Hearst IsA mining: all six lexico-syntactic patterns extracted by JVM regexp_extract_all FUSED into ONE corpus scan projection; row-linear list explode; (hypo,hyper,pattern) count collapses map-side below the single Exchange — no window, no join, no Python",
+    "q103_open_ie": "r5 Open IE: sentence/token chunking via cached-pattern regexp_extract_all (NOT split — Spark's split recompiles its regex per row), verb positions prefiltered with a cheap IN probe before any candidate struct exists, V P* resolution a fall-through when-ladder over row-local arrays; one scan, one exchange, no join",
+    "q104_hearst_siblings": "r5 co-hyponym siblings: pair generation is a row-local nested transform over each matched list (quadratic bounded by GRAMMAR, lists are a few items) — no join, no window; (a,b,pattern) count partial+final",
+    "q105_corroborated_isa": "r5 triple corroboration: two map-side-combining aggregates — pattern counts, then per-(subj,rel,obj) evidence folding whose collect_set state is bounded by the SOURCE count, never the corpus",
+    "q106_taxonomy": "r5 taxonomy induction: best parent = max(struct) AGGREGATE (hot children collapse map-side; the oracle's row_number window would funnel each hot child to one reducer), mutual 2-cycle resolution = one self-join on the aggregated |children|-row table",
 }
 
 

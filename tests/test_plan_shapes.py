@@ -415,3 +415,16 @@ def test_q105_corroborate_two_aggs_no_python(spark):
     assert "Window" not in plan
     assert "Join" not in plan
     assert plan.count("Exchange (") == 2, plan
+
+
+def test_q106_taxonomy_aggregate_argmax_no_window(spark):
+    """induce_taxonomy: best-parent = max(struct) AGGREGATE (map-side
+    combining — a hot child's 10^5 candidate parents collapse per
+    partition; the row_number formulation the oracle uses would
+    shuffle the full candidate stream to one reducer per hot child),
+    then ONE self-join on the aggregated |children|-row table. No
+    Window, no Python."""
+    plan = plan_of(QUERIES["q106_taxonomy"](spark, SF_SMALL))
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+    assert "Join" in plan
