@@ -5143,8 +5143,8 @@ def q103_open_ie(spark, sf_dir):
     )
 
 
-Q103_SQL = """
-WITH synth AS (
+_Q103_SYNTH_CTE = """
+
   SELECT doc_id,
     text || '. suba' || CAST(doc_id % 7 AS VARCHAR)
       || ' married objb' || CAST(doc_id % 11 AS VARCHAR)
@@ -5164,7 +5164,19 @@ WITH synth AS (
               THEN ' married lives objx' || CAST(doc_id % 3 AS VARCHAR) || '.'
               ELSE '' END
       AS text
-  FROM documents),
+  FROM documents"""
+
+
+def _open_ie_sql(synth_cte: str, verbs: list, preps: list) -> str:
+    """The open_ie oracle SQL over an arbitrary synth CTE — the
+    INDEPENDENT positional-join formulation (token stream as rows +
+    CASE ladder), parameterized by lexicons. Shared by q103 (direct)
+    and q107 (as the evidence input to paraphrase discovery)."""
+    vs = ", ".join(f"'{v}'" for v in sorted(verbs))
+    lex = ", ".join(f"'{w}'" for w in sorted(set(verbs) | set(preps)))
+    ps = ", ".join(f"'{p}'" for p in sorted(preps)) or "''"
+    return f"""
+WITH synth AS ({synth_cte}),
 sent AS (
   SELECT doc_id,
          UNNEST(list_transform(
@@ -5186,18 +5198,18 @@ cand AS (
   FROM tk v
   JOIN tk s ON s.doc_id = v.doc_id AND s.sid = v.sid
            AND s.pos = v.pos - 1
-  WHERE v.tok IN ('lives', 'married', 'moved')
-    AND s.tok NOT IN ('in', 'lives', 'married', 'moved', 'to')),
+  WHERE v.tok IN ({vs})
+    AND s.tok NOT IN ({lex})),
 res AS (
   SELECT c.subj,
-    CASE WHEN t1.tok NOT IN ('in', 'to') THEN c.verb
-         WHEN t2.tok NOT IN ('in', 'to') THEN c.verb || ' ' || t1.tok
-         WHEN t3.tok NOT IN ('in', 'to')
+    CASE WHEN t1.tok NOT IN ({ps}) THEN c.verb
+         WHEN t2.tok NOT IN ({ps}) THEN c.verb || ' ' || t1.tok
+         WHEN t3.tok NOT IN ({ps})
               THEN c.verb || ' ' || t1.tok || ' ' || t2.tok
     END AS pred,
-    CASE WHEN t1.tok NOT IN ('in', 'to') THEN t1.tok
-         WHEN t2.tok NOT IN ('in', 'to') THEN t2.tok
-         WHEN t3.tok NOT IN ('in', 'to') THEN t3.tok
+    CASE WHEN t1.tok NOT IN ({ps}) THEN t1.tok
+         WHEN t2.tok NOT IN ({ps}) THEN t2.tok
+         WHEN t3.tok NOT IN ({ps}) THEN t3.tok
     END AS obj
   FROM cand c
   LEFT JOIN tk t1 ON t1.doc_id = c.doc_id AND t1.sid = c.sid
@@ -5211,6 +5223,92 @@ FROM res
 WHERE pred IS NOT NULL AND obj IS NOT NULL AND subj <> obj
 GROUP BY subj, pred, obj
 """
+
+
+Q103_SQL = _open_ie_sql(_Q103_SYNTH_CTE, ["lives", "married", "moved"], ["in", "to"])
+
+
+
+def q107_paraphrase_discovery(spark, sf_dir):
+    """discover_paraphrases over open_ie evidence with engineered
+    overlap structure: "married" and "wed" share every argument pair
+    (jaccard 1), "loves" fires only on doc_id % 11 < 5 (a strict
+    subset of the pair space — partial jaccard), and "knows" uses a
+    disjoint subject space (zero overlap — absent from the output by
+    the min-overlap contract). The corpus-side twin of the
+    reference's LLM prompt paraphrases (search_prompts.py S10):
+    paraphrases READ off the corpus with a measured confidence.
+    Oracle: the q103 positional-join extraction (shared helper,
+    lexicon-parameterized) + an independent overlap/size join."""
+    from ..operators.dirt import discover_paraphrases
+    from ..operators.openie import open_ie
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def _n(expr):
+        return expr.cast("string")
+
+    k7, k11 = _n(d % 7), _n(d % 11)
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" wsub"), k7, F.lit(" married wobj"), k11,
+        F.lit(". wsub"), k7, F.lit(" wed wobj"), k11, F.lit("."),
+        F.when(
+            d % 11 < 5,
+            F.concat(F.lit(" wsub"), k7, F.lit(" loves wobj"), k11,
+                     F.lit(".")),
+        ).otherwise(F.lit("")),
+        F.lit(" ksub"), k7, F.lit(" knows wobj"), k11, F.lit("."),
+    )
+    mined = open_ie(
+        docs.select(synth.alias("text")),
+        verbs=["married", "wed", "loves", "knows"],
+        preps=[],
+    )
+    return discover_paraphrases(mined)
+
+
+_Q107_SYNTH_CTE = """
+  SELECT doc_id, text
+      || ' wsub' || CAST(doc_id % 7 AS VARCHAR)
+      || ' married wobj' || CAST(doc_id % 11 AS VARCHAR)
+      || '. wsub' || CAST(doc_id % 7 AS VARCHAR)
+      || ' wed wobj' || CAST(doc_id % 11 AS VARCHAR) || '.'
+      || CASE WHEN doc_id % 11 < 5
+              THEN ' wsub' || CAST(doc_id % 7 AS VARCHAR)
+                || ' loves wobj' || CAST(doc_id % 11 AS VARCHAR) || '.'
+              ELSE '' END
+      || ' ksub' || CAST(doc_id % 7 AS VARCHAR)
+      || ' knows wobj' || CAST(doc_id % 11 AS VARCHAR) || '.'
+      AS text
+  FROM documents"""
+
+
+def _q107_sql() -> str:
+    mined = _open_ie_sql(
+        _Q107_SYNTH_CTE, ["married", "wed", "loves", "knows"], []
+    )
+    return f"""
+WITH mined AS ({mined}),
+t AS (SELECT DISTINCT subj, pred, obj FROM mined),
+ov AS (
+  SELECT a.pred AS pred_a, b.pred AS pred_b,
+         CAST(COUNT(*) AS BIGINT) AS overlap
+  FROM t a
+  JOIN t b ON a.subj = b.subj AND a.obj = b.obj AND a.pred < b.pred
+  GROUP BY 1, 2),
+sz AS (SELECT pred, COUNT(*) AS sz FROM t GROUP BY pred)
+SELECT ov.pred_a, ov.pred_b, ov.overlap,
+       CAST(ov.overlap AS DOUBLE) / (sa.sz + sb.sz - ov.overlap)
+         AS jaccard
+FROM ov
+JOIN sz sa ON sa.pred = ov.pred_a
+JOIN sz sb ON sb.pred = ov.pred_b
+"""
+
+
+Q107_SQL = _q107_sql()
 
 
 
@@ -5277,7 +5375,6 @@ QUERIES = {
     "q87_hll_distinct": q87_hll_distinct,
     "q88_fuzzy_name_pairs": q88_fuzzy_name_pairs,
     "q40_minhash_exact_clusters": q40_minhash_exact_clusters,
-    "q48_ngram_repetition": q48_ngram_repetition,
     "q89_anchor_surface_forms": q89_anchor_surface_forms,
     "q100_random_walks": q100_random_walks,
     "q101_bounded_closure": q101_bounded_closure,
@@ -5286,8 +5383,10 @@ QUERIES = {
     "q104_hearst_siblings": q104_hearst_siblings,
     "q105_corroborated_isa": q105_corroborated_isa,
     "q106_taxonomy": q106_taxonomy,
+    "q107_paraphrase_discovery": q107_paraphrase_discovery,
     # ---- position 51+: the driver window cuts here ----
     "q38_dedup_documents_minhash": q38_dedup_documents_minhash,
+    "q48_ngram_repetition": q48_ngram_repetition,
     "q41_support_rerank": q41_support_rerank,
     "q42_window_cooccurrence": q42_window_cooccurrence,
     "q43_canonical_components": q43_canonical_components,
@@ -5450,4 +5549,5 @@ ORACLES = {
     "q104_hearst_siblings": Q104_SQL,
     "q105_corroborated_isa": Q105_SQL,
     "q106_taxonomy": Q106_SQL,
+    "q107_paraphrase_discovery": Q107_SQL,
 }
