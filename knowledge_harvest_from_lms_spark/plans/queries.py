@@ -5311,6 +5311,288 @@ JOIN sz sb ON sb.pred = ov.pred_b
 Q107_SQL = _q107_sql()
 
 
+def q108_relation_type_signatures(spark, sf_dir):
+    """Schema induction (operators/kg_refine.py): the dominant
+    (subject type, object type) per predicate, measured off a type
+    table — the reference encodes relation argument types implicitly
+    in each relation's seed pairs (relation_info.json
+    init_ent_tuples); a corpus-mined predicate instead ARRIVES with
+    a measured signature. Fixture: a located_in/part_of KG from the
+    TPC-H dims (customers + suppliers -> nations -> regions) whose
+    entity types come from their source tables; located_in's dominant
+    signature is (customer, nation) with share = |customer| /
+    (|customer| + |supplier|). Oracle replays joins + argmax +
+    smallest-pair tiebreak relationally."""
+    from ..operators.kg_refine import relation_type_signatures
+
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+
+    def _e(prefix, col):
+        return F.concat(F.lit(prefix), F.col(col).cast("string"))
+
+    triples = (
+        cust.select(
+            _e("c", "c_custkey").alias("subj"),
+            F.lit("located_in").alias("pred"),
+            _e("n", "c_nationkey").alias("obj"),
+        )
+        .unionAll(
+            supp.select(
+                _e("s", "s_suppkey").alias("subj"),
+                F.lit("located_in").alias("pred"),
+                _e("n", "s_nationkey").alias("obj"),
+            )
+        )
+        .unionAll(
+            nat.select(
+                _e("n", "n_nationkey").alias("subj"),
+                F.lit("part_of").alias("pred"),
+                _e("r", "n_regionkey").alias("obj"),
+            )
+        )
+    )
+    types = (
+        cust.select(_e("c", "c_custkey").alias("entity"),
+                    F.lit("customer").alias("type"))
+        .unionAll(supp.select(_e("s", "s_suppkey").alias("entity"),
+                              F.lit("supplier").alias("type")))
+        .unionAll(nat.select(_e("n", "n_nationkey").alias("entity"),
+                             F.lit("nation").alias("type")))
+        .unionAll(reg.select(_e("r", "r_regionkey").alias("entity"),
+                             F.lit("region").alias("type")))
+    )
+    return relation_type_signatures(triples, types)
+
+
+Q108_SQL = """
+WITH triples AS (
+  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS subj, 'located_in' AS pred,
+         'n' || CAST(c_nationkey AS VARCHAR) AS obj FROM customer
+  UNION ALL
+  SELECT 's' || CAST(s_suppkey AS VARCHAR), 'located_in',
+         'n' || CAST(s_nationkey AS VARCHAR) FROM supplier
+  UNION ALL
+  SELECT 'n' || CAST(n_nationkey AS VARCHAR), 'part_of',
+         'r' || CAST(n_regionkey AS VARCHAR) FROM nation),
+types AS (
+  SELECT DISTINCT * FROM (
+    SELECT 'c' || CAST(c_custkey AS VARCHAR) AS entity,
+           'customer' AS type FROM customer
+    UNION ALL
+    SELECT 's' || CAST(s_suppkey AS VARCHAR), 'supplier' FROM supplier
+    UNION ALL
+    SELECT 'n' || CAST(n_nationkey AS VARCHAR), 'nation' FROM nation
+    UNION ALL
+    SELECT 'r' || CAST(r_regionkey AS VARCHAR), 'region' FROM region)),
+counts AS (
+  SELECT t.pred, ts.type AS subj_type, tobj.type AS obj_type,
+         CAST(COUNT(*) AS BIGINT) AS support
+  FROM triples t
+  JOIN types ts ON ts.entity = t.subj
+  JOIN types tobj ON tobj.entity = t.obj
+  GROUP BY 1, 2, 3),
+tot AS (
+  SELECT pred, SUM(support) AS total, MAX(support) AS best
+  FROM counts GROUP BY pred),
+win AS (
+  SELECT c.pred, c.subj_type, c.obj_type, c.support, t.total,
+         ROW_NUMBER() OVER (PARTITION BY c.pred
+                            ORDER BY c.subj_type, c.obj_type) AS rn
+  FROM counts c JOIN tot t ON t.pred = c.pred AND c.support = t.best)
+SELECT pred, subj_type, obj_type, support,
+       ROUND(CAST(support AS DOUBLE) / total, 6) AS share
+FROM win WHERE rn = 1
+"""
+
+
+def q109_temporal_scope(spark, sf_dir):
+    """Temporal triple scoping (operators/kg_refine.py): validity
+    windows per triple from sighting timestamps — the temporal-KG
+    qualifier move; at crawl scale, first/last sighting per triple
+    drives staleness and re-verification policy. Fixture: each event
+    row is one sighting of (user, event_type, value-bucket);
+    timestamps travel as exact EPOCH micros (integer time math, the
+    q71 convention) so min/max are engine-portable. One
+    map-side-combining aggregate — bounded state per triple."""
+    from ..operators.kg_refine import temporal_scope
+
+    ev = _t(spark, sf_dir, "events")
+    sightings = ev.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("subj"),
+        F.col("event_type").alias("pred"),
+        F.concat(
+            F.lit("b"),
+            (F.floor(F.col("value")).cast("long") % 10).cast("string"),
+        ).alias("obj"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts"),
+    )
+    return temporal_scope(sightings)
+
+
+Q109_SQL = """
+WITH s AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS subj,
+         event_type AS pred,
+         'b' || CAST(CAST(FLOOR(value) AS BIGINT) % 10 AS VARCHAR) AS obj,
+         EPOCH_US(ts) AS ts
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+SELECT subj, pred, obj,
+       MIN(ts) AS first_seen, MAX(ts) AS last_seen,
+       CAST(COUNT(ts) AS BIGINT) AS n_obs,
+       CAST(COUNT(DISTINCT ts) AS BIGINT) AS n_moments
+FROM s GROUP BY 1, 2, 3
+"""
+
+
+def q110_canonical_predicates(spark, sf_dir):
+    """Predicate canonicalization (operators/kg_refine.py): DIRT
+    paraphrase edges at jaccard >= 0.5 -> connected components over
+    the |predicates|-sized graph -> remap + re-aggregate, so
+    "married"/"wed" pool their evidence under one canonical name
+    while the partial-overlap "loves" (0.4545 < threshold) and the
+    disjoint "knows" stay distinct — the corpus-side twin of the
+    reference's prompt-ensemble pooling. Oracle: the q107 mined CTE
+    + an INDEPENDENT recursive-CTE min-reachable-id closure (the q76
+    fixpoint formulation, not a replay of the star rounds)."""
+    from ..operators.kg_refine import canonicalize_predicates
+    from ..operators.openie import open_ie
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def _n(expr):
+        return expr.cast("string")
+
+    k7, k11 = _n(d % 7), _n(d % 11)
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" wsub"), k7, F.lit(" married wobj"), k11,
+        F.lit(". wsub"), k7, F.lit(" wed wobj"), k11, F.lit("."),
+        F.when(
+            d % 11 < 5,
+            F.concat(F.lit(" wsub"), k7, F.lit(" loves wobj"), k11,
+                     F.lit(".")),
+        ).otherwise(F.lit("")),
+        F.lit(" ksub"), k7, F.lit(" knows wobj"), k11, F.lit("."),
+    )
+    mined = open_ie(
+        docs.select(synth.alias("text")),
+        verbs=["married", "wed", "loves", "knows"],
+        preps=[],
+    )
+    return canonicalize_predicates(mined, min_jaccard=0.5)
+
+
+def _q110_sql() -> str:
+    mined = _open_ie_sql(
+        _Q107_SYNTH_CTE, ["married", "wed", "loves", "knows"], []
+    )
+    return f"""
+WITH RECURSIVE mined AS ({mined}),
+t AS (SELECT DISTINCT subj, pred, obj FROM mined),
+ov AS (
+  SELECT a.pred AS pred_a, b.pred AS pred_b, COUNT(*) AS overlap
+  FROM t a
+  JOIN t b ON a.subj = b.subj AND a.obj = b.obj AND a.pred < b.pred
+  GROUP BY 1, 2),
+sz AS (SELECT pred, COUNT(*) AS sz FROM t GROUP BY pred),
+e0 AS (
+  SELECT ov.pred_a, ov.pred_b
+  FROM ov
+  JOIN sz sa ON sa.pred = ov.pred_a
+  JOIN sz sb ON sb.pred = ov.pred_b
+  WHERE CAST(ov.overlap AS DOUBLE)
+        / (sa.sz + sb.sz - ov.overlap) >= 0.5),
+edges AS (SELECT pred_a AS u, pred_b AS v FROM e0
+          UNION SELECT pred_b, pred_a FROM e0),
+reach(v, l) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.v),
+canon AS (SELECT v AS pred, MIN(l) AS component FROM reach GROUP BY v)
+SELECT t.subj, COALESCE(c.component, t.pred) AS pred, t.obj,
+       CAST(COUNT(*) AS BIGINT) AS support,
+       CAST(COUNT(DISTINCT t.pred) AS BIGINT) AS n_variants
+FROM t LEFT JOIN canon c ON c.pred = t.pred
+GROUP BY 1, 2, 3
+"""
+
+
+Q110_SQL = _q110_sql()
+
+
+def q111_truth_finding(spark, sf_dir):
+    """Source-reliability truth finding (operators/kg_refine.py):
+    three rounds of Sums mutual reinforcement over a claims table
+    derived from documents — (subj, pred, obj) keys hashed off
+    doc_id, asserted by the page's source (src0-src19), so head
+    sources corroborate shared facts and tail assertions earn less
+    confidence. Every aggregation boundary sums BIGINT nanos (the
+    q01 cents trick), so the iteration is bit-stable across shuffle
+    orders AND engines; the oracle unrolls the three rounds as
+    chained CTEs with the identical quantization."""
+    from ..operators.kg_refine import truth_finding
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    claims = docs.select(
+        F.concat(F.lit("s"), (d % 37).cast("string")).alias("subj"),
+        F.lit("related_to").alias("pred"),
+        F.concat(F.lit("o"), (d % 53).cast("string")).alias("obj"),
+        F.col("source"),
+    )
+    return truth_finding(claims, n_iters=3)
+
+
+def _q111_sql(n_iters: int = 3) -> str:
+    rounds = []
+    prev_t = "t0"
+    for i in range(1, n_iters + 1):
+        rounds.append(f"""
+c{i}r AS (
+  SELECT subj, pred, obj,
+         SUM(CAST(ROUND(t.t * 1000000000) AS BIGINT)) AS cq
+  FROM c JOIN {prev_t} t USING (source)
+  GROUP BY 1, 2, 3),
+c{i} AS (
+  SELECT subj, pred, obj,
+         CAST(cq AS DOUBLE) / (SELECT MAX(cq) FROM c{i}r) AS cf
+  FROM c{i}r),
+t{i}r AS (
+  SELECT source,
+         SUM(CAST(ROUND(f.cf * 1000000000) AS BIGINT)) AS tq
+  FROM c JOIN c{i} f USING (subj, pred, obj)
+  GROUP BY 1),
+t{i} AS (
+  SELECT source,
+         CAST(tq AS DOUBLE) / (SELECT MAX(tq) FROM t{i}r) AS t
+  FROM t{i}r)""")
+        prev_t = f"t{i}"
+    body = ",".join(rounds)
+    return f"""
+WITH claims AS (
+  SELECT 's' || CAST(doc_id % 37 AS VARCHAR) AS subj,
+         'related_to' AS pred,
+         'o' || CAST(doc_id % 53 AS VARCHAR) AS obj,
+         source
+  FROM documents),
+c AS (SELECT DISTINCT subj, pred, obj, source FROM claims),
+t0 AS (SELECT DISTINCT source, CAST(1.0 AS DOUBLE) AS t FROM c),{body},
+ns AS (SELECT subj, pred, obj, CAST(COUNT(*) AS BIGINT) AS n_sources
+       FROM c GROUP BY 1, 2, 3)
+SELECT ns.subj, ns.pred, ns.obj, ns.n_sources,
+       ROUND(f.cf, 9) AS confidence
+FROM ns JOIN c{n_iters} f USING (subj, pred, obj)
+"""
+
+
+Q111_SQL = _q111_sql()
+
 
 # ---------------------------------------------------------------------------
 # Registry
@@ -5385,6 +5667,10 @@ QUERIES = {
     "q106_taxonomy": q106_taxonomy,
     "q107_paraphrase_discovery": q107_paraphrase_discovery,
     # ---- position 51+: the driver window cuts here ----
+    "q108_relation_type_signatures": q108_relation_type_signatures,
+    "q109_temporal_scope": q109_temporal_scope,
+    "q110_canonical_predicates": q110_canonical_predicates,
+    "q111_truth_finding": q111_truth_finding,
     "q38_dedup_documents_minhash": q38_dedup_documents_minhash,
     "q48_ngram_repetition": q48_ngram_repetition,
     "q41_support_rerank": q41_support_rerank,
@@ -5550,4 +5836,8 @@ ORACLES = {
     "q105_corroborated_isa": Q105_SQL,
     "q106_taxonomy": Q106_SQL,
     "q107_paraphrase_discovery": Q107_SQL,
+    "q108_relation_type_signatures": Q108_SQL,
+    "q109_temporal_scope": Q109_SQL,
+    "q110_canonical_predicates": Q110_SQL,
+    "q111_truth_finding": Q111_SQL,
 }
