@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Corpus → knowledge-graph pipeline — the mining + refinement
+counterpart to jobs/run_harvest.py's MLM harvest, composing the r5
+layers end-to-end in the `spark-submit --py-files` deployment shape:
+
+  pages ──► Hearst IsA mining ──┐
+      └──► Open IE mining ──────┤
+                                ├─► corroborate (per-source evidence)
+                                ├─► truth finding (source trust ⇄
+                                │      fact confidence, bounded rounds)
+                                ├─► canonicalize predicates (DIRT
+                                │      paraphrases → components)
+                                ├─► type signatures (IsA as the type
+                                │      table over Open IE triples)
+                                ├─► taxonomy induction (best parents)
+                                ├─► temporal scope (validity windows
+                                │      from warc_ts sightings)
+                                └─► vertex/edge graph materialize
+
+Cluster:
+  zip -r kg_spark.zip knowledge_harvest_from_lms_spark
+  spark-submit --py-files kg_spark.zip jobs/run_corpus_kg.py \\
+      --pages kg.web_pages --out s3://bucket/wh/corpus_kg
+
+Sandbox:
+  python jobs/run_corpus_kg.py --synth-pages 2000 --out /tmp/corpus_kg
+
+Every output lands as parquet under --out; the final line is ONE JSON
+dict of stage row counts (machine-checkable, used by the job test).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_VERBS = [
+    "married", "wed", "founded", "owns", "lives", "moved", "works",
+    "leads", "borders", "joined",
+]
+DEFAULT_PREPS = ["in", "to", "at", "with", "for", "of"]
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--pages", default=None, help="web_pages parquet path")
+    p.add_argument("--synth-pages", type=int, default=0)
+    p.add_argument("--out", default="/tmp/corpus_kg")
+    p.add_argument("--cpus", type=int,
+                   default=int(os.environ.get("SPARK_GRAFT_CPUS", 16)))
+    p.add_argument("--min-support", type=int, default=1,
+                   help="min pattern support per mined triple")
+    p.add_argument("--verbs", default=",".join(DEFAULT_VERBS))
+    p.add_argument("--preps", default=",".join(DEFAULT_PREPS))
+    p.add_argument("--min-jaccard", type=float, default=0.5,
+                   help="paraphrase-merge threshold")
+    p.add_argument("--truth-iters", type=int, default=3)
+    args = p.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from knowledge_harvest_from_lms_spark.operators import hearst, openie
+    from knowledge_harvest_from_lms_spark.operators.corroborate import (
+        corroborate_triples,
+    )
+    from knowledge_harvest_from_lms_spark.operators.graph import (
+        materialize_graph,
+    )
+    from knowledge_harvest_from_lms_spark.operators.kg_refine import (
+        canonicalize_predicates,
+        relation_type_signatures,
+        temporal_scope,
+        truth_finding,
+    )
+    from knowledge_harvest_from_lms_spark.operators.taxonomy import (
+        induce_taxonomy,
+    )
+    from knowledge_harvest_from_lms_spark.session import get_session
+    from knowledge_harvest_from_lms_spark.sources.web_pages import (
+        synth_web_pages,
+    )
+
+    spark = get_session(cpus=args.cpus, app_name="corpus-kg")
+    if args.synth_pages:
+        pages = synth_web_pages(spark, args.synth_pages)
+    elif args.pages:
+        pages = spark.read.parquet(args.pages)
+    else:
+        p.error("one of --pages / --synth-pages is required")
+    if "lang" in pages.columns:
+        pages = pages.filter(F.col("lang") == "en")
+    # the corpus is scanned by TWO miners and the sightings stream —
+    # persist the (projected) text once so the scan doesn't triple
+    docs = pages.select("url", "warc_ts", "text").persist()
+
+    counts: dict[str, int] = {"pages": docs.count()}
+    out = args.out
+    verbs = [v for v in args.verbs.split(",") if v]
+    preps = [v for v in args.preps.split(",") if v]
+
+    def save(df, name: str) -> int:
+        df.write.mode("overwrite").parquet(os.path.join(out, name))
+        n = spark.read.parquet(os.path.join(out, name)).count()
+        counts[name] = n
+        return n
+
+    # ---- mine ----
+    isa = hearst.hearst_isa(docs, min_count=args.min_support)
+    save(isa, "isa")
+    rel = openie.open_ie(
+        docs, verbs=verbs, preps=preps, min_count=args.min_support
+    )
+    save(rel, "openie")
+    isa_p = spark.read.parquet(os.path.join(out, "isa"))
+    rel_p = spark.read.parquet(os.path.join(out, "openie"))
+
+    # ---- corroborate: per-source evidence row per triple ----
+    evidence = (
+        isa_p.select(
+            F.col("hypo").alias("subj"), F.lit("isa").alias("rel"),
+            F.col("hyper").alias("obj"),
+            F.concat(F.lit("hearst:"), F.col("pattern")).alias("source"),
+            F.col("n").cast("double").alias("weight"),
+        )
+        .unionByName(
+            rel_p.select(
+                "subj", F.col("pred").alias("rel"), "obj",
+                F.lit("openie").alias("source"),
+                F.col("n").cast("double").alias("weight"),
+            )
+        )
+    )
+    save(corroborate_triples(evidence), "corroborated")
+
+    # ---- truth finding: source reliability ⇄ fact confidence ----
+    claims = evidence.select(
+        "subj", F.col("rel").alias("pred"), "obj", "source"
+    )
+    save(truth_finding(claims, n_iters=args.truth_iters), "confidence")
+
+    # ---- canonicalize Open IE predicates via DIRT paraphrases ----
+    save(
+        canonicalize_predicates(rel_p, min_jaccard=args.min_jaccard),
+        "canonical_triples",
+    )
+
+    # ---- schema induction: type signatures off the IsA table ----
+    types = isa_p.select(
+        F.col("hypo").alias("entity"), F.col("hyper").alias("type")
+    )
+    save(relation_type_signatures(rel_p, types), "type_signatures")
+
+    # ---- taxonomy over the IsA counts ----
+    isa_agg = isa_p.groupBy("hypo", "hyper").agg(F.sum("n").alias("n"))
+    save(induce_taxonomy(isa_agg), "taxonomy")
+
+    # ---- temporal scope from per-page sightings ----
+    sightings = hearst.hearst_isa_sightings(
+        docs, keep=("warc_ts",)
+    ).select(
+        F.col("hypo").alias("subj"), F.lit("isa").alias("pred"),
+        F.col("hyper").alias("obj"),
+        F.unix_micros(F.col("warc_ts").cast("timestamp")).alias("ts"),
+    )
+    save(temporal_scope(sightings), "temporal")
+
+    # ---- shared vertex/edge graph ----
+    triples = hearst.as_graph_triples(isa_p).unionByName(
+        openie.as_graph_triples(rel_p)
+    )
+    g = materialize_graph(triples)
+    save(g["vertices"], "vertices")
+    save(g["edges"], "edges")
+
+    docs.unpersist()
+    print(json.dumps(counts))
+
+
+if __name__ == "__main__":
+    main()

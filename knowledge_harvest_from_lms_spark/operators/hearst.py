@@ -89,16 +89,19 @@ PATTERNS: dict[str, tuple[str, int, int]] = {
 
 
 def hearst_matches(
-    docs: DataFrame, text_col: str = "text"
+    docs: DataFrame, text_col: str = "text", keep: tuple = ()
 ) -> DataFrame:
     """The raw match stream: one row per (pattern, hyper, hypo_list)
     occurrence — ``(pattern, hyper, hypos)`` with ``hypos`` still the
     joined list string. Kept separate from the aggregate so lineage
     checkpoints (`operators/checkpoint.py`) can persist the stream
-    once and derive both the triple counts and per-page provenance."""
+    once and derive both the triple counts and per-page provenance;
+    ``keep`` names doc columns to carry through per match (url,
+    warc_ts, ...) — that provenance feeds `temporal_scope` and
+    per-source truth finding in jobs/run_corpus_kg.py."""
     low = F.lower(F.col(text_col))
     # One scan: every pattern extracted in the same projection.
-    cols = []
+    cols = [F.col(c) for c in keep]
     for name, (rx, hg, lg) in PATTERNS.items():
         hyper = F.regexp_extract_all(low, F.lit(rx), hg)
         hypos = F.regexp_extract_all(low, F.lit(rx), lg)
@@ -114,11 +117,34 @@ def hearst_matches(
         )
     matched = docs.select(*cols)
     stream = matched.select(
+        *keep,
         F.explode(
             F.flatten(F.array(*[F.col(n) for n in PATTERNS]))
-        ).alias("m")
+        ).alias("m"),
     )
-    return stream.select("m.pattern", "m.hyper", "m.hypos")
+    return stream.select(*keep, "m.pattern", "m.hyper", "m.hypos")
+
+
+def hearst_isa_sightings(
+    docs: DataFrame, text_col: str = "text", keep: tuple = ()
+) -> DataFrame:
+    """One row per (hypo, hyper, pattern) SIGHTING, with ``keep``
+    provenance columns carried through — the pre-aggregation stream
+    `hearst_isa` counts, exposed so `operators/kg_refine.py`'s
+    temporal_scope / truth_finding can consume per-page evidence
+    (url, warc_ts) without a second corpus scan."""
+    m = hearst_matches(docs, text_col, keep=keep)
+    return m.select(
+        *keep,
+        "pattern",
+        "hyper",
+        F.explode(
+            F.filter(
+                F.split(F.col("hypos"), LIST_SPLIT),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("hypo"),
+    ).filter(F.col("hypo") != F.col("hyper"))
 
 
 def hearst_isa(
@@ -132,17 +158,7 @@ def hearst_isa(
     (hypo == hyper, e.g. from "other other") are dropped, matching
     the reference pipeline's intra-tuple dup filter
     (`knowledge_harvest/utils.py` F7)."""
-    m = hearst_matches(docs, text_col)
-    hypo = m.select(
-        "pattern",
-        "hyper",
-        F.explode(
-            F.filter(
-                F.split(F.col("hypos"), LIST_SPLIT),
-                lambda t: t != F.lit(""),
-            )
-        ).alias("hypo"),
-    ).filter(F.col("hypo") != F.col("hyper"))
+    hypo = hearst_isa_sightings(docs, text_col)
     out = (
         hypo.groupBy("hypo", "hyper", "pattern")
         .agg(F.count(F.lit(1)).alias("n"))

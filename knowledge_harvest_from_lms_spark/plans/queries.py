@@ -2126,10 +2126,16 @@ def q47_importance_ranked_triples(spark, sf_dir):
             .alias("importance"),
         )
     )
+    # top-50 FIRST as a distributed TakeOrderedAndProject (the
+    # tiebreak (importance, subj, obj) is a total order, so limit
+    # and rank agree); the global row_number window then ranks only
+    # the 50 survivors instead of dragging every scored edge into
+    # one partition (the q83 pattern).
+    top = scored.orderBy(
+        F.desc("importance"), "subj", "obj"
+    ).limit(50)
     w = W.orderBy(F.desc("importance"), "subj", "obj")
-    return scored.withColumn(
-        "imp_rank", F.row_number().over(w).cast("int")
-    ).filter(F.col("imp_rank") <= 50)
+    return top.withColumn("imp_rank", F.row_number().over(w).cast("int"))
 
 
 # the pr CTE nests the UNROUNDED pagerank oracle as a subquery (its

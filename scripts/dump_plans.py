@@ -81,6 +81,11 @@ SHOW = {
     "q104_hearst_siblings": "r5 co-hyponym siblings: pair generation is a row-local nested transform over each matched list (quadratic bounded by GRAMMAR, lists are a few items) — no join, no window; (a,b,pattern) count partial+final",
     "q105_corroborated_isa": "r5 triple corroboration: two map-side-combining aggregates — pattern counts, then per-(subj,rel,obj) evidence folding whose collect_set state is bounded by the SOURCE count, never the corpus",
     "q106_taxonomy": "r5 taxonomy induction: best parent = max(struct) AGGREGATE (hot children collapse map-side; the oracle's row_number window would funnel each hot child to one reducer), mutual 2-cycle resolution = one self-join on the aggregated |children|-row table",
+    "q107_paraphrase_discovery": "r5 DIRT paraphrases: EQUI self-join on the (subj,obj) argument-pair key — never a predicate cross product; pred_a < pred_b rides IN the join condition; overlap + set sizes collapse map-side; final score joins two |predicates|-row tables",
+    "q108_relation_type_signatures": "r5 type signatures: two entity-keyed joins onto the types table, then argmax as TWO aggregates (max support, then min type-pair among ties) — deterministic tiebreak with NO window over the typed stream",
+    "q109_temporal_scope": "r5 temporal scoping: ONE map-side-combining aggregate (min/max/count monoids, integer-micros time math) — bounded state per triple key, Zipf-headed triples absorb per partition",
+    "q110_canonical_predicates": "r5 predicate canonicalization: DIRT edges + connected components run on the |predicates|-sized derived graph (vastly smaller than the triple stream); the remap back is one small join + one re-aggregation",
+    "q111_truth_finding": "r5 truth finding: per round two equi-joins + two map-side-combining aggregates; BIGINT-nano quantization makes partial merges order-exact; localCheckpoint per round keeps lineage O(1); rounds driver-bounded",
 }
 
 

@@ -64,6 +64,23 @@ def test_type_signatures_multitype_entity_counts_combinations(spark):
     assert len(rows) == 1 and rows[0].share == 0.5  # 1 of 2 combos
 
 
+def test_type_signatures_plan_has_no_window(spark):
+    """The argmax-with-tiebreak is deliberately two AGGREGATES (max
+    support, then min type-pair among ties) so hot predicates collapse
+    map-side — a row_number window would funnel every typed triple of
+    a hot predicate through one reducer."""
+    triples = spark.createDataFrame([("a", "p", "x")], TRIPLE)
+    types = spark.createDataFrame(
+        [("a", "t"), ("x", "u")], "entity string, type string"
+    )
+    df = relation_type_signatures(triples, types)
+    jvm = df.sparkSession._jvm
+    plan = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Window" not in plan
+
+
 def test_temporal_scope(spark):
     t = spark.createDataFrame(
         [
