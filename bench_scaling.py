@@ -40,6 +40,9 @@ N_ASOF_RIGHT = 2_000_000  # as-of join build rows (quotes)
 N_ASOF_KEYS = 50_000      # join keys (instruments/users)
 N_ASOF_SKEW = 4_000_000   # skew-variant probe rows (50% on ONE key)
 N_SKEW_SPLIT = 32         # split_ranges for the hot-key guard
+N_TRUTH_CLAIMS = 4_000_000  # truth-finding claims (500k facts x ~8
+N_TRUTH_FACTS = 500_000     # sources; 25k sources; 3 rounds of
+N_TRUTH_SOURCES = 25_000    # join+agg alternation per pass)
 # N vs 4N. A mapInPandas stage at local[L] keeps ~2L threads busy
 # (L JVM Arrow feeders + L Python workers), so on this host's 16
 # PHYSICAL cores (32 SMT-logical) the levels must satisfy 2*4N <= 16
@@ -406,6 +409,55 @@ def run_level(cpus: int) -> dict:
     skew_unsplit_sec = min(skew_unsplit_runs)
     skew_split_sec = min(skew_split_runs)
 
+    # --- workload 7c: truth finding (q111 machinery) ----------------
+    # the KG-refinement iteration: per round a broadcast-scale join
+    # of source trust onto claims + a fact aggregate, then a shuffle
+    # join of fact confidence back onto claims + a source aggregate —
+    # join/agg alternation with localCheckpoint rounds, the pattern
+    # every iterative refinement (pagerank, kcore, components) shares
+    from knowledge_harvest_from_lms_spark.operators.kg_refine import (
+        truth_finding,
+    )
+
+    truth_path = f"/tmp/kg_bench_truth_{N_TRUTH_CLAIMS}_{N_TRUTH_FACTS}"
+    if not os.path.exists(truth_path + "/_SUCCESS"):
+        (
+            spark.range(N_TRUTH_CLAIMS)
+            .select(
+                F.concat(
+                    F.lit("s"),
+                    F.pmod(F.xxhash64("id"), F.lit(N_TRUTH_FACTS)).cast("string"),
+                ).alias("subj"),
+                F.lit("rel").alias("pred"),
+                F.concat(
+                    F.lit("o"),
+                    F.pmod(F.xxhash64("id", F.lit(1)),
+                           F.lit(N_TRUTH_FACTS)).cast("string"),
+                ).alias("obj"),
+                F.concat(
+                    F.lit("src"),
+                    F.pmod(F.xxhash64("id", F.lit(2)),
+                           F.lit(N_TRUTH_SOURCES)).cast("string"),
+                ).alias("source"),
+            )
+            .repartition(64)
+            .write.mode("overwrite").parquet(truth_path)
+        )
+    truth_claims = spark.read.parquet(truth_path)
+
+    def truth_pass():
+        truth_finding(truth_claims, n_iters=3).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    truth_pass()  # warm
+    truth_runs = []
+    for _ in range(2):
+        t0 = time.time()
+        truth_pass()
+        truth_runs.append(round(time.time() - t0, 3))
+    truth_sec = min(truth_runs)
+
     # workload 8 (sequence packing) lives in scripts/bench_pack.py:
     # it needs a FRESH JVM per level (measured 1.5x slower and
     # non-converging when run last in this shared-JVM level, through
@@ -455,6 +507,10 @@ def run_level(cpus: int) -> dict:
         "skew_split_sec": round(skew_split_sec, 3),
         "skew_split_runs": skew_split_runs,
         "skew_speedup": round(skew_unsplit_sec / skew_split_sec, 2),
+        "truth_claims": N_TRUTH_CLAIMS,
+        "truth_sec": round(truth_sec, 3),
+        "truth_runs": truth_runs,
+        "truth_claims_per_sec": round(N_TRUTH_CLAIMS / truth_sec, 1),
     }
 
 
@@ -639,6 +695,9 @@ def main() -> None:
     link_eff = (r_hi["link_mentions_per_sec"] / r_lo["link_mentions_per_sec"]) / ratio
     sub_eff = (r_hi["sub_docs_per_sec"] / r_lo["sub_docs_per_sec"]) / ratio
     asof_eff = (r_hi["asof_rows_per_sec"] / r_lo["asof_rows_per_sec"]) / ratio
+    truth_eff = (
+        r_hi["truth_claims_per_sec"] / r_lo["truth_claims_per_sec"]
+    ) / ratio
     pack = _load_pack()
     pack_eff = pack["efficiency"] if pack else None
     calibs = [r_lo["host_calib_sha256_per_sec"], r_hi["host_calib_sha256_per_sec"]]
@@ -685,6 +744,11 @@ def main() -> None:
             "rows_per_sec_n": r_lo["asof_rows_per_sec"],
             "rows_per_sec_4n": r_hi["asof_rows_per_sec"],
             "efficiency": round(asof_eff, 3),
+        },
+        "truth_finding": {
+            "claims_per_sec_n": r_lo["truth_claims_per_sec"],
+            "claims_per_sec_4n": r_hi["truth_claims_per_sec"],
+            "efficiency": round(truth_eff, 3),
         },
         "sequence_packing": None if not pack else {
             "docs_per_sec_n": pack["results"][str(LEVELS[0])]["pack_docs_per_sec"],
@@ -803,6 +867,19 @@ def main() -> None:
             f"{r_lo['skew_split_sec']} | {r_lo['skew_speedup']}x |\n"
             f"| local[{LEVELS[1]}] | {r_hi['skew_unsplit_sec']} | "
             f"{r_hi['skew_split_sec']} | {r_hi['skew_speedup']}x |\n\n"
+            "## 3g. Truth finding (q111 machinery, "
+            f"{r_lo['truth_claims']:,} claims, {N_TRUTH_FACTS:,} facts, "
+            f"{N_TRUTH_SOURCES:,} sources, 3 rounds)\n\n"
+            "The KG-refinement iteration (operators/kg_refine.py): per\n"
+            "round a trust join onto claims + a fact-confidence\n"
+            "aggregate, then a confidence join back + a source-trust\n"
+            "aggregate — join/agg alternation with localCheckpoint\n"
+            "rounds, all sums BIGINT-nano quantized (order-exact, so\n"
+            "the two levels produce bit-identical confidences).\n\n"
+            "| level | claims/sec | sec |\n|---|---|---|\n"
+            f"| local[{LEVELS[0]}] | {r_lo['truth_claims_per_sec']:,} | {r_lo['truth_sec']} |\n"
+            f"| local[{LEVELS[1]}] | {r_hi['truth_claims_per_sec']:,} | {r_hi['truth_sec']} |\n\n"
+            f"**Scaling efficiency (N→4N): {truth_eff:.3f}**\n\n"
             + _pack_section()
             + _ekar_section()
             + _txn_section()
