@@ -199,3 +199,33 @@ def test_siblings_do_not_cross_lists(spark):
 def test_siblings_min_count(spark):
     texts = ["t such as a and b.", "t such as a and b.", "t such as a and c."]
     assert _sibs(spark, *texts, min_count=2) == {("a", "b", "such_as"): 2}
+
+
+def test_sightings_keep_provenance_columns(spark):
+    from knowledge_harvest_from_lms_spark.operators.hearst import (
+        hearst_isa_sightings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("u1", 100, "fruits such as apples and pears."),
+            ("u2", 200, "fruits such as apples."),
+        ],
+        "url string, warc_ts long, text string",
+    )
+    rows = hearst_isa_sightings(docs, keep=("url", "warc_ts")).collect()
+    got = {(r.url, r.warc_ts, r.hypo, r.hyper) for r in rows}
+    assert got == {
+        ("u1", 100, "apples", "fruits"),
+        ("u1", 100, "pears", "fruits"),
+        ("u2", 200, "apples", "fruits"),
+    }
+    # the aggregate view over the same stream equals hearst_isa
+    agg = {
+        (r.hypo, r.hyper, r.pattern): r.n
+        for r in hearst_isa(docs).collect()
+    }
+    assert agg == {
+        ("apples", "fruits", "such_as"): 2,
+        ("pears", "fruits", "such_as"): 1,
+    }
