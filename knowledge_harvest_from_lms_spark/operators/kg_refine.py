@@ -172,6 +172,106 @@ def canonicalize_predicates(
     )
 
 
+def predicate_functionality(triples: DataFrame) -> DataFrame:
+    """``(pred, n_subjs, n_pairs, functionality, avg_objs)`` — is a
+    predicate single-valued? NELL's coupling-constraint learner and
+    Knowledge Vault's fusion layer both MEASURE which relations are
+    functional (born_in: one value per subject) rather than asserting
+    it; the measurement is the gate for
+    :func:`functional_violations`. ``functionality`` = fraction of
+    subjects asserting exactly one distinct object; ``avg_objs`` =
+    mean distinct objects per subject, rounded to 6 places.
+
+    Plan shape: two map-side-combining hash aggregates — per
+    (pred, subj) distinct-object counts, then per pred — bounded
+    state, no window, no join."""
+    per_subj = triples.groupBy("pred", "subj").agg(
+        F.count_distinct("obj").alias("_n")
+    )
+    return per_subj.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_subjs"),
+        F.sum("_n").alias("n_pairs"),
+        F.round(
+            F.avg(F.when(F.col("_n") == 1, 1.0).otherwise(0.0)), 6
+        ).alias("functionality"),
+        F.round(F.avg(F.col("_n")), 6).alias("avg_objs"),
+    )
+
+
+def functional_violations(
+    triples: DataFrame,
+    max_objs_listed: int = 8,
+) -> DataFrame:
+    """Conflict detection for single-valued predicates: subjects of a
+    functional predicate asserting ≥2 distinct objects, with the
+    majority object proposed for resolution.
+
+    Input is SIGHTINGS — one row per assertion (per page / per
+    source), so support counts weigh the resolution the way
+    `truth_finding` weighs sources. The caller filters ``triples`` to
+    the functional predicates first (e.g. ``functionality >= 0.95``
+    from :func:`predicate_functionality`); this operator reports every
+    multi-object subject among what it is given.
+
+    Output per conflicted ``(pred, subj)``: ``n_objs`` (distinct
+    objects), ``total_support`` (all sightings), ``top_obj`` /
+    ``top_support`` (majority object — ties break to the
+    lexicographically smallest object, the documented deterministic
+    contract used throughout this module), and ``objs`` — the first
+    ``max_objs_listed`` objects in sorted order, comma-joined (a
+    STRING for byte-stable engine replay; the cap exists so a junk
+    subject asserting thousands of objects can't blow up a row).
+
+    Plan shape: sightings fold to one row per (pred, subj, obj) in a
+    map-side-combining aggregate FIRST (a Zipf-headed assertion
+    collapses per partition), then per-(pred, subj) stats + the
+    argmax run as aggregate passes over the distinct-object table —
+    support max via ``max(struct(support, obj_rev))`` would need a
+    string negation, so the tiebreak uses the two-pass shape
+    `relation_type_signatures` pins: max support, then min obj among
+    ties. The ``objs`` list rides a ``row_number() <= cap`` rank
+    filter that compiles to a map-side PARTIAL WindowGroupLimit
+    below the exchange (the `operators/sketches.py` KMV shape), so
+    per-key window AND aggregate state are both cap-bounded — never
+    an unbounded ``collect_set``. No window over the raw triple
+    stream."""
+    from pyspark.sql import Window
+
+    sight = triples.groupBy("pred", "subj", "obj").agg(
+        F.count(F.lit(1)).alias("support")
+    )
+    per = sight.groupBy("pred", "subj").agg(
+        F.count(F.lit(1)).alias("n_objs"),
+        F.sum("support").alias("total_support"),
+        F.max("support").alias("_best"),
+    ).filter(F.col("n_objs") >= 2)
+    w = Window.partitionBy("pred", "subj").orderBy("obj")
+    objs = (
+        sight.select("pred", "subj", "obj")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_objs_listed)
+        .groupBy("pred", "subj")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("obj"))).alias("objs")
+        )
+    )
+    top = (
+        sight.join(per.select("pred", "subj", "_best"), ["pred", "subj"])
+        .filter(F.col("support") == F.col("_best"))
+        .groupBy("pred", "subj")
+        .agg(F.min("obj").alias("top_obj"))
+    )
+    return per.join(top, ["pred", "subj"]).join(objs, ["pred", "subj"]).select(
+        "pred",
+        "subj",
+        "n_objs",
+        "total_support",
+        "top_obj",
+        F.col("_best").alias("top_support"),
+        "objs",
+    )
+
+
 def truth_finding(
     claims: DataFrame,
     n_iters: int = 5,

@@ -5600,6 +5600,257 @@ FROM ns JOIN c{n_iters} f USING (subj, pred, obj)
 Q111_SQL = _q111_sql()
 
 
+def q112_inverse_predicates(spark, sf_dir):
+    """Inverse/symmetric predicate discovery (operators/dirt.py
+    discover_inverses): predicates whose argument-pair sets are swaps
+    of each other — the schema-alignment step that lets "X acquired Y"
+    and "Y sold_to X" pool evidence instead of splitting it, plus the
+    pred_a == pred_b diagonal measuring SYMMETRY. Fixture engineers
+    every regime off orders: placed/placed_by are perfect inverses
+    (jaccard 1), owned_by asserts only orderkey % 3 == 0 (partial),
+    knows is asserted in both directions (fully symmetric diagonal),
+    likes gets its reverse only for even orderkeys (partial symmetry
+    = n_even / n). Oracle replays the swapped equi-join + size join
+    relationally."""
+    from ..operators.dirt import discover_inverses
+
+    o = _t(spark, sf_dir, "orders")
+    c = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+    k = F.concat(F.lit("o"), F.col("o_orderkey").cast("string"))
+
+    def tr(src, s, p, ob):
+        return src.select(
+            s.alias("subj"), F.lit(p).alias("pred"), ob.alias("obj")
+        )
+
+    o3 = o.filter(F.col("o_orderkey") % 3 == 0)
+    o2 = o.filter(F.col("o_orderkey") % 2 == 0)
+    triples = (
+        tr(o, c, "placed", k)
+        .unionAll(tr(o, k, "placed_by", c))
+        .unionAll(tr(o3, k, "owned_by", c))
+        .unionAll(tr(o, c, "knows", k))
+        .unionAll(tr(o, k, "knows", c))
+        .unionAll(tr(o, c, "likes", k))
+        .unionAll(tr(o2, k, "likes", c))
+    )
+    return discover_inverses(triples)
+
+
+Q112_SQL = """
+WITH base AS (
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+         'o' || CAST(o_orderkey AS VARCHAR) AS o,
+         o_orderkey AS k
+  FROM orders),
+tr AS (
+  SELECT c AS subj, 'placed' AS pred, o AS obj FROM base
+  UNION ALL SELECT o, 'placed_by', c FROM base
+  UNION ALL SELECT o, 'owned_by', c FROM base WHERE k % 3 = 0
+  UNION ALL SELECT c, 'knows', o FROM base
+  UNION ALL SELECT o, 'knows', c FROM base
+  UNION ALL SELECT c, 'likes', o FROM base
+  UNION ALL SELECT o, 'likes', c FROM base WHERE k % 2 = 0),
+t AS (SELECT DISTINCT subj, pred, obj FROM tr),
+ov AS (
+  SELECT a.pred AS pred_a, b.pred AS pred_b,
+         CAST(COUNT(*) AS BIGINT) AS overlap
+  FROM t a
+  JOIN t b ON a.subj = b.obj AND a.obj = b.subj AND a.pred <= b.pred
+  GROUP BY 1, 2),
+sz AS (SELECT pred, COUNT(*) AS sz FROM t GROUP BY pred)
+SELECT ov.pred_a, ov.pred_b, ov.overlap,
+       CAST(ov.overlap AS DOUBLE) / (sa.sz + sb.sz - ov.overlap)
+         AS jaccard,
+       ov.pred_a = ov.pred_b AS symmetric
+FROM ov
+JOIN sz sa ON sa.pred = ov.pred_a
+JOIN sz sb ON sb.pred = ov.pred_b
+"""
+
+
+def q113_functional_violations(spark, sf_dir):
+    """Functional-constraint conflict detection (operators/kg_refine.py
+    functional_violations): subjects of a single-valued predicate
+    asserting >= 2 distinct objects, with the majority object proposed
+    for resolution — NELL's coupling-constraint check / Knowledge
+    Vault's conflict surface. Fixture: located_in sightings where the
+    true nation is asserted twice per customer, custkey % 10 == 0
+    customers gain a wrong nation (support 1 — majority resolves to
+    the truth), and custkey % 20 == 0 customers gain a SECOND wrong
+    nation asserted twice (a support TIE — exercising the documented
+    min-obj tiebreak, including 'n1' < 'n24' lexicographic cases);
+    max_objs_listed=2 makes the objs cap bind on the 3-object
+    subjects. Oracle replays the sighting fold, the two-pass argmax,
+    and the rank-capped obj list."""
+    from ..operators.kg_refine import functional_violations
+
+    cust = _t(spark, sf_dir, "customer")
+    ck = F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+
+    def nat(off):
+        return F.concat(
+            F.lit("n"), ((F.col("c_nationkey") + off) % 25).cast("string")
+        )
+
+    def tr(src, off):
+        return src.select(
+            ck.alias("subj"),
+            F.lit("located_in").alias("pred"),
+            nat(off).alias("obj"),
+        )
+
+    c10 = cust.filter(F.col("c_custkey") % 10 == 0)
+    c20 = cust.filter(F.col("c_custkey") % 20 == 0)
+    base = tr(cust, 0)
+    w2 = tr(c20, 2)
+    sightings = (
+        base.unionAll(base).unionAll(tr(c10, 1)).unionAll(w2).unionAll(w2)
+    )
+    return functional_violations(sightings, max_objs_listed=2)
+
+
+Q113_SQL = """
+WITH s AS (
+  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS subj,
+         'located_in' AS pred,
+         'n' || CAST((c_nationkey + off) % 25 AS VARCHAR) AS obj
+  FROM customer
+  CROSS JOIN (SELECT UNNEST([0, 0]) AS off)
+  UNION ALL
+  SELECT 'c' || CAST(c_custkey AS VARCHAR),
+         'located_in',
+         'n' || CAST((c_nationkey + 1) % 25 AS VARCHAR)
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT 'c' || CAST(c_custkey AS VARCHAR),
+         'located_in',
+         'n' || CAST((c_nationkey + 2) % 25 AS VARCHAR)
+  FROM customer CROSS JOIN (SELECT UNNEST([0, 0]) AS off2)
+  WHERE c_custkey % 20 = 0),
+sight AS (
+  SELECT pred, subj, obj, CAST(COUNT(*) AS BIGINT) AS support
+  FROM s GROUP BY 1, 2, 3),
+per AS (
+  SELECT pred, subj,
+         CAST(COUNT(*) AS BIGINT) AS n_objs,
+         CAST(SUM(support) AS BIGINT) AS total_support,
+         MAX(support) AS best
+  FROM sight GROUP BY 1, 2
+  HAVING COUNT(*) >= 2),
+objs AS (
+  SELECT pred, subj, string_agg(obj, ',' ORDER BY obj) AS objs
+  FROM (SELECT pred, subj, obj,
+               ROW_NUMBER() OVER (PARTITION BY pred, subj
+                                  ORDER BY obj) AS rk
+        FROM sight)
+  WHERE rk <= 2 GROUP BY 1, 2),
+top AS (
+  SELECT g.pred, g.subj, MIN(g.obj) AS top_obj
+  FROM sight g JOIN per p
+    ON p.pred = g.pred AND p.subj = g.subj AND g.support = p.best
+  GROUP BY 1, 2)
+SELECT per.pred, per.subj, per.n_objs, per.total_support,
+       top.top_obj, per.best AS top_support, objs.objs
+FROM per
+JOIN top ON top.pred = per.pred AND top.subj = per.subj
+JOIN objs ON objs.pred = per.pred AND objs.subj = per.subj
+"""
+
+
+def q114_predicate_functionality(spark, sf_dir):
+    """Predicate functionality measurement (operators/kg_refine.py
+    predicate_functionality): is a relation single-valued? Measured,
+    not asserted — the gate that decides which predicates
+    q113's conflict detector applies to. Fixture: located_in with the
+    q113 conflicts planted (functionality = 1 - |custkey % 10 == 0| /
+    |customers|), placed (customer -> their orders, naturally
+    multi-valued), contains (order -> parts from lineitem,
+    multi-valued with its own duplicate lines). Two bounded hash
+    aggregates; oracle replays them."""
+    from ..operators.kg_refine import predicate_functionality
+
+    cust = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ck = F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+
+    def nat(off):
+        return F.concat(
+            F.lit("n"), ((F.col("c_nationkey") + off) % 25).cast("string")
+        )
+
+    triples = (
+        cust.select(
+            ck.alias("subj"),
+            F.lit("located_in").alias("pred"),
+            nat(0).alias("obj"),
+        )
+        .unionAll(
+            cust.filter(F.col("c_custkey") % 10 == 0).select(
+                ck.alias("subj"),
+                F.lit("located_in").alias("pred"),
+                nat(1).alias("obj"),
+            )
+        )
+        .unionAll(
+            o.select(
+                F.concat(
+                    F.lit("c"), F.col("o_custkey").cast("string")
+                ).alias("subj"),
+                F.lit("placed").alias("pred"),
+                F.concat(
+                    F.lit("o"), F.col("o_orderkey").cast("string")
+                ).alias("obj"),
+            )
+        )
+        .unionAll(
+            li.select(
+                F.concat(
+                    F.lit("o"), F.col("l_orderkey").cast("string")
+                ).alias("subj"),
+                F.lit("contains").alias("pred"),
+                F.concat(
+                    F.lit("p"), F.col("l_partkey").cast("string")
+                ).alias("obj"),
+            )
+        )
+    )
+    return predicate_functionality(triples)
+
+
+Q114_SQL = """
+WITH t AS (
+  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS subj,
+         'located_in' AS pred,
+         'n' || CAST(c_nationkey % 25 AS VARCHAR) AS obj
+  FROM customer
+  UNION ALL
+  SELECT 'c' || CAST(c_custkey AS VARCHAR),
+         'located_in',
+         'n' || CAST((c_nationkey + 1) % 25 AS VARCHAR)
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT 'c' || CAST(o_custkey AS VARCHAR), 'placed',
+         'o' || CAST(o_orderkey AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o' || CAST(l_orderkey AS VARCHAR), 'contains',
+         'p' || CAST(l_partkey AS VARCHAR)
+  FROM lineitem),
+per AS (
+  SELECT pred, subj, CAST(COUNT(DISTINCT obj) AS BIGINT) AS n
+  FROM t GROUP BY 1, 2)
+SELECT pred,
+       CAST(COUNT(*) AS BIGINT) AS n_subjs,
+       CAST(SUM(n) AS BIGINT) AS n_pairs,
+       ROUND(AVG(CASE WHEN n = 1 THEN 1.0 ELSE 0.0 END), 6)
+         AS functionality,
+       ROUND(AVG(CAST(n AS DOUBLE)), 6) AS avg_objs
+FROM per GROUP BY pred
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5620,7 +5871,7 @@ Q111_SQL = _q111_sql()
 # q97/q98). q90/q91 remain the two declared rows-only contracts
 # (stub-MLM harvest; exact-spec pytest is the stronger check); every
 # other entry is oracle-backed. scripts/check_correctness.py still
-# gates ALL 101 (CORRECTNESS_selfcheck.json).
+# gates ALL entries (CORRECTNESS_selfcheck.json).
 QUERIES = {
     "q49_url_canonical": q49_url_canonical,
     "q50_deterministic_sample": q50_deterministic_sample,
@@ -5677,6 +5928,9 @@ QUERIES = {
     "q109_temporal_scope": q109_temporal_scope,
     "q110_canonical_predicates": q110_canonical_predicates,
     "q111_truth_finding": q111_truth_finding,
+    "q112_inverse_predicates": q112_inverse_predicates,
+    "q113_functional_violations": q113_functional_violations,
+    "q114_predicate_functionality": q114_predicate_functionality,
     "q38_dedup_documents_minhash": q38_dedup_documents_minhash,
     "q48_ngram_repetition": q48_ngram_repetition,
     "q41_support_rerank": q41_support_rerank,
@@ -5846,4 +6100,7 @@ ORACLES = {
     "q109_temporal_scope": Q109_SQL,
     "q110_canonical_predicates": Q110_SQL,
     "q111_truth_finding": Q111_SQL,
+    "q112_inverse_predicates": Q112_SQL,
+    "q113_functional_violations": Q113_SQL,
+    "q114_predicate_functionality": Q114_SQL,
 }

@@ -73,3 +73,71 @@ def test_composes_with_open_ie(spark):
         for r in discover_paraphrases(mined).collect()
     }
     assert got == {("married", "wed"): (2, 1.0)}
+
+
+# ---------------------------------------------------------------------------
+# discover_inverses
+# ---------------------------------------------------------------------------
+
+def _inv(spark, rows, **kw):
+    from knowledge_harvest_from_lms_spark.operators.dirt import (
+        discover_inverses,
+    )
+
+    return {
+        (r.pred_a, r.pred_b): (r.overlap, round(r.jaccard, 6), r.symmetric)
+        for r in discover_inverses(_t(spark, rows), **kw).collect()
+    }
+
+
+def test_perfect_inverse_pair(spark):
+    got = _inv(
+        spark,
+        [("a", "acquired", "b"), ("b", "sold_to", "a"),
+         ("c", "acquired", "d"), ("d", "sold_to", "c")],
+    )
+    assert got == {("acquired", "sold_to"): (2, 1.0, False)}
+
+
+def test_symmetric_predicate_diagonal(spark):
+    # both orientations asserted for every pair -> fully symmetric:
+    # intersection = {(a,b),(b,a),(c,d),(d,c)} (4), union = the same 4
+    got = _inv(
+        spark,
+        [("a", "married", "b"), ("b", "married", "a"),
+         ("c", "married", "d"), ("d", "married", "c")],
+    )
+    assert got == {("married", "married"): (4, 1.0, True)}
+
+
+def test_partial_symmetry_fraction(spark):
+    # (a,b) has its reverse, (c,d) does not: pairs = 3,
+    # intersection = {(a,b),(b,a)} (2), jaccard = 2/(3+3-2) = 0.5
+    got = _inv(
+        spark,
+        [("a", "likes", "b"), ("b", "likes", "a"), ("c", "likes", "d")],
+    )
+    assert got == {("likes", "likes"): (2, 0.5, True)}
+
+
+def test_self_loop_matches_itself_once(spark):
+    # (x, p, x) is its own swap -> diagonal overlap 1 over 1 pair
+    got = _inv(spark, [("x", "p", "x")])
+    assert got == {("p", "p"): (1, 1.0, True)}
+
+
+def test_same_direction_predicates_not_inverses(spark):
+    # q asserts the SAME direction as p -> paraphrase, not inverse:
+    # no swapped overlap, and neither is symmetric
+    got = _inv(spark, [("a", "p", "b"), ("a", "q", "b")])
+    assert got == {}
+
+
+def test_inverse_min_overlap_and_duplicates(spark):
+    rows = [
+        ("a", "p", "b"), ("a", "p", "b"),  # duplicate counts once
+        ("b", "q", "a"),
+        ("c", "p", "d"), ("d", "q", "c"),
+    ]
+    assert _inv(spark, rows) == {("p", "q"): (2, 1.0, False)}
+    assert _inv(spark, rows, min_overlap=3) == {}

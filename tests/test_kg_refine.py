@@ -201,3 +201,109 @@ def test_truth_finding_duplicate_claims_count_once(spark):
     )
     got = {(r.subj, r.obj): r.n_sources for r in truth_finding(c, 1).collect()}
     assert got == {("a", "b"): 1, ("a", "c"): 1}
+
+
+# ---------------------------------------------------------------------------
+# predicate_functionality / functional_violations
+# ---------------------------------------------------------------------------
+
+def test_functionality_measures_single_valuedness(spark):
+    from knowledge_harvest_from_lms_spark.operators.kg_refine import (
+        predicate_functionality,
+    )
+
+    triples = spark.createDataFrame(
+        [
+            # born_in: 3 subjects, one conflicted (2 objs)
+            ("a", "born_in", "x"), ("b", "born_in", "y"),
+            ("c", "born_in", "z"), ("c", "born_in", "w"),
+            ("c", "born_in", "z"),  # duplicate sighting: distinct objs
+            # visited: fully multi-valued
+            ("a", "visited", "x"), ("a", "visited", "y"),
+            ("a", "visited", "z"),
+        ],
+        TRIPLE,
+    )
+    got = {
+        r.pred: (r.n_subjs, r.n_pairs, r.functionality, r.avg_objs)
+        for r in predicate_functionality(triples).collect()
+    }
+    assert got == {
+        "born_in": (3, 4, round(2 / 3, 6), round(4 / 3, 6)),
+        "visited": (1, 3, 0.0, 3.0),
+    }
+
+
+def _viol(spark, rows, **kw):
+    from knowledge_harvest_from_lms_spark.operators.kg_refine import (
+        functional_violations,
+    )
+
+    df = spark.createDataFrame(rows, TRIPLE)
+    return {
+        (r.pred, r.subj): (
+            r.n_objs, r.total_support, r.top_obj, r.top_support, r.objs
+        )
+        for r in functional_violations(df, **kw).collect()
+    }
+
+
+def test_violations_majority_resolution(spark):
+    got = _viol(
+        spark,
+        [
+            # 'a' asserts x twice, y once -> majority x
+            ("a", "born_in", "x"), ("a", "born_in", "x"),
+            ("a", "born_in", "y"),
+            # 'b' is clean -> absent
+            ("b", "born_in", "z"),
+        ],
+    )
+    assert got == {("born_in", "a"): (2, 3, "x", 2, "x,y")}
+
+
+def test_violations_tie_breaks_to_min_obj(spark):
+    got = _viol(
+        spark,
+        [("a", "p", "m"), ("a", "p", "k"), ("a", "p", "m"),
+         ("a", "p", "k")],
+    )
+    assert got == {("p", "a"): (2, 4, "k", 2, "k,m")}
+
+
+def test_violations_objs_cap_binds(spark):
+    got = _viol(
+        spark,
+        [("a", "p", o) for o in ("o1", "o2", "o3", "o4")],
+        max_objs_listed=2,
+    )
+    assert got == {("p", "a"): (4, 4, "o1", 1, "o1,o2")}
+
+
+def test_violations_gate_composes_with_functionality(spark):
+    from knowledge_harvest_from_lms_spark.operators.kg_refine import (
+        functional_violations,
+        predicate_functionality,
+    )
+
+    triples = spark.createDataFrame(
+        [
+            ("a", "born_in", "x"), ("a", "born_in", "y"),
+            ("b", "born_in", "x"), ("c", "born_in", "z"),
+            ("u", "visited", "x"), ("u", "visited", "y"),
+            ("v", "visited", "z"), ("w", "visited", "x"),
+            ("w", "visited", "y"),
+        ],
+        TRIPLE,
+    )
+    fn = predicate_functionality(triples)
+    functional = [
+        r.pred for r in fn.filter(F.col("functionality") >= 0.6).collect()
+    ]
+    assert functional == ["born_in"]  # visited: 1/3 unambiguous
+    conflicts = functional_violations(
+        triples.filter(F.col("pred").isin(functional))
+    )
+    assert [
+        (r.pred, r.subj) for r in conflicts.collect()
+    ] == [("born_in", "a")]
