@@ -15,7 +15,14 @@ layers end-to-end in the `spark-submit --py-files` deployment shape:
                                 ├─► taxonomy induction (best parents)
                                 ├─► temporal scope (validity windows
                                 │      from warc_ts sightings)
-                                └─► vertex/edge graph materialize
+                                ├─► functional audit (measured
+                                │      single-valuedness + conflicts)
+                                ├─► vertex/edge graph materialize
+                                ├─► PRA completion (predict missing
+                                │      target-rel edges from path
+                                │      evidence over the graph)
+                                └─► negative samples (corrupted-tail
+                                       embedding training pairs)
 
 Cluster:
   zip -r kg_spark.zip knowledge_harvest_from_lms_spark
@@ -59,6 +66,14 @@ def main() -> None:
     p.add_argument("--min-jaccard", type=float, default=0.5,
                    help="paraphrase-merge threshold")
     p.add_argument("--truth-iters", type=int, default=3)
+    p.add_argument("--functional-min", type=float, default=0.9,
+                   help="min measured functionality for conflict audit")
+    p.add_argument("--complete-rel", default="isa",
+                   help="target relation for PRA completion")
+    p.add_argument("--max-fanout", type=int, default=10_000,
+                   help="hub-mid degree cap for the PRA wedge join")
+    p.add_argument("--neg-k", type=int, default=2,
+                   help="corrupted-tail negatives per triple")
     args = p.parse_args()
 
     from pyspark.sql import functions as F
@@ -70,8 +85,14 @@ def main() -> None:
     from knowledge_harvest_from_lms_spark.operators.graph import (
         materialize_graph,
     )
+    from knowledge_harvest_from_lms_spark.operators.kg_complete import (
+        negative_samples,
+        pra_score,
+    )
     from knowledge_harvest_from_lms_spark.operators.kg_refine import (
         canonicalize_predicates,
+        functional_violations,
+        predicate_functionality,
         relation_type_signatures,
         temporal_scope,
         truth_finding,
@@ -168,6 +189,22 @@ def main() -> None:
     )
     save(temporal_scope(sightings), "temporal")
 
+    # ---- functional audit: measured single-valuedness + conflicts ----
+    all_triples = claims.select("subj", "pred", "obj")
+    fn = predicate_functionality(all_triples)
+    save(fn, "functionality")
+    fn_p = spark.read.parquet(os.path.join(out, "functionality"))
+    functional_preds = fn_p.filter(
+        F.col("functionality") >= args.functional_min
+    ).select("pred")
+    save(
+        functional_violations(
+            claims.join(F.broadcast(functional_preds), "pred", "leftsemi")
+            .select("subj", "pred", "obj")
+        ),
+        "violations",
+    )
+
     # ---- shared vertex/edge graph ----
     triples = hearst.as_graph_triples(isa_p).unionByName(
         openie.as_graph_triples(rel_p)
@@ -175,6 +212,31 @@ def main() -> None:
     g = materialize_graph(triples)
     save(g["vertices"], "vertices")
     save(g["edges"], "edges")
+    edges_p = spark.read.parquet(os.path.join(out, "edges"))
+    verts_p = spark.read.parquet(os.path.join(out, "vertices"))
+
+    # ---- PRA completion: predict missing target-rel edges ----
+    save(
+        pra_score(
+            edges_p.select("src", "rel", "dst"),
+            args.complete_rel,
+            max_fanout=args.max_fanout,
+        ),
+        "completions",
+    )
+
+    # ---- negative samples for embedding training ----
+    save(
+        negative_samples(
+            edges_p.select(
+                F.col("src").alias("subj"), F.col("rel").alias("pred"),
+                F.col("dst").alias("obj"),
+            ),
+            verts_p.select(F.col("ent").alias("entity")),
+            k=args.neg_k,
+        ),
+        "negatives",
+    )
 
     docs.unpersist()
     print(json.dumps(counts))

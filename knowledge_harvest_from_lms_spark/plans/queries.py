@@ -5851,6 +5851,235 @@ FROM per GROUP BY pred
 """
 
 
+def q115_pra_completion(spark, sf_dir):
+    """PRA-style KG completion (operators/kg_complete.py pra_score):
+    predict missing (src, dst) edges for a target predicate from
+    precision-weighted length-2 relation-path evidence — NELL's Path
+    Ranking / Knowledge Vault's path features, the stage that fills
+    the gaps the harvest leaves. Fixture: a TPC-H KG where in_region
+    is known only for EVEN custkeys; the (in_nation, in_region)
+    composition should predict the odd customers' (and suppliers')
+    regions with its measured precision, while noise paths (follows
+    chains) score only what their own measured precision supports.
+    Oracle replays the wedge join, per-path-type precision, and the
+    anti-join relationally."""
+    from ..operators.kg_complete import pra_score
+
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+
+    def _e(p, col):
+        return F.concat(F.lit(p), F.col(col).cast("string"))
+
+    edges = (
+        cust.select(
+            _e("c", "c_custkey").alias("src"),
+            F.lit("in_nation").alias("rel"),
+            _e("n", "c_nationkey").alias("dst"),
+        )
+        .unionAll(
+            supp.select(
+                _e("s", "s_suppkey").alias("src"),
+                F.lit("in_nation").alias("rel"),
+                _e("n", "s_nationkey").alias("dst"),
+            )
+        )
+        .unionAll(
+            nat.select(
+                _e("n", "n_nationkey").alias("src"),
+                F.lit("in_region").alias("rel"),
+                _e("r", "n_regionkey").alias("dst"),
+            )
+        )
+        .unionAll(
+            cust.join(
+                nat, cust["c_nationkey"] == nat["n_nationkey"]
+            )
+            .filter(F.col("c_custkey") % 2 == 0)
+            .select(
+                _e("c", "c_custkey").alias("src"),
+                F.lit("in_region").alias("rel"),
+                _e("r", "n_regionkey").alias("dst"),
+            )
+        )
+        .unionAll(
+            cust.select(
+                _e("c", "c_custkey").alias("src"),
+                F.lit("follows").alias("rel"),
+                F.concat(
+                    F.lit("c"), (F.col("c_custkey") + 1).cast("string")
+                ).alias("dst"),
+            )
+        )
+    )
+    return pra_score(edges, "in_region")
+
+
+Q115_SQL = """
+WITH edges_raw AS (
+  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src, 'in_nation' AS rel,
+         'n' || CAST(c_nationkey AS VARCHAR) AS dst
+  FROM customer
+  UNION ALL
+  SELECT 's' || CAST(s_suppkey AS VARCHAR), 'in_nation',
+         'n' || CAST(s_nationkey AS VARCHAR)
+  FROM supplier
+  UNION ALL
+  SELECT 'n' || CAST(n_nationkey AS VARCHAR), 'in_region',
+         'r' || CAST(n_regionkey AS VARCHAR)
+  FROM nation
+  UNION ALL
+  SELECT 'c' || CAST(c_custkey AS VARCHAR), 'in_region',
+         'r' || CAST(n_regionkey AS VARCHAR)
+  FROM customer JOIN nation ON n_nationkey = c_nationkey
+  WHERE c_custkey % 2 = 0
+  UNION ALL
+  SELECT 'c' || CAST(c_custkey AS VARCHAR), 'follows',
+         'c' || CAST(c_custkey + 1 AS VARCHAR)
+  FROM customer),
+e AS (SELECT DISTINCT src, rel, dst FROM edges_raw),
+paths AS (
+  SELECT a.src, a.rel AS rel1, b.rel AS rel2, b.dst,
+         CAST(COUNT(*) AS BIGINT) AS n_paths
+  FROM e a JOIN e b ON a.dst = b.src
+  GROUP BY 1, 2, 3, 4),
+known AS (
+  SELECT DISTINCT src, dst FROM e WHERE rel = 'in_region'),
+prec AS (
+  SELECT p.rel1, p.rel2,
+         ROUND(CAST(SUM(CASE WHEN k.src IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 9) AS precision
+  FROM (SELECT DISTINCT src, rel1, rel2, dst FROM paths) p
+  LEFT JOIN known k ON k.src = p.src AND k.dst = p.dst
+  GROUP BY 1, 2),
+scored AS (
+  SELECT p.src, p.dst,
+         ROUND(SUM(p.n_paths * pr.precision), 9) AS score,
+         CAST(COUNT(*) AS BIGINT) AS n_path_types
+  FROM paths p JOIN prec pr ON pr.rel1 = p.rel1 AND pr.rel2 = p.rel2
+  GROUP BY 1, 2
+  HAVING SUM(p.n_paths * pr.precision) > 0)
+SELECT s.src, s.dst, s.score, s.n_path_types
+FROM scored s
+LEFT JOIN known k ON k.src = s.src AND k.dst = s.dst
+WHERE k.src IS NULL
+"""
+
+
+def q116_negative_samples(spark, sf_dir):
+    """Deterministic filtered negative sampling (operators/
+    kg_complete.py negative_samples): corrupted-tail training pairs
+    for KG-embedding models — replacement objects chosen by the
+    portable avalanche hash (bucketed entity pool, min-hash champion
+    per bucket per probe), anti-joined against true triples. The
+    DuckDB oracle replays the ENTIRE hash chain (fold + 3 avalanche
+    rounds, three separate keyings: entity bucket, champion salt,
+    probe bucket), so sampling is proven bit-identical across
+    engines — retries, AQE, and cluster size can never change the
+    training set. Fixture: located_in triples over customers; entity
+    pool = nations + regions."""
+    from ..operators.kg_complete import negative_samples
+
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    triples = cust.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias(
+            "subj"
+        ),
+        F.lit("located_in").alias("pred"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias(
+            "obj"
+        ),
+    )
+    entities = nat.select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias(
+            "entity"
+        )
+    ).unionAll(
+        reg.select(
+            F.concat(
+                F.lit("r"), F.col("r_regionkey").cast("string")
+            ).alias("entity")
+        )
+    )
+    return negative_samples(triples, entities, k=2, seed=3, n_buckets=8)
+
+
+def _q116_sql() -> str:
+    def chain(key_expr: str, carry: str, tag: str) -> str:
+        """CTE chain computing the portable avalanche hash of
+        ``key_expr`` (which must already include the '#seed' suffix),
+        carrying ``carry`` columns; final hash column is ``h``."""
+        fold = f"""{tag}0 AS (
+  SELECT {carry},
+         LIST_REDUCE(
+           LIST_PREPEND(CAST(0 AS BIGINT),
+             LIST_TRANSFORM(STRING_SPLIT({key_expr}, ''),
+               c -> CAST(ASCII(c) AS BIGINT))),
+           (acc, x) -> (acc * 31 + x) % 1000000007) AS h"""
+        rounds = ""
+        prev = f"{tag}0"
+        for i, (a, s) in enumerate(
+            ((2246822519, 15), (2654435761, 13), (3266489917, 16)), 1
+        ):
+            rounds += f""",
+{tag}{i} AS (SELECT {carry}, xor((h * {a}) % 1000000007,
+              ((h * {a}) % 1000000007) >> {s}) AS h FROM {prev})"""
+            prev = f"{tag}{i}"
+        return fold, rounds, prev
+
+    eb_fold, eb_rounds, eb_last = chain("e || '#3'", "e", "eb")
+    ch_fold, ch_rounds, ch_last = chain(
+        "e || '|' || CAST(probe AS VARCHAR) || '#4'", "e, probe", "ch"
+    )
+    pb_fold, pb_rounds, pb_last = chain(
+        "subj || '|' || pred || '|' || obj || '|' "
+        "|| CAST(probe AS VARCHAR) || '#3'",
+        "subj, pred, obj, probe",
+        "pb",
+    )
+    return f"""
+WITH ent AS (
+  SELECT DISTINCT 'n' || CAST(n_nationkey AS VARCHAR) AS e FROM nation
+  UNION SELECT DISTINCT 'r' || CAST(r_regionkey AS VARCHAR) FROM region),
+pr AS (SELECT UNNEST([0, 1]) AS probe),
+{eb_fold} FROM ent){eb_rounds},
+ebf AS (SELECT e, ((h * 97) % 1000000007) % 8 AS b FROM {eb_last}),
+{ch_fold} FROM ent CROSS JOIN pr){ch_rounds},
+chf AS (SELECT e, probe, (h * 97) % 1000000007 AS h FROM {ch_last}),
+champs AS (
+  SELECT b, probe, e AS neg_obj FROM (
+    SELECT ebf.b, chf.probe, chf.e,
+           ROW_NUMBER() OVER (PARTITION BY ebf.b, chf.probe
+                              ORDER BY chf.h, chf.e) AS rn
+    FROM chf JOIN ebf ON ebf.e = chf.e)
+  WHERE rn = 1),
+t AS (
+  SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS subj,
+         'located_in' AS pred,
+         'n' || CAST(c_nationkey AS VARCHAR) AS obj
+  FROM customer),
+tp AS (SELECT t.*, pr.probe FROM t CROSS JOIN pr),
+{pb_fold} FROM tp){pb_rounds},
+pbf AS (SELECT subj, pred, obj, probe,
+               ((h * 97) % 1000000007) % 8 AS b FROM {pb_last}),
+cand AS (
+  SELECT p.subj, p.pred, p.obj, c.neg_obj, p.probe
+  FROM pbf p JOIN champs c ON c.b = p.b AND c.probe = p.probe
+  WHERE c.neg_obj <> p.obj)
+SELECT c.subj, c.pred, c.obj, c.neg_obj, c.probe
+FROM cand c
+LEFT JOIN t ON t.subj = c.subj AND t.pred = c.pred
+           AND t.obj = c.neg_obj
+WHERE t.subj IS NULL
+"""
+
+
+Q116_SQL = _q116_sql()
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5931,6 +6160,8 @@ QUERIES = {
     "q112_inverse_predicates": q112_inverse_predicates,
     "q113_functional_violations": q113_functional_violations,
     "q114_predicate_functionality": q114_predicate_functionality,
+    "q115_pra_completion": q115_pra_completion,
+    "q116_negative_samples": q116_negative_samples,
     "q38_dedup_documents_minhash": q38_dedup_documents_minhash,
     "q48_ngram_repetition": q48_ngram_repetition,
     "q41_support_rerank": q41_support_rerank,
@@ -6103,4 +6334,6 @@ ORACLES = {
     "q112_inverse_predicates": Q112_SQL,
     "q113_functional_violations": Q113_SQL,
     "q114_predicate_functionality": Q114_SQL,
+    "q115_pra_completion": Q115_SQL,
+    "q116_negative_samples": Q116_SQL,
 }

@@ -38,7 +38,9 @@ def test_stage_counts_and_artifacts(job):
     out, counts = job
     for stage in ("isa", "openie", "corroborated", "confidence",
                   "taxonomy", "temporal", "vertices", "edges",
-                  "canonical_triples", "type_signatures"):
+                  "canonical_triples", "type_signatures",
+                  "functionality", "violations", "completions",
+                  "negatives"):
         assert os.path.isdir(os.path.join(out, stage)), stage
     for stage in ("pages", "isa", "openie", "corroborated",
                   "confidence", "temporal", "vertices", "edges"):
@@ -78,3 +80,45 @@ def test_graph_edges_reference_vertices(job):
          OR e.dst_id NOT IN (SELECT ent_id FROM '{out}/vertices/*.parquet')
     """)["n"][0]
     assert n == 0
+
+
+def test_functional_audit_invariants(job):
+    out, _ = job
+    fn = _q(out, "SELECT * FROM '{out}/functionality/*.parquet'")
+    assert (fn["functionality"] >= 0).all()
+    assert (fn["functionality"] <= 1).all()
+    assert (fn["avg_objs"] >= 1).all()
+    v = _q(out, "SELECT * FROM '{out}/violations/*.parquet'")
+    if len(v):
+        assert (v["n_objs"] >= 2).all()
+        assert (v["top_support"] <= v["total_support"]).all()
+
+
+def test_completions_are_new_scored_edges(job):
+    out, _ = job
+    c = _q(out, "SELECT * FROM '{out}/completions/*.parquet'")
+    if len(c):
+        assert (c["score"] > 0).all()
+        # predictions never duplicate a known isa edge
+        dup = _q(out, """
+          SELECT COUNT(*) AS n FROM '{out}/completions/*.parquet' c
+          JOIN '{out}/edges/*.parquet' e
+            ON e.src = c.src AND e.dst = c.dst AND e.rel = 'isa'
+        """)["n"][0]
+        assert dup == 0
+
+
+def test_negatives_are_filtered(job):
+    out, counts = job
+    assert counts["negatives"] > 0
+    bad = _q(out, """
+      SELECT COUNT(*) AS n FROM '{out}/negatives/*.parquet' g
+      JOIN '{out}/edges/*.parquet' e
+        ON e.src = g.subj AND e.rel = g.pred AND e.dst = g.neg_obj
+    """)["n"][0]
+    assert bad == 0
+    same = _q(out, """
+      SELECT COUNT(*) AS n FROM '{out}/negatives/*.parquet'
+      WHERE neg_obj = obj
+    """)["n"][0]
+    assert same == 0
