@@ -6080,6 +6080,330 @@ WHERE t.subj IS NULL
 Q116_SQL = _q116_sql()
 
 
+def q117_ranking_metrics(spark, sf_dir):
+    """Filtered link-prediction ranks (operators/kg_eval.py
+    filtered_ranks): the TransE-protocol evaluation of a KG
+    completion layer — per held-out triple, rank the true object
+    among scored candidates with known-true competitors removed.
+    Rank is computed as 1 + COUNT(beaters) through one (subj, pred)
+    equi-join + conditional aggregate — never a window/sort over the
+    candidate lists (the q51/q83 skew posture). Fixture: every
+    customer scored against all 25 nations with a pure-integer
+    pseudo-score that boosts the true nation for custkey % 3 == 0
+    (so ranks spread across 1..25 and both branches of the filtered
+    protocol fire); a second deterministic known-true triple per
+    customer exercises competitor removal. Oracle replays score,
+    anti-join, and beat-count relationally."""
+    from ..operators.kg_eval import filtered_ranks
+
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    cand = cust.crossJoin(F.broadcast(nat)).select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias(
+            "subj"
+        ),
+        F.lit("located_in").alias("pred"),
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias(
+            "obj"
+        ),
+        (
+            (F.col("c_custkey") * 37 + F.col("n_nationkey") * 11) % 97
+            + F.when(
+                (F.col("n_nationkey") == F.col("c_nationkey"))
+                & (F.col("c_custkey") % 3 == 0),
+                100,
+            ).otherwise(0)
+        )
+        .cast("double")
+        .alias("score"),
+    )
+    test = cust.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias(
+            "subj"
+        ),
+        F.lit("located_in").alias("pred"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias(
+            "obj"
+        ),
+    )
+    known = test.unionAll(
+        cust.select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias(
+                "subj"
+            ),
+            F.lit("located_in").alias("pred"),
+            F.concat(
+                F.lit("n"), ((F.col("c_custkey") * 7) % 25).cast("string")
+            ).alias("obj"),
+        )
+    )
+    return filtered_ranks(cand, test, known).select(
+        "subj", "pred", "obj", "true_score", F.col("rank").alias("rnk")
+    )
+
+
+Q117_SQL = """
+WITH cand AS (
+  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS subj,
+         'located_in' AS pred,
+         'n' || CAST(n_nationkey AS VARCHAR) AS obj,
+         CAST((c_custkey * 37 + n_nationkey * 11) % 97
+              + CASE WHEN n_nationkey = c_nationkey
+                      AND c_custkey % 3 = 0 THEN 100 ELSE 0 END
+              AS DOUBLE) AS score
+  FROM customer, nation),
+cmax AS (
+  SELECT subj, pred, obj, MAX(score) AS score
+  FROM cand GROUP BY 1, 2, 3),
+test AS (
+  SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS subj,
+         'located_in' AS pred,
+         'n' || CAST(c_nationkey AS VARCHAR) AS obj
+  FROM customer),
+known AS (
+  SELECT subj, pred, obj FROM test
+  UNION
+  SELECT 'c' || CAST(c_custkey AS VARCHAR), 'located_in',
+         'n' || CAST((c_custkey * 7) % 25 AS VARCHAR)
+  FROM customer),
+filt AS (
+  SELECT c.subj, c.pred, c.obj, c.score
+  FROM cmax c LEFT JOIN known k
+    ON k.subj = c.subj AND k.pred = c.pred AND k.obj = c.obj
+  WHERE k.subj IS NULL),
+ts AS (
+  SELECT t.subj, t.pred, t.obj, c.score AS true_score
+  FROM test t LEFT JOIN cmax c
+    ON c.subj = t.subj AND c.pred = t.pred AND c.obj = t.obj)
+SELECT ts.subj, ts.pred, ts.obj, ts.true_score,
+       CASE WHEN ts.true_score IS NOT NULL THEN
+         CAST(1 + SUM(CASE WHEN f.obj IS NOT NULL AND f.obj <> ts.obj
+                            AND (f.score > ts.true_score
+                                 OR (f.score = ts.true_score
+                                     AND f.obj < ts.obj))
+                           THEN 1 ELSE 0 END) AS BIGINT)
+       END AS rnk
+FROM ts LEFT JOIN filt f ON f.subj = ts.subj AND f.pred = ts.pred
+GROUP BY ts.subj, ts.pred, ts.obj, ts.true_score
+"""
+
+
+def q118_ntriples_roundtrip(spark, sf_dir):
+    """N-Triples source (sources/ntriples.py): serialize supplier
+    facts to W3C N-Triples lines — IRIs, language-tagged and
+    datatyped literals whose lexical values are salted with the
+    hostile characters (quote, backslash, newline, tab) the escape
+    grammar exists for — then PARSE them back with the scan-fused
+    JVM regexp chain. Returns the parsed rows plus one deliberately
+    malformed line per 10 suppliers proving reject routing
+    (valid = false, NULL terms, raw line kept). The oracle replays
+    serialization, the anchored triple regex, and the
+    sentinel-ordered unescape chain in DuckDB (RE2-compatible
+    patterns by construction)."""
+    from ..sources.ntriples import parse_ntriples, to_ntriples
+
+    supp = _t(spark, sf_dir, "supplier")
+    salted = F.concat(
+        F.col("s_name"),
+        F.lit(' say "hi" \\ '),
+        F.lit("\n"),
+        F.lit("\t"),
+        F.round(F.col("s_acctbal") * 100, 0).cast("bigint").cast("string"),
+    )
+    triples = supp.select(
+        F.concat(
+            F.lit("http://ex/s"), F.col("s_suppkey").cast("string")
+        ).alias("subj"),
+        F.lit("http://ex/note").alias("pred"),
+        salted.alias("obj"),
+        F.lit("literal").alias("obj_kind"),
+        F.when(F.col("s_suppkey") % 2 == 0, F.lit("en")).alias("lang"),
+        F.when(
+            F.col("s_suppkey") % 2 == 1,
+            F.lit("http://www.w3.org/2001/XMLSchema#string"),
+        ).alias("datatype"),
+    ).unionAll(
+        supp.select(
+            F.concat(
+                F.lit("http://ex/s"), F.col("s_suppkey").cast("string")
+            ).alias("subj"),
+            F.lit("http://ex/in_nation").alias("pred"),
+            F.concat(
+                F.lit("http://ex/n"), F.col("s_nationkey").cast("string")
+            ).alias("obj"),
+            F.lit("iri").alias("obj_kind"),
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("string").alias("datatype"),
+        )
+    )
+    lines = to_ntriples(triples).unionAll(
+        supp.filter(F.col("s_suppkey") % 10 == 0).select(
+            F.concat(
+                F.lit("<http://ex/s"),
+                F.col("s_suppkey").cast("string"),
+                F.lit("> missing-object-term ."),
+            ).alias("line")
+        )
+    )
+    return parse_ntriples(lines).select(
+        "line",
+        "valid",
+        "subj",
+        "subj_kind",
+        "pred",
+        "obj",
+        "obj_kind",
+        "lang",
+        "datatype",
+    )
+
+
+Q118_SQL = r"""
+WITH esc AS (
+  SELECT s_suppkey,
+         replace(replace(replace(replace(replace(
+           s_name || ' say "hi" \ ' || chr(10) || chr(9)
+             || CAST(CAST(ROUND(s_acctbal * 100, 0) AS BIGINT) AS VARCHAR),
+           '\', '\\'), '"', '\"'), chr(10), '\n'), chr(9), '\t'),
+           chr(13), '\r') AS lex
+  FROM supplier),
+lines AS (
+  SELECT '<http://ex/s' || CAST(s_suppkey AS VARCHAR)
+         || '> <http://ex/note> "' || lex || '"'
+         || CASE WHEN s_suppkey % 2 = 0 THEN '@en'
+                 ELSE '^^<http://www.w3.org/2001/XMLSchema#string>' END
+         || ' .' AS line
+  FROM esc
+  UNION ALL
+  SELECT '<http://ex/s' || CAST(s_suppkey AS VARCHAR)
+         || '> <http://ex/in_nation> <http://ex/n'
+         || CAST(s_nationkey AS VARCHAR) || '> .'
+  FROM supplier
+  UNION ALL
+  SELECT '<http://ex/s' || CAST(s_suppkey AS VARCHAR)
+         || '> missing-object-term .'
+  FROM supplier WHERE s_suppkey % 10 = 0),
+parsed AS (
+  SELECT line,
+    regexp_extract(line,
+      '^[ \t]*(<[^>]*>|_:[^\s]+)[ \t]+(<[^>]*>)[ \t]+(<[^>]*>|_:[^\s]+|"(?:[^"\\]|\\.)*"(?:@[A-Za-z][A-Za-z0-9-]*|\^\^<[^>]*>)?)[ \t]*\.[ \t]*$',
+      1) AS s,
+    regexp_extract(line,
+      '^[ \t]*(<[^>]*>|_:[^\s]+)[ \t]+(<[^>]*>)[ \t]+(<[^>]*>|_:[^\s]+|"(?:[^"\\]|\\.)*"(?:@[A-Za-z][A-Za-z0-9-]*|\^\^<[^>]*>)?)[ \t]*\.[ \t]*$',
+      2) AS p,
+    regexp_extract(line,
+      '^[ \t]*(<[^>]*>|_:[^\s]+)[ \t]+(<[^>]*>)[ \t]+(<[^>]*>|_:[^\s]+|"(?:[^"\\]|\\.)*"(?:@[A-Za-z][A-Za-z0-9-]*|\^\^<[^>]*>)?)[ \t]*\.[ \t]*$',
+      3) AS o
+  FROM lines
+  WHERE NOT regexp_matches(line, '^[ \t]*(#.*)?$')),
+cls AS (
+  SELECT line, s, p, o, s <> '' AS valid,
+    CASE WHEN s LIKE '<%' THEN 'iri'
+         WHEN s LIKE '_:%' THEN 'blank' ELSE 'literal' END AS skind,
+    CASE WHEN o LIKE '<%' THEN 'iri'
+         WHEN o LIKE '_:%' THEN 'blank' ELSE 'literal' END AS okind,
+    regexp_extract(o, '^"((?:[^"\\]|\\.)*)"', 1) AS lit_body,
+    regexp_extract(o, '"@([A-Za-z][A-Za-z0-9-]*)$', 1) AS lang_raw,
+    regexp_extract(o, '"\^\^<([^>]*)>$', 1) AS dt_raw
+  FROM parsed)
+SELECT line, valid,
+  CASE WHEN NOT valid THEN NULL
+       WHEN s LIKE '<%' THEN substr(s, 2, length(s) - 2)
+       ELSE s END AS subj,
+  CASE WHEN NOT valid THEN NULL ELSE skind END AS subj_kind,
+  CASE WHEN NOT valid THEN NULL
+       ELSE substr(p, 2, length(p) - 2) END AS pred,
+  CASE WHEN NOT valid THEN NULL
+       WHEN okind = 'iri' THEN substr(o, 2, length(o) - 2)
+       WHEN okind = 'blank' THEN o
+       ELSE replace(replace(replace(replace(replace(replace(
+              lit_body, '\\', chr(0)), '\"', '"'), '\n', chr(10)),
+              '\t', chr(9)), '\r', chr(13)), chr(0), '\')
+  END AS obj,
+  CASE WHEN NOT valid THEN NULL ELSE okind END AS obj_kind,
+  CASE WHEN NOT valid OR lang_raw = '' THEN NULL
+       ELSE lang_raw END AS lang,
+  CASE WHEN NOT valid OR dt_raw = '' THEN NULL
+       ELSE dt_raw END AS datatype
+FROM cls
+"""
+
+
+def q119_bgp_match(spark, sf_dir):
+    """SPARQL basic-graph-pattern matching (operators/bgp.py
+    bgp_match): a 3-pattern BGP — customers and suppliers co-located
+    in a nation of region r0 — compiled to scan-fused constant
+    filters + left-deep equi-joins ordered most-constrained-first.
+    The oracle is the hand-written SQL join the compiler is supposed
+    to produce."""
+    from ..operators.bgp import bgp_match
+
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+
+    def _e(p, col):
+        return F.concat(F.lit(p), F.col(col).cast("string"))
+
+    triples = (
+        cust.select(
+            _e("c", "c_custkey").alias("subj"),
+            F.lit("in_nation").alias("pred"),
+            _e("n", "c_nationkey").alias("obj"),
+        )
+        .unionAll(
+            supp.select(
+                _e("s", "s_suppkey").alias("subj"),
+                F.lit("in_nation").alias("pred"),
+                _e("n", "s_nationkey").alias("obj"),
+            )
+        )
+        .unionAll(
+            nat.select(
+                _e("n", "n_nationkey").alias("subj"),
+                F.lit("in_region").alias("pred"),
+                _e("r", "n_regionkey").alias("obj"),
+            )
+        )
+    )
+    out = bgp_match(
+        triples,
+        [
+            ("?c", "in_nation", "?n"),
+            ("?s", "in_nation", "?n"),
+            ("?n", "in_region", "r0"),
+        ],
+    )
+    # customers and suppliers share the id namespace only via their
+    # prefixes; keep customer bindings on ?c and supplier on ?s
+    return out.filter(
+        F.col("c").startswith("c") & F.col("s").startswith("s")
+    ).select("c", "s", "n")
+
+
+Q119_SQL = """
+WITH triples AS (
+  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS subj, 'in_nation' AS pred,
+         'n' || CAST(c_nationkey AS VARCHAR) AS obj
+  FROM customer
+  UNION ALL
+  SELECT 's' || CAST(s_suppkey AS VARCHAR), 'in_nation',
+         'n' || CAST(s_nationkey AS VARCHAR)
+  FROM supplier
+  UNION ALL
+  SELECT 'n' || CAST(n_nationkey AS VARCHAR), 'in_region',
+         'r' || CAST(n_regionkey AS VARCHAR)
+  FROM nation)
+SELECT DISTINCT a.subj AS c, b.subj AS s, a.obj AS n
+FROM triples a
+JOIN triples b ON b.pred = 'in_nation' AND b.obj = a.obj
+JOIN triples r ON r.pred = 'in_region' AND r.subj = a.obj
+             AND r.obj = 'r0'
+WHERE a.pred = 'in_nation'
+  AND a.subj LIKE 'c%' AND b.subj LIKE 's%'
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6092,10 +6416,10 @@ Q116_SQL = _q116_sql()
 # so the final window maximizes never-driver-checked coverage: all 43
 # entries with zero lifetime driver rows lead (q49–q66, the r4
 # corpus-curation/temporal/sketch suite the r4 judge verified
-# independently, plus the whole r5 suite q67–q89/q100/q101), then the
-# 7 slots left are filled fewest-lifetime-checks-first: q40/q48 (1×
-# checked) and five of the 2×-checked KG-flagship chain (q38,
-# q41–q44). The 51 overflow entries are 2–4×-driver-green already
+# independently, plus the whole r5 suite q67–q89/q100/q101 and the
+# late-r5 q117), then the slots left are filled
+# fewest-lifetime-checks-first. The overflow entries are
+# 1–4×-driver-green or selfcheck-gated already
 # (q01–q39 relational surface, q45–q47, q90–q99 ANN/BertNet suite,
 # q97/q98). q90/q91 remain the two declared rows-only contracts
 # (stub-MLM harvest; exact-spec pytest is the stronger check); every
@@ -6142,7 +6466,7 @@ QUERIES = {
     "q86_link_host_graph": q86_link_host_graph,
     "q87_hll_distinct": q87_hll_distinct,
     "q88_fuzzy_name_pairs": q88_fuzzy_name_pairs,
-    "q40_minhash_exact_clusters": q40_minhash_exact_clusters,
+    "q117_ranking_metrics": q117_ranking_metrics,
     "q89_anchor_surface_forms": q89_anchor_surface_forms,
     "q100_random_walks": q100_random_walks,
     "q101_bounded_closure": q101_bounded_closure,
@@ -6162,6 +6486,9 @@ QUERIES = {
     "q114_predicate_functionality": q114_predicate_functionality,
     "q115_pra_completion": q115_pra_completion,
     "q116_negative_samples": q116_negative_samples,
+    "q118_ntriples_roundtrip": q118_ntriples_roundtrip,
+    "q119_bgp_match": q119_bgp_match,
+    "q40_minhash_exact_clusters": q40_minhash_exact_clusters,
     "q38_dedup_documents_minhash": q38_dedup_documents_minhash,
     "q48_ngram_repetition": q48_ngram_repetition,
     "q41_support_rerank": q41_support_rerank,
@@ -6336,4 +6663,7 @@ ORACLES = {
     "q114_predicate_functionality": Q114_SQL,
     "q115_pra_completion": Q115_SQL,
     "q116_negative_samples": Q116_SQL,
+    "q117_ranking_metrics": Q117_SQL,
+    "q118_ntriples_roundtrip": Q118_SQL,
+    "q119_bgp_match": Q119_SQL,
 }
