@@ -428,3 +428,46 @@ def test_q106_taxonomy_aggregate_argmax_no_window(spark):
     assert "Window" not in plan
     assert "EvalPython" not in plan
     assert "Join" in plan
+
+
+def test_q117_filtered_ranks_no_window_no_sort(spark):
+    """filtered_ranks: the rank is 1 + COUNT(beaters) through one
+    (subj, pred) equi-join + conditional hash aggregate — NEVER a
+    window or sort over the candidate lists (a per-query row_number
+    would sort every 10^4-candidate list of 10^7 queries end to
+    end). The only nested-loop nodes are the fixture's deliberate
+    25-row broadcast dim cross join."""
+    plan = plan_of(QUERIES["q117_ranking_metrics"](spark, SF_SMALL))
+    assert "Window" not in plan
+    assert "Sort (" not in plan
+    assert "EvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_q118_ntriples_parse_is_scan_fused(spark):
+    """parse_ntriples: the whole grammar — anchored triple regex,
+    term classification, sentinel-ordered unescape — compiles to JVM
+    expressions fused into the scan: ZERO exchanges, no join, no
+    Python, no window. A 10^12-line dump parses at scan speed."""
+    plan = plan_of(QUERIES["q118_ntriples_roundtrip"](spark, SF_SMALL))
+    assert plan.count("Exchange (") == 0, plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+
+
+def test_q119_bgp_constant_filters_reach_scans(spark):
+    """bgp_match: constant terms become scan-fused filters (the
+    region constant lands in a Filter directly over the nation scan,
+    never post-join), the most-constrained pattern drives the join
+    order, and the dim-sized pattern sides broadcast. No window, no
+    Python, no cartesian node."""
+    plan = plan_of(QUERIES["q119_bgp_match"](spark, SF_SMALL))
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the in_region constant filter is evaluated against the scan
+    # output (pre-join Filter), visible as the literal in a Filter
+    # condition over the nation columns
+    assert "= r0" in plan
