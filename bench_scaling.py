@@ -43,6 +43,11 @@ N_SKEW_SPLIT = 32         # split_ranges for the hot-key guard
 N_TRUTH_CLAIMS = 4_000_000  # truth-finding claims (500k facts x ~8
 N_TRUTH_FACTS = 500_000     # sources; 25k sources; 3 rounds of
 N_TRUTH_SOURCES = 25_000    # join+agg alternation per pass)
+N_PRA_EDGES = 2_000_000   # PRA completion edges: avg degree ~10+10
+N_PRA_VERTS = 200_000     # over 200k vertices -> wedge volume
+N_PRA_RELS = 8            # Σ deg_in·deg_out ≈ 20M 2-hop instances
+N_PRA_FANOUT = 200        # through the join; hub cap exercised on
+# the Poisson tail
 # N vs 4N. A mapInPandas stage at local[L] keeps ~2L threads busy
 # (L JVM Arrow feeders + L Python workers), so on this host's 16
 # PHYSICAL cores (32 SMT-logical) the levels must satisfy 2*4N <= 16
@@ -458,6 +463,54 @@ def run_level(cpus: int) -> dict:
         truth_runs.append(round(time.time() - t0, 3))
     truth_sec = min(truth_runs)
 
+    # --- workload 7d: PRA KG completion (q115 machinery) ------------
+    # the r5 link-prediction stage: 2-hop wedge join (degree-capped
+    # mids) -> per-path-type precision vs known edges -> broadcast
+    # score join + anti-join — the q64 wedge shape composed with the
+    # broadcast/anti idioms, join+agg bound end to end
+    from knowledge_harvest_from_lms_spark.operators.kg_complete import (
+        pra_score,
+    )
+
+    pra_path = f"/tmp/kg_bench_pra_{N_PRA_EDGES}_{N_PRA_VERTS}"
+    if not os.path.exists(pra_path + "/_SUCCESS"):
+        (
+            spark.range(N_PRA_EDGES)
+            .select(
+                F.concat(
+                    F.lit("v"),
+                    F.pmod(F.xxhash64("id"),
+                           F.lit(N_PRA_VERTS)).cast("string"),
+                ).alias("src"),
+                F.concat(
+                    F.lit("r"),
+                    F.pmod(F.xxhash64("id", F.lit(1)),
+                           F.lit(N_PRA_RELS)).cast("string"),
+                ).alias("rel"),
+                F.concat(
+                    F.lit("v"),
+                    F.pmod(F.xxhash64("id", F.lit(2)),
+                           F.lit(N_PRA_VERTS)).cast("string"),
+                ).alias("dst"),
+            )
+            .repartition(64)
+            .write.mode("overwrite").parquet(pra_path)
+        )
+    pra_edges = spark.read.parquet(pra_path)
+
+    def pra_pass():
+        pra_score(pra_edges, "r0", max_fanout=N_PRA_FANOUT).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    pra_pass()  # warm
+    pra_runs = []
+    for _ in range(2):
+        t0 = time.time()
+        pra_pass()
+        pra_runs.append(round(time.time() - t0, 3))
+    pra_sec = min(pra_runs)
+
     # workload 8 (sequence packing) lives in scripts/bench_pack.py:
     # it needs a FRESH JVM per level (measured 1.5x slower and
     # non-converging when run last in this shared-JVM level, through
@@ -511,6 +564,10 @@ def run_level(cpus: int) -> dict:
         "truth_sec": round(truth_sec, 3),
         "truth_runs": truth_runs,
         "truth_claims_per_sec": round(N_TRUTH_CLAIMS / truth_sec, 1),
+        "pra_edges": N_PRA_EDGES,
+        "pra_sec": round(pra_sec, 3),
+        "pra_runs": pra_runs,
+        "pra_edges_per_sec": round(N_PRA_EDGES / pra_sec, 1),
     }
 
 
@@ -698,6 +755,9 @@ def main() -> None:
     truth_eff = (
         r_hi["truth_claims_per_sec"] / r_lo["truth_claims_per_sec"]
     ) / ratio
+    pra_eff = (
+        r_hi["pra_edges_per_sec"] / r_lo["pra_edges_per_sec"]
+    ) / ratio
     pack = _load_pack()
     pack_eff = pack["efficiency"] if pack else None
     calibs = [r_lo["host_calib_sha256_per_sec"], r_hi["host_calib_sha256_per_sec"]]
@@ -749,6 +809,11 @@ def main() -> None:
             "claims_per_sec_n": r_lo["truth_claims_per_sec"],
             "claims_per_sec_4n": r_hi["truth_claims_per_sec"],
             "efficiency": round(truth_eff, 3),
+        },
+        "pra_completion": {
+            "edges_per_sec_n": r_lo["pra_edges_per_sec"],
+            "edges_per_sec_4n": r_hi["pra_edges_per_sec"],
+            "efficiency": round(pra_eff, 3),
         },
         "sequence_packing": None if not pack else {
             "docs_per_sec_n": pack["results"][str(LEVELS[0])]["pack_docs_per_sec"],
@@ -880,6 +945,18 @@ def main() -> None:
             f"| local[{LEVELS[0]}] | {r_lo['truth_claims_per_sec']:,} | {r_lo['truth_sec']} |\n"
             f"| local[{LEVELS[1]}] | {r_hi['truth_claims_per_sec']:,} | {r_hi['truth_sec']} |\n\n"
             f"**Scaling efficiency (N→4N): {truth_eff:.3f}**\n\n"
+            "## 3h. PRA KG completion (q115 machinery, "
+            f"{r_lo['pra_edges']:,} edges, ~20M 2-hop path instances)\n\n"
+            "The r5 link-prediction stage (operators/kg_complete.py):\n"
+            "degree-capped wedge join enumerating 2-hop relation paths,\n"
+            "per-path-type precision vs known edges, broadcast score\n"
+            "join + LEFT ANTI on known edges — the q64 wedge shape\n"
+            "composed with the broadcast/anti idioms; join+agg bound\n"
+            "end to end.\n\n"
+            "| level | edges/sec | sec |\n|---|---|---|\n"
+            f"| local[{LEVELS[0]}] | {r_lo['pra_edges_per_sec']:,} | {r_lo['pra_sec']} |\n"
+            f"| local[{LEVELS[1]}] | {r_hi['pra_edges_per_sec']:,} | {r_hi['pra_sec']} |\n\n"
+            f"**Scaling efficiency (N→4N): {pra_eff:.3f}**\n\n"
             + _pack_section()
             + _ekar_section()
             + _txn_section()
