@@ -21,6 +21,8 @@ layers end-to-end in the `spark-submit --py-files` deployment shape:
                                 ├─► PRA completion (predict missing
                                 │      target-rel edges from path
                                 │      evidence over the graph)
+                                ├─► completion eval (held-out hash
+                                │      slice → filtered MRR/Hits@k)
                                 └─► negative samples (corrupted-tail
                                        embedding training pairs)
 
@@ -223,6 +225,51 @@ def main() -> None:
             max_fanout=args.max_fanout,
         ),
         "completions",
+    )
+
+    # ---- evaluate the completion layer (q117 machinery): hold out
+    # a deterministic hash slice of the target-rel edges, score the
+    # remainder, report filtered MRR/Hits@k on the held-out slice ----
+    from knowledge_harvest_from_lms_spark.operators.kg_eval import (
+        filtered_ranks,
+        ranking_metrics,
+    )
+    from knowledge_harvest_from_lms_spark.operators.sketches import (
+        kmv_hash,
+    )
+
+    target = edges_p.filter(F.col("rel") == args.complete_rel).select(
+        "src", "rel", "dst"
+    )
+    is_held = (
+        F.pmod(kmv_hash(F.concat_ws("|", "src", "dst"), 41), F.lit(5)) == 0
+    )
+    train_edges = edges_p.filter(
+        (F.col("rel") != args.complete_rel) | ~is_held
+    ).select("src", "rel", "dst")
+    held = target.filter(is_held)
+    cand = pra_score(
+        train_edges, args.complete_rel, max_fanout=args.max_fanout
+    ).select(
+        F.col("src").alias("subj"),
+        F.lit(args.complete_rel).alias("pred"),
+        F.col("dst").alias("obj"),
+        "score",
+    )
+    test = held.select(
+        F.col("src").alias("subj"), F.col("rel").alias("pred"),
+        F.col("dst").alias("obj"),
+    )
+    known = target.select(
+        F.col("src").alias("subj"), F.col("rel").alias("pred"),
+        F.col("dst").alias("obj"),
+    )
+    save(filtered_ranks(cand, test, known), "eval_ranks")
+    save(
+        ranking_metrics(
+            spark.read.parquet(os.path.join(out, "eval_ranks"))
+        ),
+        "eval_metrics",
     )
 
     # ---- negative samples for embedding training ----

@@ -40,7 +40,7 @@ def test_stage_counts_and_artifacts(job):
                   "taxonomy", "temporal", "vertices", "edges",
                   "canonical_triples", "type_signatures",
                   "functionality", "violations", "completions",
-                  "negatives"):
+                  "eval_ranks", "eval_metrics", "negatives"):
         assert os.path.isdir(os.path.join(out, stage)), stage
     for stage in ("pages", "isa", "openie", "corroborated",
                   "confidence", "temporal", "vertices", "edges"):
@@ -122,3 +122,20 @@ def test_negatives_are_filtered(job):
       WHERE neg_obj = obj
     """)["n"][0]
     assert same == 0
+
+
+def test_eval_metrics_invariants(job):
+    out, counts = job
+    ranks = _q(out, "SELECT * FROM '{out}/eval_ranks/*.parquet'")
+    # one rank row per held-out triple
+    assert len(ranks) == counts["eval_ranks"]
+    scored = ranks[ranks["rank"].notna()]
+    if len(scored):
+        assert (scored["rank"] >= 1).all()
+    m = _q(out, "SELECT * FROM '{out}/eval_metrics/*.parquet'")
+    assert len(m) == 1
+    assert m["n"][0] == len(ranks)
+    if m["n"][0] > 0:
+        for col in ("mrr", "hits_1", "hits_3", "hits_10"):
+            assert 0.0 <= m[col][0] <= 1.0
+        assert m["hits_1"][0] <= m["hits_3"][0] <= m["hits_10"][0]
