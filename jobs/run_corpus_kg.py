@@ -21,6 +21,9 @@ layers end-to-end in the `spark-submit --py-files` deployment shape:
                                 ├─► PRA completion (predict missing
                                 │      target-rel edges from path
                                 │      evidence over the graph)
+                                ├─► rule mining + forward chaining
+                                │      (AMIE Horn rules over the
+                                │      graph → inferred conclusions)
                                 ├─► completion eval (held-out hash
                                 │      slice → filtered MRR/Hits@k)
                                 └─► negative samples (corrupted-tail
@@ -76,6 +79,10 @@ def main() -> None:
                    help="hub-mid degree cap for the PRA wedge join")
     p.add_argument("--neg-k", type=int, default=2,
                    help="corrupted-tail negatives per triple")
+    p.add_argument("--rule-min-support", type=int, default=2,
+                   help="min support for mined Horn rules")
+    p.add_argument("--rule-min-pca", type=float, default=0.5,
+                   help="min PCA confidence for forward chaining")
     args = p.parse_args()
 
     from pyspark.sql import functions as F
@@ -90,6 +97,10 @@ def main() -> None:
     from knowledge_harvest_from_lms_spark.operators.kg_complete import (
         negative_samples,
         pra_score,
+    )
+    from knowledge_harvest_from_lms_spark.operators.rule_mining import (
+        apply_rules,
+        mine_path_rules,
     )
     from knowledge_harvest_from_lms_spark.operators.kg_refine import (
         canonicalize_predicates,
@@ -225,6 +236,29 @@ def main() -> None:
             max_fanout=args.max_fanout,
         ),
         "completions",
+    )
+
+    # ---- AMIE rule mining + one forward-chaining step: PRA above
+    # scores ONE target predicate; the rules generalize the same
+    # wedge-join evidence to every (path type, head) pair, and the
+    # chained conclusions are the graph's missing edges with
+    # calibrated (max-PCA) confidence ----
+    save(
+        mine_path_rules(
+            edges_p.select("src", "rel", "dst"),
+            min_support=args.rule_min_support,
+            max_fanout=args.max_fanout,
+        ),
+        "rules",
+    )
+    save(
+        apply_rules(
+            edges_p.select("src", "rel", "dst"),
+            spark.read.parquet(os.path.join(out, "rules")),
+            min_pca_confidence=args.rule_min_pca,
+            max_fanout=args.max_fanout,
+        ),
+        "inferences",
     )
 
     # ---- evaluate the completion layer (q117 machinery): hold out

@@ -6404,6 +6404,190 @@ WHERE a.pred = 'in_nation'
 """
 
 
+def _kg_fixture_edges(spark, sf_dir):
+    """The q115 KG fixture (same dataflow, shared by q120/q121):
+    in_nation over customers+suppliers, in_region over nations and
+    EVEN custkeys only, plus a follows chain as noise — so the
+    (in_nation, in_region) composition is the high-PCA-confidence
+    rule and the odd customers / suppliers are its inferable gap."""
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+
+    def _e(p, col):
+        return F.concat(F.lit(p), F.col(col).cast("string"))
+
+    return (
+        cust.select(
+            _e("c", "c_custkey").alias("src"),
+            F.lit("in_nation").alias("rel"),
+            _e("n", "c_nationkey").alias("dst"),
+        )
+        .unionAll(
+            supp.select(
+                _e("s", "s_suppkey").alias("src"),
+                F.lit("in_nation").alias("rel"),
+                _e("n", "s_nationkey").alias("dst"),
+            )
+        )
+        .unionAll(
+            nat.select(
+                _e("n", "n_nationkey").alias("src"),
+                F.lit("in_region").alias("rel"),
+                _e("r", "n_regionkey").alias("dst"),
+            )
+        )
+        .unionAll(
+            cust.join(nat, cust["c_nationkey"] == nat["n_nationkey"])
+            .filter(F.col("c_custkey") % 2 == 0)
+            .select(
+                _e("c", "c_custkey").alias("src"),
+                F.lit("in_region").alias("rel"),
+                _e("r", "n_regionkey").alias("dst"),
+            )
+        )
+        .unionAll(
+            cust.select(
+                _e("c", "c_custkey").alias("src"),
+                F.lit("follows").alias("rel"),
+                F.concat(
+                    F.lit("c"), (F.col("c_custkey") + 1).cast("string")
+                ).alias("dst"),
+            )
+        )
+    )
+
+
+# The matching DuckDB CTEs — byte-for-byte the Q115 fixture — shared
+# by the q120/q121 oracles so fixture and oracle can't drift apart.
+_KG_FIXTURE_CTE = """
+edges_raw AS (
+  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src, 'in_nation' AS rel,
+         'n' || CAST(c_nationkey AS VARCHAR) AS dst
+  FROM customer
+  UNION ALL
+  SELECT 's' || CAST(s_suppkey AS VARCHAR), 'in_nation',
+         'n' || CAST(s_nationkey AS VARCHAR)
+  FROM supplier
+  UNION ALL
+  SELECT 'n' || CAST(n_nationkey AS VARCHAR), 'in_region',
+         'r' || CAST(n_regionkey AS VARCHAR)
+  FROM nation
+  UNION ALL
+  SELECT 'c' || CAST(c_custkey AS VARCHAR), 'in_region',
+         'r' || CAST(n_regionkey AS VARCHAR)
+  FROM customer JOIN nation ON n_nationkey = c_nationkey
+  WHERE c_custkey % 2 = 0
+  UNION ALL
+  SELECT 'c' || CAST(c_custkey AS VARCHAR), 'follows',
+         'c' || CAST(c_custkey + 1 AS VARCHAR)
+  FROM customer),
+e AS (SELECT DISTINCT src, rel, dst FROM edges_raw),
+body AS (
+  SELECT DISTINCT a.src, a.rel AS rel1, b.rel AS rel2, b.dst
+  FROM e a JOIN e b ON a.dst = b.src),
+n_body AS (
+  SELECT rel1, rel2, CAST(COUNT(*) AS BIGINT) AS n_body
+  FROM body GROUP BY 1, 2),
+head_size AS (
+  SELECT rel AS head, CAST(COUNT(*) AS BIGINT) AS head_size
+  FROM e GROUP BY 1),
+support AS (
+  SELECT p.rel1, p.rel2, h.rel AS head,
+         CAST(COUNT(*) AS BIGINT) AS support
+  FROM body p JOIN e h ON h.src = p.src AND h.dst = p.dst
+  GROUP BY 1, 2, 3),
+head_subj AS (SELECT DISTINCT rel AS head, src FROM e),
+pca AS (
+  SELECT p.rel1, p.rel2, hs.head, CAST(COUNT(*) AS BIGINT) AS pca_body
+  FROM body p JOIN head_subj hs ON hs.src = p.src
+  GROUP BY 1, 2, 3),
+rules AS (
+  SELECT s.rel1, s.rel2, s.head, s.support, nb.n_body, h.head_size,
+         ROUND(CAST(s.support AS DOUBLE) / h.head_size, 9)
+           AS head_coverage,
+         ROUND(CAST(s.support AS DOUBLE) / nb.n_body, 9) AS confidence,
+         p.pca_body,
+         ROUND(CAST(s.support AS DOUBLE) / p.pca_body, 9)
+           AS pca_confidence
+  FROM support s
+  JOIN n_body nb ON nb.rel1 = s.rel1 AND nb.rel2 = s.rel2
+  JOIN head_size h ON h.head = s.head
+  JOIN pca p ON p.rel1 = s.rel1 AND p.rel2 = s.rel2
+            AND p.head = s.head)
+"""
+
+
+def q120_rule_mining(spark, sf_dir):
+    """AMIE-style Horn-rule mining (operators/rule_mining.py
+    mine_path_rules): every closed length-2 rule
+    rel1(x,z) ∧ rel2(z,y) ⇒ head(x,y) over the harvested KG, scored
+    with support / head-coverage / standard & PCA confidence —
+    NELL's coupled-learning / Knowledge Vault's prior stage that
+    turns a triple store into a rule base. Fixture: the q115 KG
+    (in_region known only for even custkeys), where the transitivity
+    rule in_nation ∘ in_region ⇒ in_region must surface with PCA
+    confidence 1.0 while follows-chain noise scores only its measured
+    overlap. Oracle replays the wedge join and all four AMIE metrics
+    relationally (exact BIGINT counts, one round(int/int, 9) per
+    ratio — the q111/q115 cross-engine float contract)."""
+    from ..operators.rule_mining import mine_path_rules
+
+    return mine_path_rules(_kg_fixture_edges(spark, sf_dir))
+
+
+Q120_SQL = (
+    "WITH "
+    + _KG_FIXTURE_CTE
+    + """
+SELECT rel1, rel2, head, support, n_body, head_size, head_coverage,
+       confidence, pca_body, pca_confidence
+FROM rules
+WHERE support >= 1
+"""
+)
+
+
+def q121_rule_inference(spark, sf_dir):
+    """Forward-chaining inference from mined rules (operators/
+    rule_mining.py mine_path_rules → apply_rules): the composed
+    mine→infer step that materializes the KG's missing conclusions as
+    calibrated-confidence candidate edges — conclusions of rules with
+    PCA confidence ≥ 0.5 that are not already edges, confidence =
+    MAX rule confidence (deterministic under any aggregation order,
+    never an order-sensitive float sum), known edges removed via
+    LEFT ANTI. On the q115 fixture this infers exactly the odd
+    customers' and the suppliers' regions. Oracle replays mining AND
+    the inference join end-to-end."""
+    from ..operators.rule_mining import apply_rules, mine_path_rules
+
+    edges = _kg_fixture_edges(spark, sf_dir)
+    rules = mine_path_rules(edges)
+    return apply_rules(edges, rules, min_pca_confidence=0.5)
+
+
+Q121_SQL = (
+    "WITH "
+    + _KG_FIXTURE_CTE
+    + """,
+fired AS (
+  SELECT b.src, r.head AS rel, b.dst, r.pca_confidence
+  FROM body b
+  JOIN rules r ON r.rel1 = b.rel1 AND r.rel2 = b.rel2
+  WHERE r.pca_confidence >= 0.5),
+concl AS (
+  SELECT src, rel, dst,
+         ROUND(MAX(pca_confidence), 9) AS confidence,
+         CAST(COUNT(*) AS BIGINT) AS n_rules
+  FROM fired GROUP BY 1, 2, 3)
+SELECT c.src, c.rel, c.dst, c.confidence, c.n_rules
+FROM concl c
+LEFT JOIN e ON e.src = c.src AND e.rel = c.rel AND e.dst = c.dst
+WHERE e.src IS NULL
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6417,7 +6601,9 @@ WHERE a.pred = 'in_nation'
 # entries with zero lifetime driver rows lead (q49–q66, the r4
 # corpus-curation/temporal/sketch suite the r4 judge verified
 # independently, plus the whole r5 suite q67–q89/q100/q101 and the
-# late-r5 q117), then the slots left are filled
+# late-r5 q117/q120/q121 — the rule-mining pair takes the window slots
+# of q106/q107, which stay selfcheck-gated), then the slots left are
+# filled
 # fewest-lifetime-checks-first. The overflow entries are
 # 1–4×-driver-green or selfcheck-gated already
 # (q01–q39 relational surface, q45–q47, q90–q99 ANN/BertNet suite,
@@ -6474,9 +6660,11 @@ QUERIES = {
     "q103_open_ie": q103_open_ie,
     "q104_hearst_siblings": q104_hearst_siblings,
     "q105_corroborated_isa": q105_corroborated_isa,
+    "q120_rule_mining": q120_rule_mining,
+    "q121_rule_inference": q121_rule_inference,
+    # ---- position 51+: the driver window cuts here ----
     "q106_taxonomy": q106_taxonomy,
     "q107_paraphrase_discovery": q107_paraphrase_discovery,
-    # ---- position 51+: the driver window cuts here ----
     "q108_relation_type_signatures": q108_relation_type_signatures,
     "q109_temporal_scope": q109_temporal_scope,
     "q110_canonical_predicates": q110_canonical_predicates,
@@ -6666,4 +6854,6 @@ ORACLES = {
     "q117_ranking_metrics": Q117_SQL,
     "q118_ntriples_roundtrip": Q118_SQL,
     "q119_bgp_match": Q119_SQL,
+    "q120_rule_mining": Q120_SQL,
+    "q121_rule_inference": Q121_SQL,
 }

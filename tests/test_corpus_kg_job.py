@@ -40,6 +40,7 @@ def test_stage_counts_and_artifacts(job):
                   "taxonomy", "temporal", "vertices", "edges",
                   "canonical_triples", "type_signatures",
                   "functionality", "violations", "completions",
+                  "rules", "inferences",
                   "eval_ranks", "eval_metrics", "negatives"):
         assert os.path.isdir(os.path.join(out, stage)), stage
     for stage in ("pages", "isa", "openie", "corroborated",
@@ -139,3 +140,29 @@ def test_eval_metrics_invariants(job):
         for col in ("mrr", "hits_1", "hits_3", "hits_10"):
             assert 0.0 <= m[col][0] <= 1.0
         assert m["hits_1"][0] <= m["hits_3"][0] <= m["hits_10"][0]
+
+
+def test_rule_mining_invariants(job):
+    out, counts = job
+    r = _q(out, "SELECT * FROM '{out}/rules/*.parquet'")
+    if len(r):
+        # AMIE metric algebra: support bounded by both denominators,
+        # PCA denominator bounded by the body count, so standard
+        # confidence can never exceed PCA confidence
+        assert (r["support"] <= r["n_body"]).all()
+        assert (r["support"] <= r["head_size"]).all()
+        assert (r["support"] <= r["pca_body"]).all()
+        assert (r["pca_body"] <= r["n_body"]).all()
+        assert (r["confidence"] <= r["pca_confidence"] + 1e-12).all()
+    # inferred conclusions never duplicate a known edge, and every
+    # confidence came from a surviving (>= min_pca) rule
+    inf = _q(out, "SELECT * FROM '{out}/inferences/*.parquet'")
+    if len(inf):
+        assert (inf["confidence"] >= 0.5).all()
+        assert (inf["n_rules"] >= 1).all()
+        dup = _q(out, """
+          SELECT COUNT(*) AS n FROM '{out}/inferences/*.parquet' i
+          JOIN '{out}/edges/*.parquet' e
+            ON e.src = i.src AND e.rel = i.rel AND e.dst = i.dst
+        """)["n"][0]
+        assert dup == 0

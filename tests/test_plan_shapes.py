@@ -471,3 +471,32 @@ def test_q119_bgp_constant_filters_reach_scans(spark):
     # output (pre-join Filter), visible as the literal in a Filter
     # condition over the nation columns
     assert "= r0" in plan
+
+
+def test_q120_rule_mining_aggregates_only_no_window(spark):
+    """mine_path_rules: every AMIE metric is a map-side-combining
+    hash aggregate over the wedge-join body table — support,
+    head_size, n_body, pca_body all collapse per partition; no
+    metric needs a window or a per-rule sort (a 10^10-edge KG's hot
+    path type folds map-side). The rule-space-sized side tables
+    join back hash-to-hash; no cartesian node anywhere."""
+    plan = plan_of(QUERIES["q120_rule_mining"](spark, SF_SMALL))
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_q121_rule_inference_broadcasts_rules_anti_joins_known(spark):
+    """apply_rules: the mined rule table (rule-space-sized, bounded
+    by |path types|x|predicates|) BROADCASTS onto the KG-scale path
+    instances — the conclusions never shuffle on the rule key — and
+    known edges leave via LEFT ANTI. max(confidence) is an aggregate,
+    not a window."""
+    plan = plan_of(QUERIES["q121_rule_inference"](spark, SF_SMALL))
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
