@@ -26,8 +26,11 @@ layers end-to-end in the `spark-submit --py-files` deployment shape:
                                 │      graph → inferred conclusions)
                                 ├─► completion eval (held-out hash
                                 │      slice → filtered MRR/Hits@k)
-                                └─► negative samples (corrupted-tail
-                                       embedding training pairs)
+                                ├─► negative samples (corrupted-tail
+                                │      embedding training pairs)
+                                └─► TransE embedding training
+                                       (bit-stable full-batch steps)
+                                       + triple energies
 
 Cluster:
   zip -r kg_spark.zip knowledge_harvest_from_lms_spark
@@ -83,6 +86,12 @@ def main() -> None:
                    help="min support for mined Horn rules")
     p.add_argument("--rule-min-pca", type=float, default=0.5,
                    help="min PCA confidence for forward chaining")
+    p.add_argument("--emb-dim", type=int, default=16,
+                   help="TransE embedding dimension")
+    p.add_argument("--emb-steps", type=int, default=2,
+                   help="full-batch TransE training steps")
+    p.add_argument("--emb-lr", type=float, default=0.05)
+    p.add_argument("--emb-margin", type=float, default=1.0)
     args = p.parse_args()
 
     from pyspark.sql import functions as F
@@ -97,6 +106,11 @@ def main() -> None:
     from knowledge_harvest_from_lms_spark.operators.kg_complete import (
         negative_samples,
         pra_score,
+    )
+    from knowledge_harvest_from_lms_spark.operators.kg_embed import (
+        init_embeddings,
+        transe_distance,
+        transe_step,
     )
     from knowledge_harvest_from_lms_spark.operators.rule_mining import (
         apply_rules,
@@ -317,6 +331,42 @@ def main() -> None:
             k=args.neg_k,
         ),
         "negatives",
+    )
+
+    # ---- TransE embedding training over the KG: deterministic hash
+    # init, full-batch fixed-point subgradient steps (bit-stable
+    # across engines/cluster sizes/retries), one parquet round trip
+    # per step so the lineage never compounds ----
+    triples_t = edges_p.select(
+        F.col("src").alias("subj"),
+        F.concat(F.lit("p:"), F.col("rel")).alias("pred"),
+        F.col("dst").alias("obj"),
+    )
+    pairs = (
+        negative_samples(triples_t, verts_p.select(F.col("ent").alias("entity")), k=1)
+        .select("subj", "pred", "obj", "neg_obj")
+    )
+    emb_ids = verts_p.select(F.col("ent").alias("id")).unionAll(
+        triples_t.select(F.col("pred").alias("id")).distinct()
+    )
+    emb = init_embeddings(emb_ids, dim=args.emb_dim, seed=0)
+    # ping-pong scratch dirs: the final save's lineage must never
+    # read the path it is overwriting
+    for k in range(args.emb_steps):
+        scratch = os.path.join(out, f"_emb_scratch{k % 2}")
+        emb.write.mode("overwrite").parquet(scratch)
+        emb = transe_step(
+            spark.read.parquet(scratch),
+            pairs,
+            lr=args.emb_lr,
+            margin=args.emb_margin,
+        )
+    save(emb, "kg_emb")
+    save(
+        transe_distance(
+            spark.read.parquet(os.path.join(out, "kg_emb")), triples_t
+        ),
+        "triple_energies",
     )
 
     docs.unpersist()

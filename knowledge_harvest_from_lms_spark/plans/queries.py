@@ -6588,6 +6588,163 @@ WHERE e.src IS NULL
 )
 
 
+def q122_transe_step(spark, sf_dir):
+    """One full-batch TransE training step (operators/kg_embed.py):
+    deterministic hash init + margin-loss subgradient update with
+    BIGINT fixed-point gradient aggregation — KG-embedding training
+    as a pure dataflow whose result is bit-stable across engines,
+    retries, and cluster sizes. The DuckDB oracle replays EVERYTHING:
+    the portable-hash init of all 6108 parameters, per-pair
+    (h+r-t) geometry in index-ordered float folds, the active-margin
+    test, gradient quantization, the order-free integer sum, and the
+    update expression — a training step proven identical across two
+    engines. Fixture: customers located_in nations, corrupted tails
+    (nationkey+7) mod 25, dim 4 (scale 6/sqrt(4) = 3.0, exactly
+    representable), lr 0.05."""
+    from ..operators.kg_embed import init_embeddings, transe_step
+
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    ids = (
+        cust.select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias(
+                "id"
+            )
+        )
+        .unionAll(
+            nat.select(
+                F.concat(
+                    F.lit("n"), F.col("n_nationkey").cast("string")
+                ).alias("id")
+            )
+        )
+        .unionAll(
+            spark.range(2).select(
+                F.concat(
+                    F.lit("p:"),
+                    F.when(F.col("id") == 0, F.lit("located_in")).otherwise(
+                        F.lit("based_in")
+                    ),
+                ).alias("id")
+            )
+        )
+    )
+    # pred is DATA-DEPENDENT (two relations by nationkey parity) so
+    # the pred-role lookup stays a real equi-join — a constant pred
+    # would constant-fold into a degenerate 1-row nested loop
+    pairs = cust.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias(
+            "subj"
+        ),
+        F.concat(
+            F.lit("p:"),
+            F.when(
+                F.col("c_nationkey") % 2 == 0, F.lit("located_in")
+            ).otherwise(F.lit("based_in")),
+        ).alias("pred"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias(
+            "obj"
+        ),
+        F.concat(
+            F.lit("n"), ((F.col("c_nationkey") + 7) % 25).cast("string")
+        ).alias("neg_obj"),
+    )
+    emb1 = transe_step(
+        init_embeddings(ids, dim=4, seed=0), pairs, lr=0.05, margin=1.0
+    )
+    return emb1.select(
+        "id", F.posexplode("emb").alias("i", "v")
+    ).select(
+        "id",
+        F.col("i").cast("bigint").alias("i"),
+        F.round("v", 9).alias("v"),
+    )
+
+
+def _q122_sql() -> str:
+    hash_ctes = _portable_hash_ctes(
+        "ih", "keyed", "id || '|' || CAST(i AS VARCHAR) || '#0'", "id, i"
+    )
+    return f"""
+WITH ids AS (
+  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS id FROM customer
+  UNION ALL
+  SELECT 'n' || CAST(n_nationkey AS VARCHAR) FROM nation
+  UNION ALL
+  SELECT 'p:located_in'
+  UNION ALL
+  SELECT 'p:based_in'),
+dims AS (SELECT UNNEST(range(4)) AS i),
+keyed AS (SELECT id, i FROM ids CROSS JOIN dims),{hash_ctes},
+emb0 AS MATERIALIZED (
+  -- MATERIALIZED: emb0 is referenced 5x; DuckDB's default CTE
+  -- inlining would clone the (already 16x-expression-duplicated)
+  -- avalanche chain into every join branch and the planner chokes
+  SELECT id, i,
+         (CAST(h AS DOUBLE) / 1000000007.0) * 6.0 - 3.0 AS v
+  FROM ihf),
+pairs AS (
+  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS subj,
+         'p:' || CASE WHEN c_nationkey % 2 = 0 THEN 'located_in'
+                      ELSE 'based_in' END AS pred,
+         'n' || CAST(c_nationkey AS VARCHAR) AS obj,
+         'n' || CAST((c_nationkey + 7) % 25 AS VARCHAR) AS neg_obj
+  FROM customer),
+pd AS MATERIALIZED (
+  SELECT p.subj, p.pred, p.obj, p.neg_obj, h.i,
+         (h.v + r.v) - t.v AS dp, (h.v + r.v) - tn.v AS dn
+  FROM pairs p
+  JOIN emb0 h ON h.id = p.subj
+  JOIN emb0 r ON r.id = p.pred AND r.i = h.i
+  JOIN emb0 t ON t.id = p.obj AND t.i = h.i
+  JOIN emb0 tn ON tn.id = p.neg_obj AND tn.i = h.i),
+dsum AS (
+  SELECT subj, pred, obj, neg_obj,
+         LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+                                  LIST(dp ORDER BY i)),
+                     (acc, x) -> acc + x * x) AS d_pos,
+         LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+                                  LIST(dn ORDER BY i)),
+                     (acc, x) -> acc + x * x) AS d_neg
+  FROM pd GROUP BY 1, 2, 3, 4),
+act AS (
+  SELECT subj, pred, obj, neg_obj FROM dsum
+  WHERE (1.0 + d_pos) - d_neg > 0),
+gc AS MATERIALIZED (
+  SELECT pd.* FROM pd
+  JOIN act a ON a.subj = pd.subj AND a.pred = pd.pred
+            AND a.obj = pd.obj AND a.neg_obj = pd.neg_obj),
+contrib AS (
+  SELECT subj AS id, i,
+         CAST(ROUND((2.0 * (dp - dn)) * 1000000.0, 0) AS BIGINT) AS q
+  FROM gc
+  UNION ALL
+  SELECT pred, i,
+         CAST(ROUND((2.0 * (dp - dn)) * 1000000.0, 0) AS BIGINT)
+  FROM gc
+  UNION ALL
+  SELECT obj, i,
+         -CAST(ROUND((2.0 * dp) * 1000000.0, 0) AS BIGINT)
+  FROM gc
+  UNION ALL
+  SELECT neg_obj, i,
+         CAST(ROUND((2.0 * dn) * 1000000.0, 0) AS BIGINT)
+  FROM gc),
+g AS (
+  SELECT id, i, CAST(SUM(q) AS BIGINT) AS q
+  FROM contrib GROUP BY 1, 2)
+SELECT e.id, e.i,
+       ROUND(CASE WHEN g.q IS NULL THEN e.v
+                  ELSE e.v - 0.05 * (CAST(g.q AS DOUBLE) / 1000000.0)
+             END, 9) AS v
+FROM emb0 e
+LEFT JOIN g ON g.id = e.id AND g.i = e.i
+"""
+
+
+Q122_SQL = _q122_sql()
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6601,9 +6758,9 @@ WHERE e.src IS NULL
 # entries with zero lifetime driver rows lead (q49–q66, the r4
 # corpus-curation/temporal/sketch suite the r4 judge verified
 # independently, plus the whole r5 suite q67–q89/q100/q101 and the
-# late-r5 q117/q120/q121 — the rule-mining pair takes the window slots
-# of q106/q107, which stay selfcheck-gated), then the slots left are
-# filled
+# late-r5 q117/q120/q121/q122 — the rule-mining pair + TransE step take
+# the window slots of q105/q106/q107, which stay selfcheck-gated), then
+# the slots left are filled
 # fewest-lifetime-checks-first. The overflow entries are
 # 1–4×-driver-green or selfcheck-gated already
 # (q01–q39 relational surface, q45–q47, q90–q99 ANN/BertNet suite,
@@ -6659,10 +6816,11 @@ QUERIES = {
     "q102_hearst_isa": q102_hearst_isa,
     "q103_open_ie": q103_open_ie,
     "q104_hearst_siblings": q104_hearst_siblings,
-    "q105_corroborated_isa": q105_corroborated_isa,
     "q120_rule_mining": q120_rule_mining,
     "q121_rule_inference": q121_rule_inference,
+    "q122_transe_step": q122_transe_step,
     # ---- position 51+: the driver window cuts here ----
+    "q105_corroborated_isa": q105_corroborated_isa,
     "q106_taxonomy": q106_taxonomy,
     "q107_paraphrase_discovery": q107_paraphrase_discovery,
     "q108_relation_type_signatures": q108_relation_type_signatures,
@@ -6856,4 +7014,5 @@ ORACLES = {
     "q119_bgp_match": Q119_SQL,
     "q120_rule_mining": Q120_SQL,
     "q121_rule_inference": Q121_SQL,
+    "q122_transe_step": Q122_SQL,
 }

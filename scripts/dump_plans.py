@@ -86,6 +86,14 @@ SHOW = {
     "q109_temporal_scope": "r5 temporal scoping: ONE map-side-combining aggregate (min/max/count monoids, integer-micros time math) — bounded state per triple key, Zipf-headed triples absorb per partition",
     "q110_canonical_predicates": "r5 predicate canonicalization: DIRT edges + connected components run on the |predicates|-sized derived graph (vastly smaller than the triple stream); the remap back is one small join + one re-aggregation",
     "q111_truth_finding": "r5 truth finding: per round two equi-joins + two map-side-combining aggregates; BIGINT-nano quantization makes partial merges order-exact; localCheckpoint per round keeps lineage O(1); rounds driver-bounded",
+    "q112_inverse_predicates": "r5 inverse predicates: the swapped-pair EQUI self-join ((subj,obj) vs (obj,subj) key) — never a predicate cross product; overlap + sizes collapse map-side; score join over |predicates|-row tables",
+    "q115_pra_completion": "r5 PRA completion: degree-capped wedge join (hub mids pruned BEFORE the join by two bounded aggregates + semi filters); per-path-type precision on the |path-types|-row table broadcast back; known edges leave via LEFT ANTI",
+    "q117_ranking_metrics": "r5 filtered link-prediction eval: rank = 1 + COUNT(beaters) via one (subj,pred) equi-join + conditional hash aggregate — NO per-query window/sort; metrics fold as count-monoid partials with round(1/rank,9) quantization",
+    "q118_ntriples_roundtrip": "r5 N-Triples parse: the whole grammar (anchored triple regex, term classification, sentinel-ordered unescape) compiles to JVM expressions fused into the scan — ZERO exchanges, no join, no Python",
+    "q119_bgp_match": "r5 SPARQL BGP: constant terms scan-fused as filters; patterns join left-deep on shared variables most-constrained-first; dim-sized sides broadcast; disconnected patterns raise instead of cross-joining",
+    "q120_rule_mining": "r5 AMIE rule mining: body = the q115 wedge join localCheckpointed ONCE for its three aggregate consumers; every AMIE metric a map-side-combining hash aggregate (no window, no per-rule sort); rule-space-sized side tables AQE-broadcast back",
+    "q121_rule_inference": "r5 rule forward-chaining: mined rules BROADCAST onto the path instances (BroadcastHashJoin on (rel1,rel2)); per-conclusion confidence = MAX aggregate (order-free); known edges leave via LEFT ANTI",
+    "q122_transe_step": "r5 TransE training step: embeddings one array<double> row per id; per-dimension math as JVM HOFs inside the row (no per-dim join, no Python); 4 narrow-key role equi-joins; the single posexplode feeds the fixed-point (id,i) gradient aggregate whose BIGINT partials are order-exact — training bit-stable across engines and cluster sizes",
 }
 
 

@@ -166,3 +166,21 @@ def test_rule_mining_invariants(job):
             ON e.src = i.src AND e.rel = i.rel AND e.dst = i.dst
         """)["n"][0]
         assert dup == 0
+
+
+def test_embeddings_and_energies(job):
+    out, counts = job
+    emb = _q(out, "SELECT * FROM '{out}/kg_emb/*.parquet'")
+    assert counts["kg_emb"] > 0
+    # one embedding row per vertex + per prefixed predicate, all dim-16
+    assert (emb["emb"].apply(len) == 16).all()
+    verts = _q(out, "SELECT * FROM '{out}/vertices/*.parquet'")
+    ids = set(emb["id"])
+    assert set(verts["ent"]) <= ids
+    en = _q(out, "SELECT * FROM '{out}/triple_energies/*.parquet'")
+    assert counts["triple_energies"] > 0
+    assert (en["dist"] >= 0).all()
+    import numpy as np
+    assert np.isfinite(en["dist"]).all()
+    # every scored triple's pred is an embedded id
+    assert set(en["pred"]) <= ids

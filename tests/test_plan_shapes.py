@@ -500,3 +500,19 @@ def test_q121_rule_inference_broadcasts_rules_anti_joins_known(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "LeftAnti" in plan
+
+
+def test_q122_transe_step_jvm_hofs_no_python_no_window(spark):
+    """transe_step: all per-dimension math (h+r-t geometry, squared
+    distances, subgradients) runs as JVM higher-order functions
+    INSIDE the embedding rows — no per-dimension join, no Python, no
+    window; the only explode feeds the (id, i) gradient hash
+    aggregate whose map-side partials absorb hub entities. Role
+    lookups are plain equi-joins on the narrow id key."""
+    plan = plan_of(QUERIES["q122_transe_step"](spark, SF_SMALL))
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+    assert "Generate" in plan  # the single posexplode boundary
