@@ -6619,13 +6619,10 @@ def q122_transe_step(spark, sf_dir):
             )
         )
         .unionAll(
-            spark.range(2).select(
-                F.concat(
-                    F.lit("p:"),
-                    F.when(F.col("id") == 0, F.lit("located_in")).otherwise(
-                        F.lit("based_in")
-                    ),
-                ).alias("id")
+            # see q123: range+alias("id") in this union shape can trip
+            # Union.rewriteConstraints in Spark 4.1
+            spark.createDataFrame(
+                [("p:located_in",), ("p:based_in",)], "id string"
             )
         )
     )
@@ -6745,6 +6742,105 @@ LEFT JOIN g ON g.id = e.id AND g.i = e.i
 Q122_SQL = _q122_sql()
 
 
+def q123_transe_energies(spark, sf_dir):
+    """TransE triple scoring (operators/kg_embed.py
+    transe_distance): ||h + r - t||² energies of the positive
+    triples under the deterministically-initialized embeddings — the
+    scoring side of the embedding layer (lower = more plausible),
+    the function the q117 link-prediction eval consumes. The oracle
+    replays the hash init and the index-ordered float fold; energies
+    round to 9 in both engines (every IEEE op identical, so the
+    rounded values match exactly). Same fixture as q122."""
+    from ..operators.kg_embed import init_embeddings, transe_distance
+
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    ids = (
+        cust.select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias(
+                "id"
+            )
+        )
+        .unionAll(
+            nat.select(
+                F.concat(
+                    F.lit("n"), F.col("n_nationkey").cast("string")
+                ).alias("id")
+            )
+        )
+        .unionAll(
+            # NOT spark.range + alias("id"): re-aliasing range's own
+            # `id` column inside a 3-way union trips Spark 4.1's
+            # Union.rewriteConstraints (key not found: id#N) once the
+            # HOF init expression is layered on top
+            spark.createDataFrame(
+                [("p:located_in",), ("p:based_in",)], "id string"
+            )
+        )
+    )
+    triples = cust.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias(
+            "subj"
+        ),
+        F.concat(
+            F.lit("p:"),
+            F.when(
+                F.col("c_nationkey") % 2 == 0, F.lit("located_in")
+            ).otherwise(F.lit("based_in")),
+        ).alias("pred"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias(
+            "obj"
+        ),
+    )
+    out = transe_distance(init_embeddings(ids, dim=4, seed=0), triples)
+    return out.select(
+        "subj", "pred", "obj", F.round("dist", 9).alias("dist")
+    )
+
+
+def _q123_sql() -> str:
+    hash_ctes = _portable_hash_ctes(
+        "ih", "keyed", "id || '|' || CAST(i AS VARCHAR) || '#0'", "id, i"
+    )
+    return f"""
+WITH ids AS (
+  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS id FROM customer
+  UNION ALL
+  SELECT 'n' || CAST(n_nationkey AS VARCHAR) FROM nation
+  UNION ALL
+  SELECT 'p:located_in'
+  UNION ALL
+  SELECT 'p:based_in'),
+dims AS (SELECT UNNEST(range(4)) AS i),
+keyed AS (SELECT id, i FROM ids CROSS JOIN dims),{hash_ctes},
+emb0 AS MATERIALIZED (
+  SELECT id, i,
+         (CAST(h AS DOUBLE) / 1000000007.0) * 6.0 - 3.0 AS v
+  FROM ihf),
+triples AS (
+  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS subj,
+         'p:' || CASE WHEN c_nationkey % 2 = 0 THEN 'located_in'
+                      ELSE 'based_in' END AS pred,
+         'n' || CAST(c_nationkey AS VARCHAR) AS obj
+  FROM customer),
+pd AS (
+  SELECT p.subj, p.pred, p.obj, h.i,
+         (h.v + r.v) - t.v AS d
+  FROM triples p
+  JOIN emb0 h ON h.id = p.subj
+  JOIN emb0 r ON r.id = p.pred AND r.i = h.i
+  JOIN emb0 t ON t.id = p.obj AND t.i = h.i)
+SELECT subj, pred, obj,
+       ROUND(LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+                                      LIST(d ORDER BY i)),
+                         (acc, x) -> acc + x * x), 9) AS dist
+FROM pd GROUP BY 1, 2, 3
+"""
+
+
+Q123_SQL = _q123_sql()
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6820,6 +6916,7 @@ QUERIES = {
     "q121_rule_inference": q121_rule_inference,
     "q122_transe_step": q122_transe_step,
     # ---- position 51+: the driver window cuts here ----
+    "q123_transe_energies": q123_transe_energies,
     "q105_corroborated_isa": q105_corroborated_isa,
     "q106_taxonomy": q106_taxonomy,
     "q107_paraphrase_discovery": q107_paraphrase_discovery,
@@ -7015,4 +7112,5 @@ ORACLES = {
     "q120_rule_mining": Q120_SQL,
     "q121_rule_inference": Q121_SQL,
     "q122_transe_step": Q122_SQL,
+    "q123_transe_energies": Q123_SQL,
 }

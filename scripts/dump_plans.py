@@ -93,6 +93,7 @@ SHOW = {
     "q119_bgp_match": "r5 SPARQL BGP: constant terms scan-fused as filters; patterns join left-deep on shared variables most-constrained-first; dim-sized sides broadcast; disconnected patterns raise instead of cross-joining",
     "q120_rule_mining": "r5 AMIE rule mining: body = the q115 wedge join localCheckpointed ONCE for its three aggregate consumers; every AMIE metric a map-side-combining hash aggregate (no window, no per-rule sort); rule-space-sized side tables AQE-broadcast back",
     "q121_rule_inference": "r5 rule forward-chaining: mined rules BROADCAST onto the path instances (BroadcastHashJoin on (rel1,rel2)); per-conclusion confidence = MAX aggregate (order-free); known edges leave via LEFT ANTI",
+    "q123_transe_energies": "r5 TransE scoring: 3 narrow-key role joins onto the init-expression embedding table; the L2^2 energy folds in array-index order inside the row (JVM HOF) — no explode, no window; energies round(9) for cross-engine bit-parity",
     "q122_transe_step": "r5 TransE training step: embeddings one array<double> row per id; per-dimension math as JVM HOFs inside the row (no per-dim join, no Python); 4 narrow-key role equi-joins; the single posexplode feeds the fixed-point (id,i) gradient aggregate whose BIGINT partials are order-exact — training bit-stable across engines and cluster sizes",
 }
 

@@ -516,3 +516,14 @@ def test_q122_transe_step_jvm_hofs_no_python_no_window(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashAggregate" in plan
     assert "Generate" in plan  # the single posexplode boundary
+
+
+def test_q123_transe_energies_no_explode_no_window(spark):
+    """transe_distance: the L2² energy folds in array-index order
+    INSIDE each joined row (JVM aggregate HOF) — no explode, no
+    window, no Python; three narrow-key role equi-joins only."""
+    plan = plan_of(QUERIES["q123_transe_energies"](spark, SF_SMALL))
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate" not in plan
