@@ -799,22 +799,40 @@ GROUP BY c_nationkey, s_nationkey
 # ---------------------------------------------------------------------------
 
 def q23_cooccur_triples(spark, sf_dir):
+    # r6 rewrite (guide §2.4 "remove shuffles outright"): the r5 shape
+    # self-joined the exploded word stream on doc_id with a +-3
+    # position window — two ~2.5M-row exchanges plus a sort-merge join
+    # whose per-doc position product did ~900 checks/doc. The window is
+    # strictly in-row: token i co-occurs with tokens i+1..i+3 of the
+    # SAME split array, so the pairs are generated inside one
+    # WholeStageCodegen pipeline (posexplode + get(arr, pos+k), both
+    # codegen'd; a transform/slice HOF variant measured 17.8 s —
+    # higher-order functions are interpreted) and nothing shuffles
+    # until the partial-aggregated (subj, obj) counts. Verified
+    # byte-identical at sf0.01/0.1/1.0. 6.5 s -> 1.4 s at sf1.0,
+    # local[32]; q45/q46/q98 inherit the win (they call this builder).
     docs = _t(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
-    ).filter((F.length("word") >= 4) & (~F.col("word").isin(*STOP_SUBSET)))
-    a = words.select(
-        F.col("doc_id").alias("d"), F.col("pos").alias("pa"), F.col("word").alias("subj")
+    toks = docs.select(F.split("text", " ").alias("arr")).select(
+        "arr", F.posexplode("arr").alias("pos", "subj")
     )
-    b = words.select(
-        F.col("doc_id").alias("d2"), F.col("pos").alias("pb"), F.col("word").alias("obj")
+    subj_ok = toks.filter(
+        (F.length("subj") >= 4) & (~F.col("subj").isin(*STOP_SUBSET))
     )
-    pairs = a.join(
-        b,
-        (F.col("d") == F.col("d2"))
-        & (F.col("pb") > F.col("pa"))
-        & (F.col("pb") <= F.col("pa") + 3)
-        & (F.col("subj") != F.col("obj")),
+    pairs = subj_ok.select(
+        "subj",
+        F.explode(
+            F.array(
+                F.get("arr", F.col("pos") + 1),
+                F.get("arr", F.col("pos") + 2),
+                F.get("arr", F.col("pos") + 3),
+            )
+        ).alias("obj"),
+    )
+    pairs = pairs.filter(
+        F.col("obj").isNotNull()
+        & (F.length("obj") >= 4)
+        & (~F.col("obj").isin(*STOP_SUBSET))
+        & (F.col("subj") != F.col("obj"))
     )
     counted = pairs.groupBy("subj", "obj").agg(F.count(F.lit(1)).alias("weight"))
     w = W.partitionBy("subj").orderBy(F.desc("weight"), F.asc("obj"))
