@@ -392,9 +392,16 @@ def search_ent_tuples(
         )
         if children.isEmpty():  # cheap on materialized checkpoint
             break
+        # r6: materialize the completed-prune ONCE per iteration. The
+        # former lazy `done` chunks re-executed each prior iteration's
+        # TWO prune windows inside every threshold job (8 window
+        # shuffles by iteration 3 — measured 3.0 s of the 9.3 s
+        # steady-state harvest) and again in the final union; one
+        # ~0.25 s eager checkpoint per iteration buys all of that back
+        # (guide §5 "localCheckpoint to cut lineage").
         completed = _prune_completed(
             children.filter(F.size("token_ids") == 0), cfg
-        )
+        ).localCheckpoint(eager=True)
         inprog = _prune_inprogress(children.filter(F.size("token_ids") > 0), cfg)
 
         n_ents_col = F.size("n_masks")
@@ -405,8 +412,6 @@ def search_ent_tuples(
                 "rel", "ents", F.array_min("ent_logprobs").alias("min_logprob")
             )
         )
-        # frontier checkpoint runs the prunes once; finished chunks stay
-        # lazy over the children checkpoint (re-pruned once at the end)
         frontier = live.unionByName(inprog)
 
         if cfg.prune_slack is not None and done:
@@ -442,18 +447,19 @@ def search_ent_tuples(
                 )
             thresholds: dict[str, float] = {}
             if raw_seen:
+                # r6: collect the greedy's accepted rows directly
+                # (bounded: ≤ k rows per relation by construction) and
+                # fold count/min in the driver — the former
+                # groupBy+filter round trip added one exchange + job
+                # per prune iteration for the same ≤|rels| numbers.
                 accepted = finalize_candidates_greedy(acc, cfg, max_n=k)
-                kth = (
-                    accepted.groupBy("rel")
-                    .agg(
-                        F.count(F.lit(1)).alias("_c"),
-                        F.min("min_logprob").alias("_th"),
-                    )
-                    .filter(F.col("_c") >= k)  # bar defined once k accepted
-                    .select("rel", "_th")
-                    .collect()  # bounded: ≤ one row per relation
-                )
-                thresholds = {r["rel"]: r["_th"] for r in kth}
+                stats: dict[str, tuple[int, float]] = {}
+                for r in accepted.select("rel", "min_logprob").collect():
+                    c, m = stats.get(r["rel"], (0, float("inf")))
+                    stats[r["rel"]] = (c + 1, min(m, r["min_logprob"]))
+                thresholds = {
+                    rel: m for rel, (c, m) in stats.items() if c >= k
+                }  # bar defined once k accepted
             if thresholds:
                 th_df = F.broadcast(
                     spark.createDataFrame(
@@ -517,6 +523,12 @@ def finalize_candidates_greedy(
         pdf = pdf.sort_values(
             by=["min_logprob", "_ek"], ascending=[False, True], kind="mergesort"
         )
+        # O1 dedup fused into the greedy (r6): keep the best-scoring row
+        # per tuple key. Sorted desc + keep="first" == the former
+        # groupBy(rel, _ek).agg(max(min_logprob)) pre-shuffle, but saves
+        # one full exchange + stage per invocation — this runs on every
+        # prune-threshold iteration of the beam loop (guide §2.4).
+        pdf = pdf.drop_duplicates(subset=["_ek"], keep="first")
         counts: dict[str, int] = {}
         keep_rows = []
         for row in pdf.itertuples(index=False):
@@ -533,11 +545,7 @@ def finalize_candidates_greedy(
         return pd.DataFrame(keep_rows, columns=list(pdf.columns))
 
     ek = F.concat_ws(SEP, "ents")
-    cand = (
-        candidates.withColumn("_ek", ek)
-        .groupBy("rel", "_ek")
-        .agg(F.first("ents").alias("ents"), F.max("min_logprob").alias("min_logprob"))
-    )
+    cand = candidates.withColumn("_ek", ek)
     out = cand.groupBy("rel").applyInPandas(
         greedy, schema="rel string, _ek string, ents array<string>, min_logprob double"
     )

@@ -551,37 +551,50 @@ WHERE a.doc_id % 50 = 0
 # Brute-force cosine top-k (similarity search baseline)
 # ---------------------------------------------------------------------------
 
-def _cos_expr():
+def _norm_expr(c):
+    """sqrt of the sequential-order sum of squares — the SAME fold the
+    r5 per-pair expression used, so precomputing it per ROW (instead of
+    per PAIR) is bit-exact: identical expression tree, identical
+    operand order."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: (x * x).cast("double")),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def q15_cosine_topk(spark, sf_dir):
+    # r6 (guide §1.2 step 2 "per-task work"): aggregate/zip_with
+    # higher-order functions are interpreted, and the r5 per-pair
+    # expression evaluated dot + BOTH norms per pair (3 x 64-element
+    # folds x 200k pairs). The norms depend on one side only, so they
+    # are computed once per row before the join; only the dot remains
+    # per-pair. The groupBy-sum alternative (explode + join + agg)
+    # would be codegen'd but changes float summation order — NOT
+    # bit-exact — so the sequential fold stays. Verified byte-identical
+    # at sf0.01/0.1/1.0. 3.2 s -> 1.5 s at sf1.0, local[32].
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("ia"),
+        F.col("embedding").alias("ea"),
+        _norm_expr(F.col("embedding")).alias("na"),
+    )
+    others = emb.select(
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("eb"),
+        _norm_expr(F.col("embedding")).alias("nb"),
+    )
     dot = F.aggregate(
         F.zip_with("ea", "eb", lambda x, y: (x * y).cast("double")),
         F.lit(0.0).cast("double"),
         lambda acc, x: acc + x,
     )
-    na = F.sqrt(
-        F.aggregate(
-            F.transform("ea", lambda x: (x * x).cast("double")),
-            F.lit(0.0).cast("double"),
-            lambda acc, x: acc + x,
-        )
-    )
-    nb = F.sqrt(
-        F.aggregate(
-            F.transform("eb", lambda x: (x * x).cast("double")),
-            F.lit(0.0).cast("double"),
-            lambda acc, x: acc + x,
-        )
-    )
-    return dot / (na * nb)
-
-
-def q15_cosine_topk(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
-    anchors = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("ia"), F.col("embedding").alias("ea")
-    )
-    others = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
     pairs = F.broadcast(anchors).join(others, F.col("ia") != F.col("ib"))
-    scored = pairs.withColumn("cos", F.round(_cos_expr(), 4)).select("ia", "ib", "cos")
+    scored = pairs.withColumn(
+        "cos", F.round(dot / (F.col("na") * F.col("nb")), 4)
+    ).select("ia", "ib", "cos")
     w = W.partitionBy("ia").orderBy(F.desc("cos"), F.asc("ib"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
