@@ -111,8 +111,11 @@ def q02_revenue_by_nation(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
+    # r6 (guide §3.1): customer's 150k-row broadcast build cost more
+    # than co-partitioning orders+customer by custkey (0.9 s vs 1.3 s
+    # at sf1.0); SHUFFLE_HASH also scales past broadcast limits.
     return (
-        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        orders.join(cust.hint("SHUFFLE_HASH"), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name", "r_name")
@@ -773,12 +776,19 @@ FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
 # ---------------------------------------------------------------------------
 
 def q22_graph_edges(spark, sf_dir):
+    # r6 (guide §3.1 "pick the join strategy deliberately"): the
+    # planner broadcast the 1.5M-row orders side of the fact-fact join
+    # (its pruned 2-column estimate sits under the threshold), paying a
+    # single-threaded driver collect + hash-relation build every run.
+    # SHUFFLE_HASH partitions both facts by orderkey instead — the
+    # shape that also holds when orders outgrows any broadcast cap.
+    # customer/supplier stay broadcast dims. 2.7 s -> 1.4 s at sf1.0.
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     sup = _t(spark, sf_dir, "supplier")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li.join(orders.hint("SHUFFLE_HASH"), li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .groupBy(
