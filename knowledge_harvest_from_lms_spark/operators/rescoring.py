@@ -78,7 +78,14 @@ def rescore_and_rank(
         .select("rel", "ek", "ents")
         .join(F.broadcast(prompt_weights), "rel")
     )
-    scored = pairs.repartition("rel", "ek").mapInPandas(
+    # r6: pin the scoring width to defaultParallelism — a cols-only
+    # repartition lets AQE coalesce the few-MB pair table to one
+    # partition and serialize the CPU-bound LM scoring onto a single
+    # Python worker (same fix as scoring_udf.score_distinct_pairs).
+    # Values are partitioning-invariant: per-row scores are
+    # deterministic and the ensemble sum is rounded at the aggregate.
+    n_parts = pairs.sparkSession.sparkContext.defaultParallelism
+    scored = pairs.repartition(n_parts, "rel", "ek").mapInPandas(
         make_variant_score_fn(cfg.lm, cfg.seed), schema=VARIANT_SCHEMA
     )
 

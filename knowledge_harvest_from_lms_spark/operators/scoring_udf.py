@@ -83,12 +83,19 @@ def score_distinct_pairs(
     downstream means (reference averages include duplicates,
     ``models/knowledge_harvester.py:45-67``)."""
     keyed = pairs.withColumn("_ek", ents_key_col())
-    # cols-only repartition: AQE coalesces when tiny, spreads the
-    # expensive LM scoring across executors when large
+    # r6: pin the scoring stage's width to defaultParallelism. The
+    # former cols-only repartition let AQE coalesce by BYTES — a few MB
+    # of prompt text is one partition — which serialized the CPU-bound
+    # LM scoring onto a single Python worker (measured: the ekar50
+    # prompt-weight phase ran ~4 s single-core). Scoring is per-row
+    # deterministic, so partitioning does not affect values
+    # (test_harvest_pipeline pins identical output across
+    # shuffle_partitions settings).
+    n_parts = pairs.sparkSession.sparkContext.defaultParallelism
     distinct = (
         keyed.select("rel", "prompt", "_ek", "ents")
         .dropDuplicates(["rel", "prompt", "_ek"])
-        .repartition("rel", "prompt", "_ek")
+        .repartition(n_parts, "rel", "prompt", "_ek")
     )
     scored = score_pairs(distinct, lm_name, seed).select(
         "rel", "prompt", "_ek", "score"
