@@ -115,26 +115,117 @@ def lsh_candidate_pairs(
     r=3/b=10 at t=0.7, r=7/b=4 at t=0.9 (a fixed 8×4 banding had only
     ~0.89 recall at t=0.7 and ~0.4 at t=0.5; and deriving b first then
     recomputing rows = n_hashes//b inflated r past the guarantee)."""
-    banded = _banded(ents, sim_threshold, n_hashes, n_bands)
+    # ------------------------------------------------------------------
+    # r6 rewrite (guide §8 "decide with small rows" + §2.3/§2.4). The
+    # r5 shape carried BOTH gram arrays through the bucket join and a
+    # dropDuplicates exchange, then verified each candidate with an
+    # interpreted string array_intersect — on a corpus whose docs are
+    # genuinely similar (dense 3-gram vocabulary) the banding prunes
+    # little, and q40 at sf0.1 ran >15 min. Three changes, all
+    # value-exact:
+    #   1. minhash values come from 32 codegen'd MIN aggregates over
+    #      the exploded (ent, gram) posting stream — min over the same
+    #      distinct gram set of the same xxhash64(gram, i), so the
+    #      signatures (and band buckets, and therefore the oracle-
+    #      replayed candidate set) are hash-for-hash IDENTICAL to the
+    #      interpreted transform/array_min they replace;
+    #   2. each pair is emitted exactly once, at its FIRST shared
+    #      band (no bucket collision in any earlier band), replacing
+    #      the payload-heavy dropDuplicates exchange;
+    #   3. verification intersects dense-dictionary bitmaps
+    #      (bit_count over AND of ceil(V/64) words; dictionary built
+    #      over the corpus vocabulary, collision-free by construction)
+    #      instead of string arrays. Integer |inter| and sizes are
+    #      unchanged, so the jaccard doubles are bit-identical.
+    # The encoded table is localCheckpointed once and the verify runs
+    # INSIDE the band join's stage — candidate pairs never shuffle.
+    # ------------------------------------------------------------------
+    if n_bands is None:
+        rows = 1
+        for r in range(min(n_hashes, 30), 0, -1):
+            b = n_hashes // r
+            if (1.0 - sim_threshold**r) ** b <= 0.1:
+                rows = r
+                break
+        n_bands = max(1, n_hashes // rows)
+    else:
+        rows = n_hashes // n_bands
 
-    a = banded.select(
-        "band", "bucket", F.col("ent").alias("ent_a"), F.col("grams").alias("ga")
+    post = (
+        ents.select("ent")
+        .withColumn("grams", char_shingles(F.col("ent")))
+        .select("ent", F.explode("grams").alias("gram"))
+        .localCheckpoint()
     )
-    b = banded.select(
-        "band", "bucket", F.col("ent").alias("ent_b"), F.col("grams").alias("gb")
+    dict_df = (
+        post.select("gram")
+        .distinct()
+        .withColumn("idx", F.row_number().over(W.orderBy("gram")) - 1)
+    ).localCheckpoint()
+    dims = F.broadcast(
+        dict_df.agg((F.floor(F.max("idx") / 64) + 1).cast("int").alias("nw"))
     )
-    pairs = (
+    minaggs = [
+        F.min(F.xxhash64("gram", F.lit(i))).alias(f"_h{i}") for i in range(n_hashes)
+    ]
+    buckets = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"_h{b * rows + j}").cast("string")
+                        for j in range(rows)
+                    ],
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    enc = (
+        post.join(F.broadcast(dict_df), "gram")
+        .groupBy("ent")
+        .agg(F.count(F.lit(1)).alias("sz"), F.collect_list("idx").alias("ix"), *minaggs)
+        .crossJoin(dims)
+        .select(
+            "ent",
+            "sz",
+            F.expr(
+                "transform(sequence(0, nw - 1), w -> aggregate(ix, bigint(0), "
+                "(acc, i) -> if(i div 64 = w, acc | shiftleft(bigint(1), i % 64), acc)))"
+            ).alias("bits"),
+            buckets.alias("bks"),
+        )
+        .localCheckpoint()
+    )
+    a = enc.select(
+        F.col("ent").alias("ent_a"), F.col("sz").alias("sza"),
+        F.col("bits").alias("ba"), F.col("bks").alias("bka"),
+        F.posexplode("bks").alias("band", "bucket"),
+    )
+    b = enc.select(
+        F.col("ent").alias("ent_b"), F.col("sz").alias("szb"),
+        F.col("bits").alias("bb"), F.col("bks").alias("bkb"),
+        F.posexplode("bks").alias("band", "bucket"),
+    )
+    first_band = F.expr(
+        "size(filter(zip_with(slice(bka, 1, band), slice(bkb, 1, band), "
+        "(x, y) -> x = y), v -> v)) = 0"
+    )
+    inter = F.expr(
+        "aggregate(zip_with(ba, bb, (x, y) -> bit_count(x & y)), 0, (acc, e) -> acc + e)"
+    )
+    jac = inter / (F.col("sza") + F.col("szb") - inter)
+    cond = (
+        (F.col("ent_a") < F.col("ent_b"))
+        & first_band
+        & (jac >= sim_threshold)
+    )
+    return (
         a.join(b, ["band", "bucket"])
-        .filter(F.col("ent_a") < F.col("ent_b"))
-        .dropDuplicates(["ent_a", "ent_b"])
+        .filter(cond)
+        .select("ent_a", "ent_b", jac.alias("jaccard"))
     )
-    # |union| = |a|+|b|-|inter| (char_shingles arrays are distinct):
-    # one O(n·m) array scan per candidate pair instead of two
-    inter = F.size(F.array_intersect("ga", "gb"))
-    jac = inter / (F.size("ga") + F.size("gb") - inter)
-    return pairs.withColumn("jaccard", jac).filter(
-        F.col("jaccard") >= sim_threshold
-    ).select("ent_a", "ent_b", "jaccard")
 
 
 def build_vertex_band_index(
