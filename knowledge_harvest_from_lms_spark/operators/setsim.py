@@ -57,7 +57,59 @@ the brute force in DuckDB at sf0.01.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+
+# Verify-kernel cutover (r6): vocabularies at or below this size use
+# dense-dictionary bitmap intersections (ceil(V/64) BIGINT words per
+# record, <= 8 KB/row); larger vocabularies keep the array_intersect
+# path whose per-row cost does not depend on V.
+_MAX_BITMAP_VOCAB = 65536
+
+
+def _bitmap_sets(sets: DataFrame) -> DataFrame | None:
+    """(__id, sz, bits) bitmap encoding of ``_ordered_sets`` output,
+    or None when the vocabulary exceeds ``_MAX_BITMAP_VOCAB``.
+
+    r6 (guide §4.1, the q14 lesson): the per-candidate
+    ``array_intersect`` on string arrays is interpreted — a hash set
+    per call — and dominated q73/q76/q79/q80 wall time. Each record's
+    token set is encoded ONCE as bitmap words over a dense,
+    collision-free dictionary (row_number over the distinct vocab —
+    bounded by the guard, so the single-partition window is fine);
+    |intersection| per pair becomes codegen'd bit_count(a & b) folds.
+    Integer cardinalities are unchanged, so downstream int/int double
+    divisions are bit-identical to the array formulation."""
+    vocab = sets.select(F.explode("toks").alias("tok")).distinct()
+    nv = vocab.count()
+    if nv == 0 or nv > _MAX_BITMAP_VOCAB:
+        return None
+    dic = vocab.withColumn(
+        "idx", F.row_number().over(W.orderBy("tok")) - 1
+    ).localCheckpoint()
+    nw = (nv + 63) // 64
+    return (
+        sets.select("__id", "sz", F.explode("toks").alias("tok"))
+        .join(F.broadcast(dic), "tok")
+        .groupBy("__id", "sz")
+        .agg(F.collect_list("idx").alias("ix"))
+        .select(
+            "__id",
+            "sz",
+            F.expr(
+                f"transform(sequence(0, {nw - 1}), w -> aggregate(ix, "
+                "bigint(0), (acc, i) -> if(i div 64 = w, "
+                "acc | shiftleft(bigint(1), i % 64), acc)))"
+            ).alias("bits"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+_BITS_INTER = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> bit_count(x & y)), 0, "
+    "(acc, e) -> acc + e)"
+)
 
 
 def _ordered_sets(df: DataFrame, id_col: str, set_col: str) -> DataFrame:
@@ -139,10 +191,29 @@ def setsim_self_join(
         .select("__ia", "__ib")
         .distinct()
     )
-    a = sets.select(F.col("__id").alias("__ia"), F.col("toks").alias("__ta"))
-    b = sets.select(F.col("__id").alias("__ib"), F.col("toks").alias("__tb"))
-    inter = F.size(F.array_intersect("__ta", "__tb"))
-    jac = inter / (F.size("__ta") + F.size("__tb") - inter)
+    enc = _bitmap_sets(sets)
+    if enc is not None:
+        a = enc.select(
+            F.col("__id").alias("__ia"),
+            F.col("sz").alias("__na"),
+            F.col("bits").alias("__ba"),
+        )
+        b = enc.select(
+            F.col("__id").alias("__ib"),
+            F.col("sz").alias("__nb"),
+            F.col("bits").alias("__bb"),
+        )
+        inter = F.expr(_BITS_INTER.format(a="__ba", b="__bb"))
+        jac = inter / (F.col("__na") + F.col("__nb") - inter)
+    else:
+        a = sets.select(
+            F.col("__id").alias("__ia"), F.col("toks").alias("__ta")
+        )
+        b = sets.select(
+            F.col("__id").alias("__ib"), F.col("toks").alias("__tb")
+        )
+        inter = F.size(F.array_intersect("__ta", "__tb"))
+        jac = inter / (F.size("__ta") + F.size("__tb") - inter)
     return (
         cand.join(a, "__ia")
         .join(b, "__ib")
@@ -215,9 +286,25 @@ def containment_join(
         .select("__ia", "__ib")
         .distinct()
     )
-    a = sets.select(F.col("__id").alias("__ia"), F.col("toks").alias("__ta"))
-    b = sets.select(F.col("__id").alias("__ib"), F.col("toks").alias("__tb"))
-    cont = F.size(F.array_intersect("__ta", "__tb")) / F.size("__ta")
+    enc = _bitmap_sets(sets)
+    if enc is not None:
+        a = enc.select(
+            F.col("__id").alias("__ia"),
+            F.col("sz").alias("__na"),
+            F.col("bits").alias("__ba"),
+        )
+        b = enc.select(
+            F.col("__id").alias("__ib"), F.col("bits").alias("__bb")
+        )
+        cont = F.expr(_BITS_INTER.format(a="__ba", b="__bb")) / F.col("__na")
+    else:
+        a = sets.select(
+            F.col("__id").alias("__ia"), F.col("toks").alias("__ta")
+        )
+        b = sets.select(
+            F.col("__id").alias("__ib"), F.col("toks").alias("__tb")
+        )
+        cont = F.size(F.array_intersect("__ta", "__tb")) / F.size("__ta")
     return (
         cand.join(a, "__ia")
         .join(b, "__ib")

@@ -3755,13 +3755,17 @@ def q73_setsim_exact_pairs(spark, sf_dir):
     from ..operators.setsim import setsim_self_join
 
     docs = _t(spark, sf_dir, "documents")
-    head = F.substring("text", 1, 120)
-    grams = docs.select(
+    # r6: materialize the 120-char prefix BEFORE the gram transform —
+    # a lambda referencing substring(text,1,120) directly re-evaluates
+    # the substring per gram (118x per doc; the q14 posting-stream
+    # finding). Same expression values, same grams.
+    pre = docs.select("doc_id", F.substring("text", 1, 120).alias("__t"))
+    grams = pre.select(
         "doc_id",
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(1), F.length(head) - 2),
-                lambda i: head.substr(i, F.lit(3)),
+                F.sequence(F.lit(1), F.length("__t") - 2),
+                lambda i: F.col("__t").substr(i, F.lit(3)),
             )
         ).alias("g"),
     )
@@ -3886,13 +3890,17 @@ def q76_connected_components(spark, sf_dir):
     from ..operators.setsim import setsim_self_join
 
     docs = _t(spark, sf_dir, "documents")
-    head = F.substring("text", 1, 120)
-    grams = docs.select(
+    # r6: materialize the 120-char prefix BEFORE the gram transform —
+    # a lambda referencing substring(text,1,120) directly re-evaluates
+    # the substring per gram (118x per doc; the q14 posting-stream
+    # finding). Same expression values, same grams.
+    pre = docs.select("doc_id", F.substring("text", 1, 120).alias("__t"))
+    grams = pre.select(
         "doc_id",
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(1), F.length(head) - 2),
-                lambda i: head.substr(i, F.lit(3)),
+                F.sequence(F.lit(1), F.length("__t") - 2),
+                lambda i: F.col("__t").substr(i, F.lit(3)),
             )
         ).alias("g"),
     )
@@ -4023,13 +4031,17 @@ def q79_kcore(spark, sf_dir):
     from ..operators.setsim import setsim_self_join
 
     docs = _t(spark, sf_dir, "documents")
-    head = F.substring("text", 1, 120)
-    grams = docs.select(
+    # r6: materialize the 120-char prefix BEFORE the gram transform —
+    # a lambda referencing substring(text,1,120) directly re-evaluates
+    # the substring per gram (118x per doc; the q14 posting-stream
+    # finding). Same expression values, same grams.
+    pre = docs.select("doc_id", F.substring("text", 1, 120).alias("__t"))
+    grams = pre.select(
         "doc_id",
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(1), F.length(head) - 2),
-                lambda i: head.substr(i, F.lit(3)),
+                F.sequence(F.lit(1), F.length("__t") - 2),
+                lambda i: F.col("__t").substr(i, F.lit(3)),
             )
         ).alias("g"),
     )
@@ -4090,13 +4102,17 @@ def q80_containment_pairs(spark, sf_dir):
     from ..operators.setsim import containment_join
 
     docs = _t(spark, sf_dir, "documents")
-    head = F.substring("text", 1, 120)
-    grams = docs.select(
+    # r6: materialize the 120-char prefix BEFORE the gram transform —
+    # a lambda referencing substring(text,1,120) directly re-evaluates
+    # the substring per gram (118x per doc; the q14 posting-stream
+    # finding). Same expression values, same grams.
+    pre = docs.select("doc_id", F.substring("text", 1, 120).alias("__t"))
+    grams = pre.select(
         "doc_id",
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(1), F.length(head) - 2),
-                lambda i: head.substr(i, F.lit(3)),
+                F.sequence(F.lit(1), F.length("__t") - 2),
+                lambda i: F.col("__t").substr(i, F.lit(3)),
             )
         ).alias("g"),
     )
